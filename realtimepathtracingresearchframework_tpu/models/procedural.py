@@ -1,0 +1,178 @@
+"""Procedural test scene builders.
+
+The reference ships no scene assets; its validation configs operate on small
+`.vks` scenes. These builders create VkrScene objects (quantized, identical
+to what the Blender exporter would emit) used for golden-image tests and the
+driver's validation configs (BASELINE.md config 1/2).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from realtimepathtracingresearchframework_tpu.models import vkr
+from realtimepathtracingresearchframework_tpu.models.quantization import (
+    pack_normal_uv,
+    quantize_transforms,
+    quantize_vertices,
+)
+
+
+def make_mesh(
+    name: str,
+    tri_vertices: np.ndarray,
+    tri_normals: Optional[np.ndarray] = None,
+    tri_uvs: Optional[np.ndarray] = None,
+    material_ids: Optional[np.ndarray] = None,
+    num_materials: int = 1,
+) -> vkr.VkrMesh:
+    """Build a quantized VkrMesh from triangle soup.
+
+    tri_vertices: (T, 3, 3) float; implicit indices (3 verts per tri), the
+    rendering-side requirement of the format (vkr.h:418-420).
+    """
+    tri_vertices = np.asarray(tri_vertices, np.float32)
+    t = tri_vertices.shape[0]
+    flat = tri_vertices.reshape(-1, 3)
+
+    if tri_normals is None:
+        e1 = tri_vertices[:, 1] - tri_vertices[:, 0]
+        e2 = tri_vertices[:, 2] - tri_vertices[:, 0]
+        gn = np.cross(e1, e2)
+        gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+        tri_normals = np.repeat(gn[:, None, :], 3, axis=1)
+    if tri_uvs is None:
+        tri_uvs = np.zeros((t, 3, 2), np.float32)
+        tri_uvs[:, 1, 0] = 1.0
+        tri_uvs[:, 2, 1] = 1.0
+    if material_ids is None:
+        material_ids = np.zeros(t, np.uint8)
+
+    vq, scale, offset = quantize_vertices(flat)
+    nq = pack_normal_uv(
+        np.asarray(tri_normals, np.float64).reshape(-1, 3),
+        np.asarray(tri_uvs, np.float64).reshape(-1, 2),
+    )
+
+    mesh = vkr.VkrMesh(
+        name=name,
+        vertex_scale=scale,
+        vertex_offset=offset,
+        num_triangles=t,
+        num_materials_in_range=num_materials,
+        segment_num_triangles=[t],
+        segment_material_base_offsets=[0],
+        vertices_q=vq,
+        normal_uv_q=nq,
+        material_ids=np.asarray(material_ids, np.uint8),
+    )
+    return mesh
+
+
+def _quad(p0, p1, p2, p3) -> np.ndarray:
+    """Two triangles for quad p0..p3 (counter-clockwise)."""
+    p0, p1, p2, p3 = (np.asarray(p, np.float32) for p in (p0, p1, p2, p3))
+    return np.stack([np.stack([p0, p1, p2]), np.stack([p0, p2, p3])])
+
+
+def identity_scene(
+    meshes: List[vkr.VkrMesh],
+    materials: List[vkr.VkrMaterial],
+    transforms: Optional[np.ndarray] = None,
+) -> vkr.VkrScene:
+    """One instance per mesh with (default identity) static transforms."""
+    n = len(meshes)
+    if transforms is None:
+        transforms = np.zeros((n, 3, 4), np.float32)
+        transforms[:, :, :3] = np.eye(3)
+    scene = vkr.VkrScene(
+        materials=materials,
+        meshes=meshes,
+        instances=[
+            vkr.VkrInstance(name=m.name, mesh_id=i, transform_index=i)
+            for i, m in enumerate(meshes)
+        ],
+        lod_groups=[vkr.VkrLodGroup()],
+        num_static_transforms=n,
+        transforms_q=quantize_transforms(transforms),
+    )
+    return scene
+
+
+def cornell_box(light: bool = True) -> vkr.VkrScene:
+    """The classic box: white floor/ceiling/back, red/green walls, two blocks,
+    optional area light. Camera convention: y-up, box in [-1,1]^2 x [0,2]."""
+    tris = []
+    mats = []
+
+    def add(quads, mat_id):
+        for q in quads:
+            tris.append((q, mat_id))
+
+    white, red, green, lightm = 0, 1, 2, 3
+    # floor y=0, ceiling y=2, back z=-1 (opening towards +z)
+    add([_quad([-1, 0, 1], [1, 0, 1], [1, 0, -1], [-1, 0, -1])], white)
+    add([_quad([-1, 2, -1], [1, 2, -1], [1, 2, 1], [-1, 2, 1])], white)
+    add([_quad([-1, 0, -1], [1, 0, -1], [1, 2, -1], [-1, 2, -1])], white)
+    add([_quad([-1, 0, 1], [-1, 0, -1], [-1, 2, -1], [-1, 2, 1])], red)
+    add([_quad([1, 0, -1], [1, 0, 1], [1, 2, 1], [1, 2, -1])], green)
+
+    def box(cx, cz, w, d, h, rot_deg):
+        c, s = np.cos(np.radians(rot_deg)), np.sin(np.radians(rot_deg))
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        corners = []
+        for dx in (-w / 2, w / 2):
+            for dz in (-d / 2, d / 2):
+                p = R @ np.array([dx, 0, dz], np.float32)
+                corners.append([cx + p[0], 0.0, cz + p[2]])
+        (a, b_, c_, d_) = corners  # a=(-,-), b=(-,+), c=(+,-), d=(+,+)
+        top = [[p[0], h, p[2]] for p in (a, b_, c_, d_)]
+        quads = [
+            _quad(top[0], top[2], top[3], top[1]),  # top
+            _quad(a, b_, top[1], top[0]),  # -x side
+            _quad(c_, top[2], top[3], d_),  # +x side (note winding unimportant, two-sided)
+            _quad(a, top[0], top[2], c_),  # -z side
+            _quad(b_, d_, top[3], top[1]),  # +z side
+        ]
+        return quads
+
+    for q in box(-0.35, -0.35, 0.6, 0.6, 1.2, 18):
+        add([q], white)
+    for q in box(0.4, 0.35, 0.55, 0.55, 0.6, -15):
+        add([q], white)
+
+    if light:
+        eps = 1.999
+        add(
+            [_quad([-0.3, eps, -0.3], [0.3, eps, -0.3], [0.3, eps, 0.3], [-0.3, eps, 0.3])],
+            lightm,
+        )
+
+    all_tris = np.concatenate([t for t, _ in tris], axis=0)
+    mat_ids = np.concatenate(
+        [np.full(len(t), m, np.uint8) for t, m in tris], axis=0
+    )
+
+    materials = [
+        vkr.VkrMaterial(name="White"),
+        vkr.VkrMaterial(name="Red"),
+        vkr.VkrMaterial(name="Green"),
+        vkr.VkrMaterial(
+            name="Light",
+            emission_intensity=12.0,
+            emitter_base_color=np.array([1.0, 0.9, 0.75], np.float32),
+        ),
+    ]
+    mesh = make_mesh(
+        "cornell", all_tris, material_ids=mat_ids, num_materials=len(materials)
+    )
+    return identity_scene([mesh], materials)
+
+
+def single_triangle() -> vkr.VkrScene:
+    """Minimal one-triangle scene for loader and traversal smoke tests."""
+    tri = np.array([[[-1, -1, 0], [1, -1, 0], [0, 1, 0]]], np.float32)
+    mesh = make_mesh("tri", tri)
+    return identity_scene([mesh], [vkr.VkrMaterial(name="Default")])

@@ -1,0 +1,362 @@
+"""Scene container — the render-facing scene model.
+
+Equivalent of ``librender/scene.{h,cpp}`` (``Scene``, :48-108) +
+``librender/mesh.h`` (Geometry/Mesh/ParameterizedMesh/Instance, :10-116):
+meshes with quantized buffers, parameterized meshes binding materials to
+geometry, instances with animated transform indices, materials, textures,
+lights, and revision counters driving incremental device updates.
+
+TPU representation: ``flatten_world()`` decodes + transforms everything into
+a world-space struct-of-arrays triangle soup (``FlatScene``) consumed by the
+BVH builder and the integrators. Instancing with a two-level BVH keeps the
+per-mesh structure (see ops/bvh.py TLAS support).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from realtimepathtracingresearchframework_tpu.models import vkr as vkr_mod
+from realtimepathtracingresearchframework_tpu.models.material import (
+    BaseMaterial,
+    MaterialTable,
+    translate_vkr_material,
+)
+from realtimepathtracingresearchframework_tpu.models.quantization import (
+    dequantize_vertices,
+    unpack_normal_uv,
+)
+from realtimepathtracingresearchframework_tpu.utils.error_io import info, warning
+from realtimepathtracingresearchframework_tpu.utils.profiling import ProfilingScope
+
+
+@dataclass
+class Geometry:
+    """One geometry: triangle soup with implicit indices.
+
+    Reference: ``Geometry`` (librender/mesh.h:10-40); kept quantized until
+    flatten, like the mmap-to-upload path (scene.cpp:622-644).
+    """
+
+    vertices_q: np.ndarray  # (3T,) u64
+    normal_uv_q: np.ndarray  # (3T,) u64
+    scale: np.ndarray  # (3,) f32
+    offset: np.ndarray  # (3,) f32
+    material_ids: np.ndarray  # (T,) local material ids
+    indices: Optional[np.ndarray] = None  # (3T,) u32 BVH quad-formation hints
+
+    @property
+    def num_tris(self) -> int:
+        return len(self.material_ids)
+
+    def decode_positions(self) -> np.ndarray:
+        return dequantize_vertices(self.vertices_q, self.scale, self.offset).reshape(
+            -1, 3, 3
+        )
+
+    def decode_normals_uvs(self):
+        n, uv = unpack_normal_uv(self.normal_uv_q)
+        return n.reshape(-1, 3, 3), uv.reshape(-1, 3, 2)
+
+
+@dataclass
+class Mesh:
+    """A group of geometries (librender/mesh.h Mesh)."""
+
+    name: str = ""
+    geometries: List[Geometry] = field(default_factory=list)
+    lod_group: int = 0
+
+    @property
+    def num_tris(self) -> int:
+        return sum(g.num_tris for g in self.geometries)
+
+
+@dataclass
+class ParameterizedMesh:
+    """Mesh + material binding (librender/mesh.h ParameterizedMesh):
+    per-segment or per-triangle material assignment resolved to global
+    material ids at flatten time."""
+
+    mesh_id: int
+    material_offset: int  # added to geometry-local material ids
+    per_triangle_materials: bool = True
+
+
+@dataclass
+class Instance:
+    """Placed parameterized mesh (librender/mesh.h Instance)."""
+
+    parameterized_mesh_id: int
+    transform_index: int = 0
+    animation_data_index: int = 0
+
+
+@dataclass
+class AnimationData:
+    """Quantized transform table (scene.cpp:713-729)."""
+
+    num_static: int = 0
+    num_animated: int = 0
+    num_frames: int = 1
+    start: float = 0.0
+    step: float = 0.0
+    transforms_q: Optional[np.ndarray] = None  # (N, 24) u8
+
+    def transform(self, index: int, frame: int = 0) -> np.ndarray:
+        from realtimepathtracingresearchframework_tpu.models.quantization import (
+            dequantize_transforms,
+        )
+
+        if index < self.num_static:
+            off = index
+        else:
+            off = self.num_static + (index - self.num_static) + frame * self.num_animated
+        return dequantize_transforms(self.transforms_q[off : off + 1])[0]
+
+    def transforms_for_frame(self, indices: np.ndarray, frame: int) -> np.ndarray:
+        from realtimepathtracingresearchframework_tpu.models.quantization import (
+            dequantize_transforms,
+        )
+
+        indices = np.asarray(indices, np.int64)
+        offs = np.where(
+            indices < self.num_static,
+            indices,
+            self.num_static
+            + (indices - self.num_static)
+            + frame * self.num_animated,
+        )
+        return dequantize_transforms(self.transforms_q[offs])
+
+
+@dataclass
+class LodGroup:
+    mesh_ids: List[int] = field(default_factory=list)
+    detail_reduction: List[float] = field(default_factory=list)
+
+
+@dataclass
+class FlatScene:
+    """World-space SoA triangle soup + tables, ready for BVH build/upload."""
+
+    v0: np.ndarray  # (T,3) f32
+    e1: np.ndarray  # (T,3)
+    e2: np.ndarray  # (T,3)
+    n0: np.ndarray  # (T,3) shading normals per corner
+    n1: np.ndarray
+    n2: np.ndarray
+    uv0: np.ndarray  # (T,2)
+    uv1: np.ndarray
+    uv2: np.ndarray
+    material_id: np.ndarray  # (T,) i32 global ids
+    instance_id: np.ndarray  # (T,) i32
+
+    @property
+    def num_tris(self) -> int:
+        return len(self.material_id)
+
+
+class Scene:
+    """Scene container with revision tracking (librender/scene.h:48-108)."""
+
+    def __init__(self):
+        self.meshes: List[Mesh] = []
+        self.parameterized_meshes: List[ParameterizedMesh] = []
+        self.instances: List[Instance] = []
+        self.materials: List[BaseMaterial] = []
+        self.material_names: List[str] = []
+        self.textures: List = []  # texture_mod.Texture
+        self.animation_data: List[AnimationData] = [AnimationData(num_static=1)]
+        self.lod_groups: List[LodGroup] = []
+        self.revision = 0
+        self.lights_revision = 0
+
+    # -- stats (librender/scene.h:77-84)
+    @property
+    def unique_tris(self) -> int:
+        return sum(m.num_tris for m in self.meshes)
+
+    @property
+    def total_tris(self) -> int:
+        return sum(
+            self.meshes[self.parameterized_meshes[i.parameterized_mesh_id].mesh_id].num_tris
+            for i in self.instances
+        )
+
+    @property
+    def num_geometries(self) -> int:
+        return sum(len(m.geometries) for m in self.meshes)
+
+    @property
+    def total_texture_bytes(self) -> int:
+        return sum(
+            sum(mip.nbytes for mip in t.mips) for t in self.textures if t is not None
+        )
+
+    def info_string(self) -> str:
+        return (
+            f"{self.unique_tris} unique tris, {self.total_tris} instanced, "
+            f"{self.num_geometries} geometries, {len(self.materials)} materials, "
+            f"{self.total_texture_bytes / 1e6:.1f} MB textures"
+        )
+
+    # ------------------------------------------------------------------
+    # Loading
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def from_vks(paths: Sequence[str], load_textures: bool = True) -> "Scene":
+        scene = Scene()
+        scene.animation_data = []
+        for p in paths:
+            with ProfilingScope(f"load {os.path.basename(p)}"):
+                vs = vkr_mod.open_scene(p, load_textures=load_textures)
+                scene.append_vkr_scene(vs)
+        return scene
+
+    @staticmethod
+    def from_vkr_scene(vs: vkr_mod.VkrScene) -> "Scene":
+        scene = Scene()
+        scene.animation_data = []
+        scene.append_vkr_scene(vs)
+        return scene
+
+    def append_vkr_scene(self, vs: vkr_mod.VkrScene) -> None:
+        mesh_base = len(self.meshes)
+        mat_base = len(self.materials)
+        lod_base = len(self.lod_groups)
+
+        # materials (+ textures)
+        for vm in vs.materials:
+            base_tex = normal_tex = spec_tex = -1
+            if vm.tex_base_color is not None:
+                base_tex = len(self.textures)
+                self.textures.append(vm.tex_base_color)
+            if vm.tex_normal is not None:
+                normal_tex = len(self.textures)
+                self.textures.append(vm.tex_normal)
+            if vm.tex_specular is not None:
+                spec_tex = len(self.textures)
+                self.textures.append(vm.tex_specular)
+            self.materials.append(
+                translate_vkr_material(vm, base_tex, normal_tex, spec_tex)
+            )
+            self.material_names.append(vm.name)
+
+        # meshes
+        for vm in vs.meshes:
+            geom = Geometry(
+                vertices_q=vm.vertices_q,
+                normal_uv_q=vm.normal_uv_q,
+                scale=vm.vertex_scale,
+                offset=vm.vertex_offset,
+                material_ids=np.asarray(vm.material_ids)
+                + np.int32(vm.material_id_buffer_base),
+                indices=vm.indices,
+            )
+            self.meshes.append(
+                Mesh(name=vm.name, geometries=[geom], lod_group=lod_base + vm.lod_group)
+            )
+            self.parameterized_meshes.append(
+                ParameterizedMesh(
+                    mesh_id=len(self.meshes) - 1, material_offset=mat_base
+                )
+            )
+
+        # lod groups
+        for g in vs.lod_groups:
+            self.lod_groups.append(
+                LodGroup(
+                    mesh_ids=[mesh_base + int(m) for m in g.mesh_ids],
+                    detail_reduction=list(g.detail_reduction),
+                )
+            )
+
+        # animation
+        anim = AnimationData(
+            num_static=vs.num_static_transforms,
+            num_animated=vs.num_animated_transforms,
+            num_frames=vs.num_frames,
+            start=vs.animation_start,
+            step=vs.animation_step,
+            transforms_q=vs.transforms_q,
+        )
+        anim_index = len(self.animation_data)
+        self.animation_data.append(anim)
+
+        # instances: only base-LoD levels become instances (scene.cpp:736-747)
+        for vi in vs.instances:
+            vmesh = vs.meshes[vi.mesh_id]
+            lod = vs.lod_groups[vmesh.lod_group] if vs.lod_groups else None
+            if lod and lod.num_levels_of_detail > 0 and lod.mesh_ids[0] != vi.mesh_id:
+                continue
+            self.instances.append(
+                Instance(
+                    parameterized_mesh_id=mesh_base + vi.mesh_id,
+                    transform_index=vi.transform_index,
+                    animation_data_index=anim_index,
+                )
+            )
+
+        self.revision += 1
+        self.lights_revision += 1
+
+    # ------------------------------------------------------------------
+    # Flatten to world-space SoA (consumed by BVH build + integrators)
+    # ------------------------------------------------------------------
+
+    def flatten_world(self, frame: int = 0) -> FlatScene:
+        v0s, e1s, e2s = [], [], []
+        n0s, n1s, n2s = [], [], []
+        uv0s, uv1s, uv2s = [], [], []
+        mats, insts = [], []
+        for ii, inst in enumerate(self.instances):
+            pm = self.parameterized_meshes[inst.parameterized_mesh_id]
+            mesh = self.meshes[pm.mesh_id]
+            anim = self.animation_data[inst.animation_data_index]
+            xform = anim.transform(inst.transform_index, frame)
+            lin, tr = xform[:, :3].astype(np.float32), xform[:, 3].astype(np.float32)
+            # normal transform: inverse-transpose of linear part
+            lin_it = np.linalg.inv(lin).T.astype(np.float32)
+            for geom in mesh.geometries:
+                p = geom.decode_positions()  # (T,3,3)
+                n, uv = geom.decode_normals_uvs()
+                pw = p @ lin.T + tr
+                nw = n @ lin_it.T
+                nw /= np.maximum(np.linalg.norm(nw, axis=-1, keepdims=True), 1e-20)
+                v0s.append(pw[:, 0])
+                e1s.append(pw[:, 1] - pw[:, 0])
+                e2s.append(pw[:, 2] - pw[:, 0])
+                n0s.append(nw[:, 0])
+                n1s.append(nw[:, 1])
+                n2s.append(nw[:, 2])
+                uv0s.append(uv[:, 0])
+                uv1s.append(uv[:, 1])
+                uv2s.append(uv[:, 2])
+                mats.append(
+                    geom.material_ids.astype(np.int32) + np.int32(pm.material_offset)
+                )
+                insts.append(np.full(geom.num_tris, ii, np.int32))
+
+        cat = lambda xs: np.ascontiguousarray(np.concatenate(xs, axis=0), np.float32)
+        return FlatScene(
+            v0=cat(v0s),
+            e1=cat(e1s),
+            e2=cat(e2s),
+            n0=cat(n0s),
+            n1=cat(n1s),
+            n2=cat(n2s),
+            uv0=cat(uv0s),
+            uv1=cat(uv1s),
+            uv2=cat(uv2s),
+            material_id=np.concatenate(mats).astype(np.int32),
+            instance_id=np.concatenate(insts).astype(np.int32),
+        )
+
+    def material_table(self) -> MaterialTable:
+        return MaterialTable.from_materials(self.materials)

@@ -1,0 +1,250 @@
+"""BVH construction (host-side, vectorized numpy).
+
+Replaces the reference's Vulkan acceleration-structure builds
+(``vulkan/vulkanrt_utils.h:55-187``: BLAS build -> compaction -> TLAS) with
+an explicit flattened BVH2 we traverse ourselves on TPU:
+
+- Triangles are Morton-sorted and grouped into fixed-size leaves of
+  ``LEAF_SIZE`` (padding with duplicated triangles, so device leaf
+  intersection is a fixed-width vector op — no variable-length loops).
+- The tree over leaves is a *balanced median split over Morton order*:
+  depth is exactly ``ceil(log2(L))``, which bounds the lockstep traversal
+  loop and the traversal stack on TPU (divergence-free worst case), at a
+  small quality cost vs SAH. (SAH/collapse is a planned optimization; the
+  "compaction" step of the reference corresponds to the dense array
+  repacking we do by construction.)
+
+Node layout (the traversal-friendly "child AABBs in parent" layout):
+- ``child``  (N, 2) int32 — >=0: internal node index; <0: leaf id ``-(l+1)``
+- ``cmin/cmax`` (N, 2, 3) float32 — AABBs of both children
+- ``leaf_tris`` (L, LEAF_SIZE) int32 — triangle indices, padded by repeat
+
+A degenerate scene with a single leaf gets a root with both children
+pointing at that leaf (the second masked by an empty AABB).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+
+LEAF_SIZE = 4
+
+_EMPTY_MIN = np.float32(np.inf)
+_EMPTY_MAX = np.float32(-np.inf)
+
+
+@dataclass
+class BVH:
+    child: np.ndarray  # (N,2) i32
+    cmin: np.ndarray  # (N,2,3) f32
+    cmax: np.ndarray  # (N,2,3) f32
+    leaf_tris: np.ndarray  # (L,LEAF_SIZE) i32
+    depth: int  # max tree depth (stack bound)
+    world_min: np.ndarray  # (3,)
+    world_max: np.ndarray  # (3,)
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.child)
+
+    @property
+    def num_leaves(self) -> int:
+        return len(self.leaf_tris)
+
+
+def morton3d(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """Interleave 3x10-bit fixed point coords into 30-bit Morton codes."""
+
+    def expand(v):
+        v = v.astype(np.uint64) & np.uint64(0x3FF)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x030000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x0300F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x030C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x09249249)
+        return v
+
+    return (expand(x) << np.uint64(2)) | (expand(y) << np.uint64(1)) | expand(z)
+
+
+def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> BVH:
+    """Build from triangle soup (v0, edge1, edge2), each (T,3) float32."""
+    v0 = np.asarray(v0, np.float32)
+    v1 = v0 + np.asarray(e1, np.float32)
+    v2 = v0 + np.asarray(e2, np.float32)
+    t = len(v0)
+    if t == 0:
+        raise ValueError("empty scene")
+
+    tmin = np.minimum(np.minimum(v0, v1), v2)
+    tmax = np.maximum(np.maximum(v0, v1), v2)
+    centroid = 0.5 * (tmin + tmax)
+
+    wmin = tmin.min(axis=0)
+    wmax = tmax.max(axis=0)
+    extent = np.maximum(wmax - wmin, 1e-12)
+    q = np.clip(((centroid - wmin) / extent) * 1024.0, 0, 1023).astype(np.uint32)
+    codes = morton3d(q[:, 0], q[:, 1], q[:, 2])
+    order = np.argsort(codes, kind="stable").astype(np.int32)
+
+    # group into leaves of LEAF_SIZE, pad by repeating the last triangle
+    num_leaves = (t + LEAF_SIZE - 1) // LEAF_SIZE
+    padded = np.empty(num_leaves * LEAF_SIZE, np.int32)
+    padded[:t] = order
+    padded[t:] = order[-1]
+    leaf_tris = padded.reshape(num_leaves, LEAF_SIZE)
+
+    # leaf AABBs
+    lt = leaf_tris.reshape(-1)
+    lmin = tmin[lt].reshape(num_leaves, LEAF_SIZE, 3).min(axis=1)
+    lmax = tmax[lt].reshape(num_leaves, LEAF_SIZE, 3).max(axis=1)
+
+    if num_leaves == 1:
+        child = np.array([[-1, -1]], np.int32)
+        cmin = np.stack([lmin[0], np.full(3, _EMPTY_MIN)], 0)[None]
+        cmax = np.stack([lmax[0], np.full(3, _EMPTY_MAX)], 0)[None]
+        return BVH(
+            child=child,
+            cmin=cmin.astype(np.float32),
+            cmax=cmax.astype(np.float32),
+            leaf_tris=leaf_tris,
+            depth=1,
+            world_min=wmin,
+            world_max=wmax,
+        )
+
+    # ---- balanced median-split tree over leaf order, built level by level.
+    # Each pending range is one internal node; ranges of size 1 are leaves.
+    n_internal = num_leaves - 1
+    child = np.empty((n_internal, 2), np.int32)
+    node_range = np.empty((n_internal, 2), np.int64)  # (start, size) per node
+
+    node_range[0] = (0, num_leaves)
+    next_node = 1
+    level_nodes = np.array([0], np.int64)
+    levels = [level_nodes]
+    depth = 1
+    while len(level_nodes) > 0:
+        starts = node_range[level_nodes, 0]
+        sizes = node_range[level_nodes, 1]
+        left_sz = sizes // 2
+        right_sz = sizes - left_sz
+
+        new_nodes = []
+        for side, (s0, sz) in enumerate(
+            ((starts, left_sz), (starts + left_sz, right_sz))
+        ):
+            is_leaf = sz == 1
+            # leaves: encode -(leaf_id+1)
+            child[level_nodes[is_leaf], side] = -(s0[is_leaf] + 1)
+            internal = ~is_leaf
+            n_new = int(internal.sum())
+            if n_new:
+                ids = np.arange(next_node, next_node + n_new, dtype=np.int64)
+                next_node += n_new
+                child[level_nodes[internal], side] = ids.astype(np.int32)
+                node_range[ids, 0] = s0[internal]
+                node_range[ids, 1] = sz[internal]
+                new_nodes.append(ids)
+        level_nodes = (
+            np.concatenate(new_nodes) if new_nodes else np.array([], np.int64)
+        )
+        if len(level_nodes):
+            levels.append(level_nodes)
+            depth += 1
+
+    assert next_node == n_internal
+
+    # ---- bottom-up AABBs, vectorized per level (deepest first)
+    nmin = np.empty((n_internal, 3), np.float32)
+    nmax = np.empty((n_internal, 3), np.float32)
+    cmin = np.empty((n_internal, 2, 3), np.float32)
+    cmax = np.empty((n_internal, 2, 3), np.float32)
+    for lvl in reversed(levels):
+        c = child[lvl]  # (k,2)
+        for side in range(2):
+            ci = c[:, side]
+            leaf_mask = ci < 0
+            li = -(ci + 1)
+            src_min = np.where(
+                leaf_mask[:, None], lmin[np.where(leaf_mask, li, 0)], nmin[np.where(leaf_mask, 0, ci)]
+            )
+            src_max = np.where(
+                leaf_mask[:, None], lmax[np.where(leaf_mask, li, 0)], nmax[np.where(leaf_mask, 0, ci)]
+            )
+            cmin[lvl, side] = src_min
+            cmax[lvl, side] = src_max
+        nmin[lvl] = cmin[lvl].min(axis=1)
+        nmax[lvl] = cmax[lvl].max(axis=1)
+
+    return BVH(
+        child=child,
+        cmin=cmin,
+        cmax=cmax,
+        leaf_tris=leaf_tris,
+        depth=depth,
+        world_min=wmin,
+        world_max=wmax,
+    )
+
+
+def refit_bvh(bvh: BVH, v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> BVH:
+    """Recompute AABBs for unchanged topology (the reference's BVH refit /
+    UpdateBLAS path, vulkanrt_utils.h:92-101). Host-side numpy; a device
+    refit kernel follows with the animation milestone."""
+    v0 = np.asarray(v0, np.float32)
+    v1 = v0 + e1
+    v2 = v0 + e2
+    tmin = np.minimum(np.minimum(v0, v1), v2)
+    tmax = np.maximum(np.maximum(v0, v1), v2)
+    lt = bvh.leaf_tris.reshape(-1)
+    nl = bvh.num_leaves
+    lmin = tmin[lt].reshape(nl, LEAF_SIZE, 3).min(axis=1)
+    lmax = tmax[lt].reshape(nl, LEAF_SIZE, 3).max(axis=1)
+
+    # recompute levels by walking from root
+    n = bvh.num_nodes
+    nmin = np.empty((n, 3), np.float32)
+    nmax = np.empty((n, 3), np.float32)
+    cmin = bvh.cmin.copy()
+    cmax = bvh.cmax.copy()
+
+    levels = []
+    cur = np.array([0], np.int64)
+    while len(cur):
+        levels.append(cur)
+        c = bvh.child[cur].reshape(-1)
+        cur = c[c >= 0].astype(np.int64)
+    for lvl in reversed(levels):
+        c = bvh.child[lvl]
+        for side in range(2):
+            ci = c[:, side]
+            leaf_mask = ci < 0
+            li = -(ci + 1)
+            empty = np.isinf(bvh.cmin[lvl, side, 0])  # preserve empty slots
+            src_min = np.where(
+                leaf_mask[:, None],
+                lmin[np.where(leaf_mask, li, 0)],
+                nmin[np.where(leaf_mask, 0, ci)],
+            )
+            src_max = np.where(
+                leaf_mask[:, None],
+                lmax[np.where(leaf_mask, li, 0)],
+                nmax[np.where(leaf_mask, 0, ci)],
+            )
+            cmin[lvl, side] = np.where(empty[:, None], bvh.cmin[lvl, side], src_min)
+            cmax[lvl, side] = np.where(empty[:, None], bvh.cmax[lvl, side], src_max)
+        nmin[lvl] = cmin[lvl].min(axis=1)
+        nmax[lvl] = cmax[lvl].max(axis=1)
+
+    return BVH(
+        child=bvh.child,
+        cmin=cmin,
+        cmax=cmax,
+        leaf_tris=bvh.leaf_tris,
+        depth=bvh.depth,
+        world_min=nmin[0],
+        world_max=nmax[0],
+    )

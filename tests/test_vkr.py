@@ -1,0 +1,143 @@
+import numpy as np
+import pytest
+
+from realtimepathtracingresearchframework_tpu.models import procedural, texture, vkr
+from realtimepathtracingresearchframework_tpu.models.quantization import (
+    dequantize_vertices,
+    unpack_normal_uv,
+)
+
+
+def test_vks_roundtrip_single_triangle(tmp_path):
+    scene = procedural.single_triangle()
+    p = str(tmp_path / "tri.vks")
+    vkr.write_scene(p, scene)
+    back = vkr.open_scene(p)
+    assert back.version == 4
+    assert len(back.meshes) == 1
+    assert back.meshes[0].num_triangles == 1
+    np.testing.assert_array_equal(back.meshes[0].vertices_q, scene.meshes[0].vertices_q)
+    np.testing.assert_array_equal(
+        back.meshes[0].normal_uv_q, scene.meshes[0].normal_uv_q
+    )
+    v = dequantize_vertices(
+        back.meshes[0].vertices_q,
+        back.meshes[0].vertex_scale,
+        back.meshes[0].vertex_offset,
+    )
+    expect = np.array([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], np.float32)
+    np.testing.assert_allclose(v, expect, atol=1e-5)
+
+
+def test_vks_roundtrip_cornell(tmp_path):
+    scene = procedural.cornell_box()
+    p = str(tmp_path / "cornell.vks")
+    vkr.write_scene(p, scene)
+    back = vkr.open_scene(p)
+    m0, m1 = scene.meshes[0], back.meshes[0]
+    assert m1.num_triangles == m0.num_triangles
+    np.testing.assert_array_equal(m1.vertices_q, m0.vertices_q)
+    np.testing.assert_array_equal(m1.material_ids, m0.material_ids)
+    assert [m.name for m in back.materials] == ["White", "Red", "Green", "Light"]
+    # emission params persisted via the texture dir
+    assert back.materials[3].emission_intensity == pytest.approx(12.0)
+    np.testing.assert_allclose(
+        back.materials[3].emitter_base_color, [1.0, 0.9, 0.75], atol=1e-6
+    )
+    # instance transform decodes to identity
+    t = back.instance_transform(back.instances[0])
+    expect = np.zeros((3, 4), np.float32)
+    expect[:, :3] = np.eye(3)
+    np.testing.assert_allclose(t, expect, atol=2e-4)
+
+
+def test_vks_normals_decode(tmp_path):
+    scene = procedural.single_triangle()
+    p = str(tmp_path / "t.vks")
+    vkr.write_scene(p, scene)
+    back = vkr.open_scene(p)
+    n, uv = unpack_normal_uv(back.meshes[0].normal_uv_q)
+    np.testing.assert_allclose(n, [[0, 0, 1]] * 3, atol=1e-4)
+
+
+def test_vks_multi_instance_groups(tmp_path):
+    scene = procedural.single_triangle()
+    # add a second instance of the same mesh with a translated transform
+    import realtimepathtracingresearchframework_tpu.models.quantization as q
+
+    t = np.zeros((2, 3, 4), np.float32)
+    t[:, :, :3] = np.eye(3)
+    t[1, 0, 3] = 5.0
+    scene.transforms_q = q.quantize_transforms(t)
+    scene.num_static_transforms = 2
+    scene.instances.append(vkr.VkrInstance(name="tri2", mesh_id=0, transform_index=1))
+    p = str(tmp_path / "two.vks")
+    vkr.write_scene(p, scene)
+    back = vkr.open_scene(p)
+    assert len(back.instances) == 2
+    t1 = back.instance_transform(back.instances[1])
+    assert t1[0, 3] == pytest.approx(5.0, abs=1e-5)
+
+
+def test_vkrinfo_cli(tmp_path, capsys):
+    scene = procedural.cornell_box()
+    p = str(tmp_path / "c.vks")
+    vkr.write_scene(p, scene)
+    assert vkr.main([p]) == 0
+    out = capsys.readouterr().out
+    assert "triangles:" in out and "cornell" in out
+
+
+def test_vkt_roundtrip(tmp_path, rng):
+    img = (rng.random((32, 64, 4)) * 255).astype(np.uint8)
+    p = str(tmp_path / "t.vkt")
+    texture.write_vkt(p, img)
+    back = texture.read_vkt(p)
+    assert back.width == 64 and back.height == 32
+    assert back.num_mips == 7  # 64x32 -> ... -> 1x1
+    np.testing.assert_array_equal(back.mips[0], img)
+    assert back.mips[-1].shape == (1, 1, 4)
+
+
+def test_vkt_non_pow2_rejected(tmp_path):
+    with pytest.raises(ValueError):
+        texture.write_vkt(str(tmp_path / "x.vkt"), np.zeros((30, 64, 4), np.uint8))
+
+
+def test_bc1_decode_solid_color():
+    # c0 = c1 = pure red in 565, indices all 0 -> solid red
+    import struct
+
+    c = (31 << 11) | (0 << 5) | 0
+    block = struct.pack("<HHI", c, c, 0)
+    img = texture.decode_bc1(block, 4, 4, opaque=True)
+    assert img.shape == (4, 4, 4)
+    np.testing.assert_array_equal(img[..., 0], 255)
+    np.testing.assert_array_equal(img[..., 1], 0)
+    np.testing.assert_array_equal(img[..., 3], 255)
+
+
+def test_bc5_decode_two_channel():
+    import struct
+
+    # r block: a0=200, a1=100 (a0>a1, 8-value mode), all indices 0 -> 200
+    # g block: a0=50, a1=25, indices 1 -> 25
+    def bc4_block(a0, a1, idx):
+        bits = 0
+        for i in range(16):
+            bits |= idx << (3 * i)
+        raw = struct.pack("<BB", a0, a1) + bits.to_bytes(6, "little")
+        return raw
+
+    data = bc4_block(200, 100, 0) + bc4_block(50, 25, 1)
+    img = texture.decode_bc5(data, 4, 4)
+    np.testing.assert_array_equal(img[..., 0], 200)
+    np.testing.assert_array_equal(img[..., 1], 25)
+
+
+def test_mip_chain_energy(rng):
+    img = (rng.random((16, 16, 4)) * 255).astype(np.uint8)
+    mips = texture.build_mip_chain(img)
+    assert len(mips) == 5
+    # last mip approximates the mean
+    assert abs(float(mips[-1][0, 0, 0]) - float(img[..., 0].mean())) < 4.0

@@ -1,0 +1,191 @@
+"""Command line interface.
+
+Flag-level parity with the reference CLI (cmdline.cpp:298-462): scene files
+plus ``--img``, ``--upscale``, ``--config``, ``--frame``, ``--eye``,
+``--center``, ``--up``, ``--fov``, ``--camera``, ``--device``
+(``--vulkan-device`` alias), ``--disable-ui``, ``--freeze-frame``,
+``--deduplicate-scene``, ``--backend``, ``--validation [--validation-spp]``,
+``--profiling [--profiling-fps, --profiling-img]``, ``--data-capture``,
+``--exr/--pfm/--png``, ``--resource-dir``, ``--spp``, ``--max-depth``.
+
+Scenes: ``.vks`` paths, or the builtin procedural names ``cornell`` /
+``triangle`` (the reference ships no assets; these drive the validation
+configs of BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from realtimepathtracingresearchframework_tpu.app import modes
+from realtimepathtracingresearchframework_tpu.backend.params import (
+    LIGHT_SAMPLING_VARIANT_RIS,
+    RenderParams,
+    SceneConfig,
+)
+from realtimepathtracingresearchframework_tpu.backend.renderer import (
+    FrameConfig,
+    Renderer,
+    VARIANT_MEGAKERNEL,
+)
+from realtimepathtracingresearchframework_tpu.models import procedural
+from realtimepathtracingresearchframework_tpu.models.camera import OrientedCamera
+from realtimepathtracingresearchframework_tpu.models.scene import Scene
+from realtimepathtracingresearchframework_tpu.utils.error_io import info, throw_error
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rptr-tpu",
+        description="TPU-native real-time path tracing research framework",
+    )
+    p.add_argument("scenes", nargs="*", help=".vks files or cornell|triangle")
+    p.add_argument("--img", nargs=2, type=int, default=[1920, 1080], metavar=("W", "H"))
+    p.add_argument("--upscale", type=int, default=1)
+    p.add_argument("--config", action="append", default=[], help="ini config file(s)")
+    p.add_argument("--frame", action="append", default=[], help="keyframe ini file(s)")
+    p.add_argument("--eye", nargs=3, type=float, default=None)
+    p.add_argument("--center", nargs=3, type=float, default=None)
+    p.add_argument("--up", nargs=3, type=float, default=[0.0, 1.0, 0.0])
+    p.add_argument("--fov", type=float, default=65.0)
+    p.add_argument("--camera", type=int, default=-1, help="scene camera index")
+    p.add_argument("--device", "--vulkan-device", type=int, default=0)
+    p.add_argument("--disable-ui", action="store_true")
+    p.add_argument("--freeze-frame", action="store_true")
+    p.add_argument("--deduplicate-scene", action="store_true")
+    p.add_argument("--backend", default="tpu", help="render backend (tpu)")
+    p.add_argument("--variant", default=VARIANT_MEGAKERNEL)
+    p.add_argument("--validation", default=None, metavar="PREFIX")
+    p.add_argument("--validation-spp", type=int, default=32)
+    p.add_argument("--profiling", default=None, metavar="PREFIX")
+    p.add_argument("--profiling-fps", type=float, default=60.0)
+    p.add_argument("--profiling-img", action="store_true")
+    p.add_argument("--profiling-frames", type=int, default=120)
+    p.add_argument("--data-capture", default=None, metavar="PREFIX")
+    p.add_argument("--exr", action="store_true")
+    p.add_argument("--pfm", action="store_true")
+    p.add_argument("--png", action="store_true")
+    p.add_argument("--resource-dir", default=None)
+    p.add_argument("--spp", type=int, default=1, help="batch spp per frame")
+    p.add_argument("--max-depth", type=int, default=9)
+    p.add_argument("--rr-depth", type=int, default=2)
+    p.add_argument("--exposure", type=float, default=0.0)
+    p.add_argument("--light-sampling", choices=["none", "ris"], default="ris")
+    p.add_argument("--sun-dir", nargs=3, type=float, default=[0.0, 1.0, 0.0])
+    p.add_argument("--turbidity", type=float, default=3.0)
+    return p
+
+
+def load_scene(names, resource_dir=None) -> Scene:
+    if not names:
+        names = ["cornell"]
+    paths = []
+    scene = Scene()
+    scene.animation_data = []
+    for name in names:
+        if name == "cornell":
+            scene.append_vkr_scene(procedural.cornell_box())
+        elif name == "triangle":
+            scene.append_vkr_scene(procedural.single_triangle())
+        else:
+            path = name
+            if resource_dir and not os.path.exists(path):
+                path = os.path.join(resource_dir, name)
+            if not os.path.exists(path):
+                throw_error("scene file not found: %s", name)
+            from realtimepathtracingresearchframework_tpu.models import vkr
+
+            scene.append_vkr_scene(vkr.open_scene(path))
+    return scene
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    fmt = modes.OUTPUT_IMAGE_FORMAT_EXR
+    if args.pfm:
+        fmt = modes.OUTPUT_IMAGE_FORMAT_PFM
+    if args.png:
+        fmt = modes.OUTPUT_IMAGE_FORMAT_PNG
+    if args.validation and not (args.exr or args.png):
+        fmt = modes.OUTPUT_IMAGE_FORMAT_PFM  # README documents .pfm validation
+
+    scene = load_scene(args.scenes, args.resource_dir)
+    info("scene: %s", scene.info_string())
+
+    eye = args.eye if args.eye is not None else [0.0, 1.0, 3.2]
+    center = args.center if args.center is not None else [0.0, 1.0, 0.0]
+    camera = OrientedCamera.look_at(eye, center, args.up, fovy=args.fov)
+
+    renderer = Renderer()
+    renderer.active_variant = args.variant
+    opts = renderer.options.replace(
+        render_upscale_factor=args.upscale,
+        light_sampling_variant=(
+            LIGHT_SAMPLING_VARIANT_RIS if args.light_sampling == "ris" else 0
+        ),
+    )
+    renderer.options = opts
+    renderer.initialize(args.img[0], args.img[1])
+    renderer.set_scene(
+        scene,
+        SceneConfig(sun_dir=tuple(args.sun_dir), turbidity=args.turbidity),
+    )
+
+    params = RenderParams(
+        batch_spp=args.spp,
+        max_path_depth=args.max_depth,
+        rr_path_depth=args.rr_depth,
+        exposure=args.exposure,
+        render_upscale_factor=args.upscale,
+    )
+    config = FrameConfig(camera=camera, params=params)
+
+    if args.validation:
+        modes.run_validation(
+            renderer, config, args.validation, args.validation_spp, fmt
+        )
+        return 0
+
+    if args.profiling:
+        n_keyframes = 3
+        cams = []
+        for i in range(n_keyframes):
+            c = OrientedCamera.look_at(eye, center, args.up, fovy=args.fov)
+            c.rotate(yaw_rad=0.15 * i)
+            cams.append(FrameConfig(camera=c, params=params))
+        times = [
+            i * args.profiling_frames / args.profiling_fps / n_keyframes
+            for i in range(n_keyframes)
+        ]
+        modes.run_profiling(
+            renderer,
+            cams,
+            args.profiling,
+            fps=args.profiling_fps,
+            keyframe_times=times,
+            save_keyframe_images=args.profiling_img,
+            fmt=fmt,
+        )
+        return 0
+
+    # default headless single-shot: render batch and save once
+    stats = renderer.render(config)
+    info(
+        "rendered %dx%d @ %d spp in %.2f ms (%.2f Mrays/s)",
+        args.img[0],
+        args.img[1],
+        args.spp,
+        stats.render_time,
+        stats.rays_per_second / 1e6,
+    )
+    modes.save_framebuffer("out", renderer, fmt)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,361 @@
+"""Renderer — the RenderBackend implementation for TPU.
+
+Equivalent of ``RenderVulkan`` (vulkan/render_vulkan.h:36-278 +
+render_vulkan.cpp): owns the device scene (SoA arrays + BVH), the
+accumulation/framebuffer state, the per-variant jit cache (the
+``GpuProgramCache`` analogue, librender/gpu_programs.h:31-97 — here the jit
+cache keyed by (variant, device-relevant options, static shapes)), and the
+frame lifecycle:
+
+- ``set_scene``  = scene upload + BLAS/TLAS build (render_vulkan.cpp:1554),
+- ``begin_frame``= view-param update (render_vulkan.cpp:1919),
+- ``draw_frame`` = integrator dispatch (render_vulkan.cpp:2157),
+- ``end_frame``  = sample-processing resolve + accumulation bookkeeping
+  ``frame_id += batch_spp`` (render_vulkan.cpp:2017,2152-2154),
+- readbacks, stats, ray queries, variants.
+
+JAX's async dispatch plays the role of the reference's frames-in-flight
+command streams; ``jax.block_until_ready`` only at readback.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realtimepathtracingresearchframework_tpu.backend.params import (
+    LIGHT_SAMPLING_VARIANT_RIS,
+    RenderBackendOptions,
+    RenderParams,
+    SceneConfig,
+)
+from realtimepathtracingresearchframework_tpu.models import lights as lights_mod
+from realtimepathtracingresearchframework_tpu.models import sky as sky_mod
+from realtimepathtracingresearchframework_tpu.models.camera import OrientedCamera
+from realtimepathtracingresearchframework_tpu.models.scene import Scene
+from realtimepathtracingresearchframework_tpu.ops import bvh as bvh_mod
+from realtimepathtracingresearchframework_tpu.ops import nee as nee_mod
+from realtimepathtracingresearchframework_tpu.ops import resolve as resolve_mod
+from realtimepathtracingresearchframework_tpu.ops.integrator import (
+    DeviceScene,
+    FrameParams,
+    IntegratorConfig,
+    MaterialBuffers,
+    ShadingBuffers,
+    ViewBuffers,
+    render_tile,
+)
+from realtimepathtracingresearchframework_tpu.ops.traverse import (
+    TriBuffers,
+    bvh_to_device,
+    closest_hit,
+)
+from realtimepathtracingresearchframework_tpu.utils.error_io import info
+from realtimepathtracingresearchframework_tpu.utils.profiling import (
+    DeviceTimers,
+    ProfilingMarker,
+    ProfilingScope,
+)
+
+# Integrator variant registry — the RPTR_INTEGRATORS analogue
+# (vulkan/CMakeLists.txt:22-69 / render_vulkan.cpp:202-226). Megakernel is
+# the flagship; WAVEFRONT is the stream-compacted pipeline (ops/wavefront).
+VARIANT_MEGAKERNEL = "PT_MEGAKERNEL"
+VARIANT_WAVEFRONT = "PT_WAVEFRONT"
+
+
+@dataclass
+class RenderStats:
+    """librender/render_backend.h:15-24."""
+
+    render_time: float = 0.0  # ms
+    spp: int = 0
+    rays_per_second: float = -1.0
+    device_bytes_currently_allocated: int = 0
+    max_device_bytes_allocated: int = 0
+    total_device_bytes: int = 0
+
+
+@dataclass
+class FrameConfig:
+    """Per-frame inputs negotiated by the app loop (CommandStream+config)."""
+
+    camera: OrientedCamera = field(default_factory=OrientedCamera)
+    params: RenderParams = field(default_factory=RenderParams)
+    scene_config: SceneConfig = field(default_factory=SceneConfig)
+
+
+class Renderer:
+    """TPU render backend."""
+
+    def __init__(self, device=None):
+        self.device = device or jax.devices()[0]
+        self.fb_width = 0
+        self.fb_height = 0
+        self.options = RenderBackendOptions()
+        self.scene: Optional[Scene] = None
+        self.device_scene: Optional[DeviceScene] = None
+        self._bvh = None
+        self._num_lights = 0
+        self.accum: Optional[jnp.ndarray] = None
+        self.framebuffer: Optional[jnp.ndarray] = None
+        self.frame_id = 0  # accumulated samples (render_vulkan.cpp:2152)
+        self.shot_offset = 0
+        self.timers = DeviceTimers()
+        self._render_fns: Dict = {}  # jit cache (GpuProgramCache analogue)
+        self._last_rays = 0
+        self._last_render_ms = 0.0
+        self._scene_revision = -1
+        self._use_bins = False
+        self.active_variant = VARIANT_MEGAKERNEL
+
+    # ------------------------------------------------------------------
+    # RenderBackend interface
+    # ------------------------------------------------------------------
+
+    def variants(self) -> List[str]:
+        return [VARIANT_MEGAKERNEL, VARIANT_WAVEFRONT]
+
+    def initialize(self, fb_width: int, fb_height: int) -> None:
+        """Framebuffer (re)allocation (render_vulkan.cpp:246-370)."""
+        self.fb_width = int(fb_width)
+        self.fb_height = int(fb_height)
+        self.accum = jnp.zeros((self.fb_height, self.fb_width, 4), jnp.float32)
+        self.framebuffer = jnp.zeros_like(self.accum)
+        self.frame_id = 0
+
+    def configure_for(self, options: RenderBackendOptions) -> bool:
+        if options != self.options:
+            self.options = options
+            if self.scene is not None:
+                self._upload_lights_and_sky(SceneConfig())
+        return True
+
+    def set_scene(self, scene: Scene, scene_config: SceneConfig = SceneConfig()) -> None:
+        with ProfilingScope("set_scene"):
+            self.scene = scene
+            self._rebuild_scene(scene_config)
+
+    def _rebuild_scene(self, scene_config: SceneConfig, frame: int = 0) -> None:
+        scene = self.scene
+        with ProfilingScope("flatten scene"):
+            flat = scene.flatten_world(frame=frame)
+        t0 = time.perf_counter()
+        with ProfilingScope("build BVH"):
+            self._bvh = bvh_mod.build_bvh(flat.v0, flat.e1, flat.e2)
+        self.timers.add(ProfilingMarker.BUILD_BLAS, (time.perf_counter() - t0) * 1e3)
+
+        self._flat = flat
+        mat_table = scene.material_table()
+        self._mat_table = mat_table
+
+        tris = TriBuffers(
+            v0=jnp.asarray(flat.v0), e1=jnp.asarray(flat.e1), e2=jnp.asarray(flat.e2)
+        )
+        shading = ShadingBuffers(
+            n0=jnp.asarray(flat.n0),
+            n1=jnp.asarray(flat.n1),
+            n2=jnp.asarray(flat.n2),
+            uv0=jnp.asarray(flat.uv0),
+            uv1=jnp.asarray(flat.uv1),
+            uv2=jnp.asarray(flat.uv2),
+            material_id=jnp.asarray(flat.material_id),
+        )
+        self._tris = tris
+        self._shading = shading
+        self._materials = MaterialBuffers.from_table(mat_table)
+        self._upload_lights_and_sky(scene_config)
+        self._scene_revision = scene.revision
+
+    def _upload_lights_and_sky(self, scene_config: SceneConfig) -> None:
+        """Binned-lights extension + sky update (render_binned_lights.cpp:68-87,
+        render_sky.cpp:25-72)."""
+        scene = self.scene
+        tl = lights_mod.collect_emitters(self._flat, self._mat_table)
+        use_bins = (
+            self.options.light_sampling_variant == LIGHT_SAMPLING_VARIANT_RIS
+            and tl.count > 0
+        )
+        if use_bins:
+            tl = lights_mod.equalize_emitter_bins(
+                tl, self.options.light_sampling_bucket_count
+            )
+        self._num_lights = tl.count
+        if tl.count == 0:
+            tl = lights_mod.empty_lights()
+        lights = nee_mod.TriLightBuffers(
+            v0=jnp.asarray(tl.v0),
+            v1=jnp.asarray(tl.v1),
+            v2=jnp.asarray(tl.v2),
+            radiance=jnp.asarray(tl.radiance),
+        )
+        sky = sky_mod.build_sky(
+            scene_config.sun_dir,
+            scene_config.turbidity,
+            scene_config.albedo,
+            has_area_lights=self._num_lights > 0,
+        )
+        self._use_bins = use_bins
+        self.device_scene = DeviceScene(
+            bvh=bvh_to_device(self._bvh),
+            tris=self._tris,
+            shading=self._shading,
+            materials=self._materials,
+            lights=lights,
+            sky=sky,
+        )
+        self._render_fns.clear()
+
+    # ------------------------------------------------------------------
+    # Frame lifecycle
+    # ------------------------------------------------------------------
+
+    def reset_accumulation(self) -> None:
+        self.frame_id = 0
+
+    def _integrator_config(self, params: RenderParams) -> IntegratorConfig:
+        return IntegratorConfig(
+            max_path_depth=int(params.max_path_depth),
+            light_bin_size=int(self.options.light_sampling_bucket_count),
+            use_light_bins=bool(self._use_bins),
+            num_lights=int(self._num_lights),
+            stack_depth=int(self._bvh.depth + 2),
+            enable_sun_sky=True,
+            unroll=bool(self.options.unroll_bounces),
+        )
+
+    def _get_render_fn(self, cfg: IntegratorConfig):
+        key = (self.active_variant, cfg, self.fb_width, self.fb_height)
+        fn = self._render_fns.get(key)
+        if fn is None:
+            if self.active_variant == VARIANT_WAVEFRONT:
+                from realtimepathtracingresearchframework_tpu.ops.wavefront import (
+                    render_tile_wavefront,
+                )
+
+                kernel = render_tile_wavefront
+            else:
+                kernel = render_tile
+
+            @jax.jit
+            def fn(ds, fp, view, spp):
+                return kernel(
+                    ds, cfg, fp, view, self.fb_width, self.fb_height, spp
+                )
+
+            self._render_fns[key] = fn
+        return fn
+
+    def render(self, config: FrameConfig, batch_spp: Optional[int] = None) -> RenderStats:
+        """One full frame: begin/draw/end collapsed (app.cpp:453-467)."""
+        params = config.params
+        spp = int(batch_spp if batch_spp is not None else params.batch_spp)
+
+        pos, du, dv, tl = config.camera.view_basis(self.fb_width, self.fb_height)
+        view = ViewBuffers(
+            cam_pos=jnp.asarray(pos),
+            cam_du=jnp.asarray(du),
+            cam_dv=jnp.asarray(dv),
+            cam_dir_top_left=jnp.asarray(tl),
+        )
+        fp = FrameParams(
+            rr_path_depth=jnp.int32(params.rr_path_depth),
+            glossy_only_mode=jnp.int32(params.glossy_only_mode),
+            sample_offset=jnp.uint32(self.frame_id),
+            shot_offset=jnp.uint32(self.shot_offset),
+        )
+        cfg = self._integrator_config(params)
+        fn = self._get_render_fn(cfg)
+
+        t0 = time.perf_counter()
+        new_accum, rays = fn(self.device_scene, fp, view, jnp.int32(spp))
+        # progressive history average (process_samples.comp:116-131)
+        self.accum = resolve_mod.accumulate_history(
+            self.accum, new_accum, jnp.int32(self.frame_id), jnp.int32(spp)
+        )
+        self.framebuffer = resolve_mod.resolve_framebuffer(
+            self.accum,
+            jnp.float32(params.exposure),
+            tonemap_mode=int(params.early_tone_mapping_mode),
+            upscale=int(params.render_upscale_factor),
+        )
+        jax.block_until_ready(self.framebuffer)
+        dt_ms = (time.perf_counter() - t0) * 1e3
+
+        self._last_rays = int(rays) * 1  # device scalar -> host
+        self._last_render_ms = dt_ms
+        self.timers.add(ProfilingMarker.RENDERING, dt_ms)
+        self.timers.end_frame()
+        self.frame_id += spp
+
+        return self.stats()
+
+    # ------------------------------------------------------------------
+    # Readbacks (render_vulkan.cpp:2250-2294)
+    # ------------------------------------------------------------------
+
+    def readback_framebuffer(self) -> np.ndarray:
+        """Display framebuffer: sRGB-encoded (H*u, W*u, 4) float."""
+        return np.asarray(jax.block_until_ready(self.framebuffer))
+
+    def readback_accumulation(self) -> np.ndarray:
+        """Linear HDR accumulation buffer (H, W, 4) float — what validation
+        mode saves (app_state.cpp:341-462 save paths use the linear image)."""
+        return np.asarray(jax.block_until_ready(self.accum))
+
+    def stats(self) -> RenderStats:
+        mem = 0
+        try:
+            stats = self.device.memory_stats()
+            mem = stats.get("bytes_in_use", 0) if stats else 0
+        except Exception:
+            pass
+        rps = (
+            self._last_rays / (self._last_render_ms * 1e-3)
+            if self._last_render_ms > 0
+            else -1.0
+        )
+        return RenderStats(
+            render_time=self._last_render_ms,
+            spp=self.frame_id,
+            rays_per_second=rps,
+            device_bytes_currently_allocated=mem,
+        )
+
+    # ------------------------------------------------------------------
+    # Ray queries (render_vulkan.cpp:430-455, 1867-1877)
+    # ------------------------------------------------------------------
+
+    def render_ray_queries(self, origins: np.ndarray, dirs: np.ndarray, t_max=None):
+        """RQ_CLOSEST-style queries (vulkan/rt_intersect.comp:31-68):
+        returns (t, tri_index, u, v) arrays; misses have tri_index -1."""
+        ds = self.device_scene
+        t_max_arr = (
+            jnp.asarray(t_max, jnp.float32)
+            if t_max is not None
+            else jnp.full((len(origins),), 2.0e32, jnp.float32)
+        )
+        hit = closest_hit(
+            ds.bvh,
+            ds.tris,
+            jnp.asarray(origins, jnp.float32),
+            jnp.asarray(dirs, jnp.float32),
+            t_max=t_max_arr,
+            stack_depth=self._bvh.depth + 2,
+        )
+        return (
+            np.asarray(hit.t),
+            np.asarray(hit.tri),
+            np.asarray(hit.u),
+            np.asarray(hit.v),
+        )
+
+    def hot_reload(self) -> None:
+        """Drop all compiled pipelines; next frame re-traces
+        (render_vulkan.cpp:2646-2648)."""
+        self._render_fns.clear()

@@ -115,7 +115,12 @@ class MaterialTable:
 def translate_vkr_material(vkrm, base_color_tex=-1, normal_tex=-1, specular_tex=-1):
     """VkrMaterial -> BaseMaterial (librender/scene.cpp:825-975)."""
     m = BaseMaterial()
-    m.base_color = np.ones(3, np.float32)
+    # untextured base color defaults to white (scene.cpp:886-896); constant
+    # color param overrides (our BaseColor.txt extension)
+    if getattr(vkrm, "base_color", None) is not None:
+        m.base_color = np.asarray(vkrm.base_color, np.float32)
+    else:
+        m.base_color = np.ones(3, np.float32)
     m.base_color_tex = base_color_tex
     m.normal_map = normal_tex
     m.specular_tex = specular_tex

@@ -156,9 +156,9 @@ def cornell_box(light: bool = True) -> vkr.VkrScene:
     )
 
     materials = [
-        vkr.VkrMaterial(name="White"),
-        vkr.VkrMaterial(name="Red"),
-        vkr.VkrMaterial(name="Green"),
+        vkr.VkrMaterial(name="White", base_color=np.array([0.73, 0.73, 0.73], np.float32)),
+        vkr.VkrMaterial(name="Red", base_color=np.array([0.61, 0.06, 0.06], np.float32)),
+        vkr.VkrMaterial(name="Green", base_color=np.array([0.12, 0.45, 0.15], np.float32)),
         vkr.VkrMaterial(
             name="Light",
             emission_intensity=12.0,

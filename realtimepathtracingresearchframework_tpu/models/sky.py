@@ -1,0 +1,200 @@
+"""Analytic sun + sky light.
+
+Plays the role of the reference's Hosek-Wilkie sky
+(rendering/lights/sky_model_arhosek/, wired in vulkan/render_sky.cpp:25-72
+and evaluated per-miss in vulkan/pt_megakernel.glsl:113-149). The spectral
+Hosek dataset is ~41k lines of fitted tables; this build uses the Preetham
+analytic model (Perez luminance/chromaticity functions) which has the same
+inputs (sun direction, turbidity, albedo) and the same runtime interface:
+
+- host precompute -> small coefficient struct (`SkyParams`),
+- jittable `sky_radiance(params, dir)` for miss shading,
+- sun disk: constant radiance inside cos(0.53 deg / 2) cap
+  (render_sky.cpp:33), NEE selection weight ``sun_radiance.w`` = 1 with no
+  area lights else 0.5 (render_sky.cpp:67-71),
+- downward rays mirrored with the reference's "ocean" attenuation
+  0.7*(1-|y|)^5 (pt_megakernel.glsl:118-122).
+
+Upgrading to a full Hosek port is tracked as a parity TODO; goldens are
+self-produced so images stay consistent either way.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+SUN_APPARENT_ANGLE_DEG = 0.53
+
+
+class SkyParams(NamedTuple):
+    """Device-side sky/sun parameters (pytree)."""
+
+    perez: jnp.ndarray  # (3,5) A..E for Y, x, y
+    zenith: jnp.ndarray  # (3,) Yz, xz, yz
+    sun_dir: jnp.ndarray  # (3,)
+    sun_cos_angle: jnp.ndarray  # ()
+    sun_radiance: jnp.ndarray  # (4,): rgb + NEE selection weight
+    scale: jnp.ndarray  # () overall radiance scale
+
+
+def _perez_coeffs(t: float) -> np.ndarray:
+    """Preetham Perez coefficients for (Y, x, y) as functions of turbidity."""
+    return np.array(
+        [
+            [0.1787 * t - 1.4630, -0.3554 * t + 0.4275, -0.0227 * t + 5.3251,
+             0.1206 * t - 2.5771, -0.0670 * t + 0.3703],
+            [-0.0193 * t - 0.2592, -0.0665 * t + 0.0008, -0.0004 * t + 0.2125,
+             -0.0641 * t - 0.8989, -0.0033 * t + 0.0452],
+            [-0.0167 * t - 0.2608, -0.0950 * t + 0.0092, -0.0079 * t + 0.2102,
+             -0.0441 * t - 1.6537, -0.0109 * t + 0.0529],
+        ],
+        np.float64,
+    )
+
+
+def _zenith_values(t: float, theta_s: float) -> np.ndarray:
+    """Zenith luminance (kcd/m^2) and chromaticity for turbidity t and sun
+    zenith angle theta_s (radians)."""
+    chi = (4.0 / 9.0 - t / 120.0) * (np.pi - 2.0 * theta_s)
+    yz = (4.0453 * t - 4.9710) * np.tan(chi) - 0.2155 * t + 2.4192
+    yz = max(yz, 1e-4)
+
+    t2, ts = t * t, theta_s
+    vec = np.array([ts**3, ts**2, ts, 1.0])
+    xz = (
+        np.array([0.00166, -0.00375, 0.00209, 0.0]) @ vec * t2
+        + np.array([-0.02903, 0.06377, -0.03202, 0.00394]) @ vec * t
+        + np.array([0.11693, -0.21196, 0.06052, 0.25886]) @ vec
+    )
+    yz_c = (
+        np.array([0.00275, -0.00610, 0.00317, 0.0]) @ vec * t2
+        + np.array([-0.04214, 0.08970, -0.04153, 0.00516]) @ vec * t
+        + np.array([0.15346, -0.26756, 0.06670, 0.26688]) @ vec
+    )
+    return np.array([yz, xz, yz_c], np.float64)
+
+
+_XYZ_TO_SRGB = np.array(
+    [
+        [3.2404542, -1.5371385, -0.4985314],
+        [-0.9692660, 1.8760108, 0.0415560],
+        [0.0556434, -0.2040259, 1.0572252],
+    ],
+    np.float64,
+)
+
+
+def _sun_radiance_rgb(sun_y: float, turbidity: float) -> np.ndarray:
+    """Approximate clear-sky solar disk radiance (linear sRGB).
+
+    Stands in for the spectral Hosek solar radiance integration
+    (render_sky.cpp:41-66): direct-beam transmittance via a simple
+    Bird-style optical mass model, warmed toward the horizon.
+    """
+    if sun_y <= 0.0:
+        return np.zeros(3)
+    cos_z = sun_y
+    m = 1.0 / (cos_z + 0.15 * (93.885 - np.degrees(np.arccos(cos_z))) ** -1.253)
+    beta = 0.04608 * turbidity - 0.04586
+    # per-channel extinction (rayleigh + aerosol), representative wavelengths
+    lam = np.array([0.62, 0.55, 0.46])
+    tau_r = np.exp(-m * 0.008735 * lam**-4.08)
+    tau_a = np.exp(-m * beta * lam**-1.3)
+    # disk solid angle ~ 6.8e-5 sr; normalize so overhead sun has radiance
+    # ~1e4 against a sky of ~O(1) after the global scale.
+    base = 1.5e4
+    return base * tau_r * tau_a
+
+
+def build_sky(
+    sun_dir, turbidity: float = 3.0, albedo=(0.2, 0.2, 0.2), has_area_lights: bool = False,
+    scale: float = 0.025,
+) -> SkyParams:
+    """Host precompute (the update_sky_light analogue, render_sky.cpp:25-72)."""
+    sun_dir = np.asarray(sun_dir, np.float64)
+    sun_dir = sun_dir / np.linalg.norm(sun_dir)
+    theta_s = np.arccos(np.clip(sun_dir[1], -1.0, 1.0))
+
+    perez = _perez_coeffs(float(turbidity))
+    zenith = _zenith_values(float(turbidity), float(min(theta_s, np.pi / 2 - 1e-3)))
+
+    sun_rgb = _sun_radiance_rgb(float(sun_dir[1]), float(turbidity))
+    if sun_dir[1] > 0.0 and np.all(sun_rgb >= 0.0):
+        w = 0.5 if has_area_lights else 1.0
+        sun_radiance = np.array([*(scale * sun_rgb), w], np.float64)
+    else:
+        sun_radiance = np.zeros(4)
+        if not has_area_lights:
+            sun_radiance[3] = 1.0
+
+    return SkyParams(
+        perez=jnp.asarray(perez, jnp.float32),
+        zenith=jnp.asarray(zenith, jnp.float32),
+        sun_dir=jnp.asarray(sun_dir, jnp.float32),
+        sun_cos_angle=jnp.float32(np.cos(np.radians(SUN_APPARENT_ANGLE_DEG) / 2.0)),
+        sun_radiance=jnp.asarray(sun_radiance, jnp.float32),
+        scale=jnp.float32(scale),
+    )
+
+
+def _perez(coeffs, cos_theta, gamma, cos_gamma):
+    a, b, c, d, e = (coeffs[..., i] for i in range(5))
+    return (1.0 + a * jnp.exp(b / jnp.maximum(cos_theta, 0.01))) * (
+        1.0 + c * jnp.exp(d * gamma) + e * cos_gamma * cos_gamma
+    )
+
+
+def sky_radiance(params: SkyParams, d):
+    """Atmosphere radiance for direction(s) d (..., 3), linear sRGB.
+
+    Downward directions are mirrored with the ocean attenuation
+    (pt_megakernel.glsl:118-122). Does NOT include the sun disk.
+    """
+    y = d[..., 1]
+    ocean = jnp.where(
+        y <= 0.0, 0.7 * jnp.maximum(1.0 - jnp.abs(y), 0.0) ** 5, 1.0
+    )
+    dm = jnp.stack([d[..., 0], jnp.abs(y), d[..., 2]], axis=-1)
+    dm = dm / jnp.linalg.norm(dm, axis=-1, keepdims=True)
+
+    cos_theta = jnp.clip(dm[..., 1], 0.0, 1.0)
+    cos_gamma = jnp.clip(jnp.sum(dm * params.sun_dir, axis=-1), -1.0, 1.0)
+    gamma = jnp.arccos(cos_gamma)
+    theta_s = jnp.arccos(jnp.clip(params.sun_dir[1], 0.0, 1.0))
+    cos_theta_s = jnp.cos(theta_s)
+
+    def ratio(i):
+        f = _perez(params.perez[i], cos_theta, gamma, cos_gamma)
+        f0 = _perez(params.perez[i], 1.0, theta_s, cos_theta_s)
+        return params.zenith[i] * f / jnp.maximum(f0, 1e-9)
+
+    lum = ratio(0)  # kcd/m^2
+    x = ratio(1)
+    yc = ratio(2)
+
+    # xyY -> XYZ
+    yc = jnp.maximum(yc, 1e-6)
+    X = x / yc * lum
+    Z = (1.0 - x - yc) / yc * lum
+    xyz = jnp.stack([X, lum, Z], axis=-1)
+    rgb = xyz @ jnp.asarray(_XYZ_TO_SRGB, jnp.float32).T
+    rgb = jnp.maximum(rgb, 0.0) * params.scale
+    return rgb * ocean[..., None]
+
+
+def sun_visible_radiance(params: SkyParams, d):
+    """Sun disk contribution for direction(s) d: constant radiance inside the
+    cap (pt_megakernel.glsl:125-128), with the ocean fold."""
+    y = d[..., 1]
+    ocean = jnp.where(
+        y <= 0.0, 0.7 * jnp.maximum(1.0 - jnp.abs(y), 0.0) ** 5, 1.0
+    )
+    dm = jnp.stack([d[..., 0], jnp.abs(y), d[..., 2]], axis=-1)
+    dm = dm / jnp.linalg.norm(dm, axis=-1, keepdims=True)
+    in_cap = jnp.sum(dm * params.sun_dir, axis=-1) >= params.sun_cos_angle
+    return jnp.where(
+        in_cap[..., None], params.sun_radiance[:3] * ocean[..., None], 0.0
+    )

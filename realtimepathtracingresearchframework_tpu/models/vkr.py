@@ -51,6 +51,11 @@ TEXTURE_DIR_POSTFIX = "_textures"
 class VkrMaterial:
     name: str
     extended_name: str = ""
+    # Constant diffuse color for untextured materials. The on-disk format
+    # only carries color via BaseColor textures (default white + warning,
+    # scene.cpp:886-896); we persist this as a "<Name>BaseColor.txt" param
+    # (same mechanism the format already uses for legacy emitter color).
+    base_color: Optional[np.ndarray] = None
     emitter_base_color: np.ndarray = field(
         default_factory=lambda: np.zeros(3, np.float32)
     )
@@ -190,6 +195,10 @@ def _load_material_params(texture_dir: str, mat: VkrMaterial) -> None:
     tr = read_floats("SpecularTransmission")
     if tr is not None and len(tr) >= 4:
         mat.specular_transmission, mat.ior_eta, mat.ior_k, mat.translucency = tr[:4]
+
+    bc = read_floats("BaseColor")
+    if bc is not None and len(bc) >= 3:
+        mat.base_color = np.array(bc[:3], np.float32)
 
     def load_tex(suffix):
         path = os.path.join(texture_dir, mat.name + suffix + ".vkt")
@@ -603,6 +612,7 @@ def write_scene(path: str, scene: VkrScene) -> None:
             or mat.specular_transmission != 0.0
             or mat.translucency != 0.0
             or mat.tex_base_color is not None
+            or mat.base_color is not None
         )
         if not needs_dir:
             continue
@@ -613,6 +623,10 @@ def write_scene(path: str, scene: VkrScene) -> None:
             ) as f:
                 c = mat.emitter_base_color
                 f.write(f"{mat.emission_intensity} {c[0]} {c[1]} {c[2]}\n")
+        if mat.base_color is not None:
+            with open(os.path.join(tex_dir, mat.name + "BaseColor.txt"), "w") as f:
+                c = mat.base_color
+                f.write(f"{c[0]} {c[1]} {c[2]}\n")
         if mat.specular_transmission != 0.0 or mat.translucency != 0.0 or mat.ior_eta != 1.5:
             with open(
                 os.path.join(tex_dir, mat.name + "SpecularTransmission.txt"), "w"

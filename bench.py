@@ -1,0 +1,95 @@
+"""Benchmark entry point (run by the driver on real TPU hardware).
+
+Renders the cornell validation scene with the flagship megakernel
+integrator at 1080p 1spp (the reference's default workload,
+librender/render_params.glsl.h:130-133 + README.md:77) and reports the
+driver metric: Mrays/sec/chip, with profiling-mode p50 frame ms.
+
+Prints ONE JSON line:
+  {"metric": "Mrays/sec/chip", "value": N, "unit": "Mray/s",
+   "vs_baseline": N, ...}
+
+vs_baseline is fps / 60 against the north-star target (>= 60 fps at 1080p
+1spp on one chip; the reference publishes no numbers — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    width = int(os.environ.get("BENCH_WIDTH", 1920))
+    height = int(os.environ.get("BENCH_HEIGHT", 1080))
+    spp = int(os.environ.get("BENCH_SPP", 1))
+    max_depth = int(os.environ.get("BENCH_MAX_DEPTH", 9))
+    frames = int(os.environ.get("BENCH_FRAMES", 16))
+
+    import jax
+
+    # persistent compilation cache: first-compile latency on the axon remote
+    # compile service is noisy (tens to hundreds of seconds); warm runs hit
+    # the cache (the reference's SPIR-V cache analogue, gpu_programs.cmake)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/rptr_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from realtimepathtracingresearchframework_tpu.backend.params import RenderParams
+    from realtimepathtracingresearchframework_tpu.backend.renderer import (
+        FrameConfig,
+        Renderer,
+    )
+    from realtimepathtracingresearchframework_tpu.models import procedural
+    from realtimepathtracingresearchframework_tpu.models.camera import OrientedCamera
+    from realtimepathtracingresearchframework_tpu.models.scene import Scene
+
+    scene = Scene.from_vkr_scene(procedural.cornell_box())
+    r = Renderer()
+    r.initialize(width, height)
+    r.set_scene(scene)
+    cam = OrientedCamera.look_at([0, 1.0, 3.2], [0, 1.0, 0.0], fovy=50)
+    config = FrameConfig(
+        camera=cam,
+        params=RenderParams(batch_spp=spp, max_path_depth=max_depth),
+    )
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    r.render(config)
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    rays = []
+    for _ in range(frames):
+        stats = r.render(config)
+        times.append(stats.render_time)
+        rays.append(r._last_rays)
+
+    times_sorted = sorted(times)
+    p50_ms = times_sorted[len(times_sorted) // 2]
+    total_rays = sum(rays)
+    total_s = sum(times) * 1e-3
+    mrays = (total_rays / total_s) / 1e6 if total_s > 0 else 0.0
+    fps = 1000.0 / p50_ms if p50_ms > 0 else 0.0
+
+    result = {
+        "metric": "Mrays/sec/chip",
+        "value": round(mrays, 3),
+        "unit": "Mray/s",
+        "vs_baseline": round(fps / 60.0, 4),
+        "p50_frame_ms": round(p50_ms, 3),
+        "fps": round(fps, 3),
+        "resolution": f"{width}x{height}",
+        "spp": spp,
+        "max_depth": max_depth,
+        "device": str(jax.devices()[0]),
+        "compile_s": round(compile_s, 1),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -50,10 +50,11 @@ from realtimepathtracingresearchframework_tpu.ops.integrator import (
     ViewBuffers,
     render_tile,
 )
+from realtimepathtracingresearchframework_tpu.ops import traverse_pallas
 from realtimepathtracingresearchframework_tpu.ops.traverse import (
     TriBuffers,
-    bvh_to_device,
-    closest_hit,
+    closest_hit_threaded,
+    threaded_to_device,
 )
 from realtimepathtracingresearchframework_tpu.utils.error_io import info
 from realtimepathtracingresearchframework_tpu.utils.profiling import (
@@ -112,6 +113,7 @@ class Renderer:
         self._last_render_ms = 0.0
         self._scene_revision = -1
         self._use_bins = False
+        self._use_pallas = False
         self.active_variant = VARIANT_MEGAKERNEL
 
     # ------------------------------------------------------------------
@@ -141,13 +143,35 @@ class Renderer:
             self.scene = scene
             self._rebuild_scene(scene_config)
 
+    def _select_traversal(self, num_tris: int) -> bool:
+        """Pallas kernel on TPU-like platforms when the scene fits on-core
+        (nodes in SMEM, triangle rows in VMEM); XLA fallback otherwise."""
+        import os
+
+        if os.environ.get("RPTR_FORCE_XLA_TRAVERSAL"):
+            return False
+        from realtimepathtracingresearchframework_tpu.ops.traverse_pallas import (
+            HAVE_PALLAS,
+        )
+
+        if not HAVE_PALLAS or self.device.platform == "cpu":
+            return False
+        # ~64B/tri row in VMEM; cap well under the 16MB core budget
+        return num_tris <= 150_000
+
     def _rebuild_scene(self, scene_config: SceneConfig, frame: int = 0) -> None:
         scene = self.scene
         with ProfilingScope("flatten scene"):
             flat = scene.flatten_world(frame=frame)
+        self._use_pallas = self._select_traversal(flat.num_tris)
+        leaf_size = (
+            traverse_pallas.PALLAS_LEAF_SIZE if self._use_pallas else bvh_mod.LEAF_SIZE
+        )
         t0 = time.perf_counter()
         with ProfilingScope("build BVH"):
-            self._bvh = bvh_mod.build_bvh(flat.v0, flat.e1, flat.e2)
+            self._bvh = bvh_mod.build_threaded_bvh(
+                flat.v0, flat.e1, flat.e2, leaf_size=leaf_size
+            )
         self.timers.add(ProfilingMarker.BUILD_BLAS, (time.perf_counter() - t0) * 1e3)
 
         self._flat = flat
@@ -201,8 +225,13 @@ class Renderer:
             has_area_lights=self._num_lights > 0,
         )
         self._use_bins = use_bins
+        bvh_buffers = (
+            traverse_pallas.pack_for_pallas(self._bvh)
+            if self._use_pallas
+            else threaded_to_device(self._bvh)
+        )
         self.device_scene = DeviceScene(
-            bvh=bvh_to_device(self._bvh),
+            bvh=bvh_buffers,
             tris=self._tris,
             shading=self._shading,
             materials=self._materials,
@@ -224,9 +253,10 @@ class Renderer:
             light_bin_size=int(self.options.light_sampling_bucket_count),
             use_light_bins=bool(self._use_bins),
             num_lights=int(self._num_lights),
-            stack_depth=int(self._bvh.depth + 2),
+            stack_depth=0,  # unused: threaded traversal is stackless
             enable_sun_sky=True,
             unroll=bool(self.options.unroll_bounces),
+            use_pallas=bool(self._use_pallas),
         )
 
     def _get_render_fn(self, cfg: IntegratorConfig):
@@ -340,14 +370,20 @@ class Renderer:
             if t_max is not None
             else jnp.full((len(origins),), 2.0e32, jnp.float32)
         )
-        hit = closest_hit(
-            ds.bvh,
-            ds.tris,
-            jnp.asarray(origins, jnp.float32),
-            jnp.asarray(dirs, jnp.float32),
-            t_max=t_max_arr,
-            stack_depth=self._bvh.depth + 2,
-        )
+        if self._use_pallas:
+            hit = traverse_pallas.closest_hit_pallas(
+                ds.bvh,
+                jnp.asarray(origins, jnp.float32),
+                jnp.asarray(dirs, jnp.float32),
+                t_max=t_max_arr,
+            )
+        else:
+            hit = closest_hit_threaded(
+                ds.bvh,
+                jnp.asarray(origins, jnp.float32),
+                jnp.asarray(dirs, jnp.float32),
+                t_max=t_max_arr,
+            )
         return (
             np.asarray(hit.t),
             np.asarray(hit.tri),

@@ -69,8 +69,15 @@ def morton3d(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
     return (expand(x) << np.uint64(2)) | (expand(y) << np.uint64(1)) | expand(z)
 
 
-def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> BVH:
-    """Build from triangle soup (v0, edge1, edge2), each (T,3) float32."""
+def build_bvh(
+    v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, leaf_size: int = LEAF_SIZE
+) -> BVH:
+    """Build from triangle soup (v0, edge1, edge2), each (T,3) float32.
+
+    ``leaf_size`` trades tree depth (traversal steps, the latency-bound
+    currency on TPU) against dense per-leaf intersection work (the cheap
+    currency); the Pallas kernel uses 128, the XLA fallback 4.
+    """
     v0 = np.asarray(v0, np.float32)
     v1 = v0 + np.asarray(e1, np.float32)
     v2 = v0 + np.asarray(e2, np.float32)
@@ -89,17 +96,17 @@ def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> BVH:
     codes = morton3d(q[:, 0], q[:, 1], q[:, 2])
     order = np.argsort(codes, kind="stable").astype(np.int32)
 
-    # group into leaves of LEAF_SIZE, pad by repeating the last triangle
-    num_leaves = (t + LEAF_SIZE - 1) // LEAF_SIZE
-    padded = np.empty(num_leaves * LEAF_SIZE, np.int32)
+    # group into leaves of leaf_size, pad by repeating the last triangle
+    num_leaves = (t + leaf_size - 1) // leaf_size
+    padded = np.empty(num_leaves * leaf_size, np.int32)
     padded[:t] = order
     padded[t:] = order[-1]
-    leaf_tris = padded.reshape(num_leaves, LEAF_SIZE)
+    leaf_tris = padded.reshape(num_leaves, leaf_size)
 
     # leaf AABBs
     lt = leaf_tris.reshape(-1)
-    lmin = tmin[lt].reshape(num_leaves, LEAF_SIZE, 3).min(axis=1)
-    lmax = tmax[lt].reshape(num_leaves, LEAF_SIZE, 3).max(axis=1)
+    lmin = tmin[lt].reshape(num_leaves, leaf_size, 3).min(axis=1)
+    lmax = tmax[lt].reshape(num_leaves, leaf_size, 3).max(axis=1)
 
     if num_leaves == 1:
         child = np.array([[-1, -1]], np.int32)
@@ -188,6 +195,169 @@ def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> BVH:
         world_min=wmin,
         world_max=wmax,
     )
+
+
+@dataclass
+class ThreadedBVH:
+    """Stackless DFS-threaded layout for TPU traversal (ops/traverse.py).
+
+    TPUs have no efficient per-lane stacks (scatter-heavy under vmap), so
+    traversal follows preorder with *skip links*: on AABB hit the next node
+    is ``cur + 1`` (preorder child), on miss/leaf it is ``skip[cur]`` (next
+    subtree in preorder). One contiguous row gather per step, zero scatters.
+
+    - ``nodes``   (M, 8) f32: [aabb_min, aabb_max, bitcast(skip),
+      bitcast(leaf_row)]; leaf_row = first padded triangle row for leaf
+      nodes, -1 for internal nodes. M = 2L-1.
+    - ``tri_rows`` (4L, 12) f32: [v0, e1, e2, pad] — leaves own 4
+      consecutive rows (padding duplicates the leaf's last triangle).
+    - ``row_tri`` (4L,) i32: original triangle index per row.
+    """
+
+    nodes: np.ndarray
+    tri_rows: np.ndarray
+    row_tri: np.ndarray
+    depth: int
+    world_min: np.ndarray
+    world_max: np.ndarray
+    leaf_size: int = LEAF_SIZE
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.nodes)
+
+
+def thread_bvh(bvh: BVH, v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> ThreadedBVH:
+    """Flatten a BVH into the threaded preorder layout (fully vectorized:
+    preorder indices computed level by level from subtree sizes)."""
+    L = bvh.num_leaves
+    leaf_size = bvh.leaf_tris.shape[1]
+    if L == 1:
+        # single leaf: one node
+        nodes = np.zeros((1, 8), np.float32)
+        nodes[0, 0:3] = bvh.world_min
+        nodes[0, 3:6] = bvh.world_max
+        nodes[0, 6] = np.float32(np.frombuffer(np.int32(1).tobytes(), np.float32)[0])
+        nodes[0, 7] = np.frombuffer(np.int32(0).tobytes(), np.float32)[0]
+        tri_rows, row_tri = _pack_tri_rows(bvh.leaf_tris, v0, e1, e2)
+        return ThreadedBVH(
+            nodes=nodes,
+            tri_rows=tri_rows,
+            row_tri=row_tri,
+            depth=1,
+            world_min=bvh.world_min,
+            world_max=bvh.world_max,
+            leaf_size=leaf_size,
+        )
+
+    n_int = bvh.num_nodes  # internal nodes (L-1)
+    M = 2 * L - 1
+
+    # subtree leaf counts per internal node, from ranges implicit in child
+    # structure: recompute via child traversal level by level
+    leaves_in = np.zeros(n_int, np.int64)
+    # process levels bottom-up: a node's leaf count = sum of children's
+    levels = []
+    cur = np.array([0], np.int64)
+    while len(cur):
+        levels.append(cur)
+        c = bvh.child[cur].reshape(-1)
+        cur = c[c >= 0].astype(np.int64)
+    for lvl in reversed(levels):
+        c = bvh.child[lvl]
+        cnt = np.zeros(len(lvl), np.int64)
+        for side in range(2):
+            ci = c[:, side]
+            is_leaf = ci < 0
+            cnt += np.where(is_leaf, 1, leaves_in[np.where(is_leaf, 0, ci)])
+        leaves_in[lvl] = cnt
+
+    def subtree_nodes_of_child(ci):
+        """ci: child entry (neg = leaf)."""
+        return np.where(ci < 0, 1, 2 * leaves_in[np.clip(ci, 0, None)] - 1)
+
+    # preorder + skip per (internal/leaf) node, level by level from root
+    pre_int = np.zeros(n_int, np.int64)  # preorder index of internal nodes
+    skip_int = np.zeros(n_int, np.int64)
+    pre_leaf = np.zeros(L, np.int64)
+    skip_leaf = np.zeros(L, np.int64)
+    pre_int[0] = 0
+    skip_int[0] = M
+    for lvl in levels:
+        c = bvh.child[lvl]
+        p = pre_int[lvl]
+        s = skip_int[lvl]
+        c0, c1 = c[:, 0], c[:, 1]
+        size0 = subtree_nodes_of_child(c0)
+        p0 = p + 1
+        p1 = p + 1 + size0
+        s0 = p1
+        s1 = s
+        for ci, pi, si in ((c0, p0, s0), (c1, p1, s1)):
+            leaf_mask = ci < 0
+            li = -(ci + 1)
+            pre_leaf[li[leaf_mask]] = pi[leaf_mask]
+            skip_leaf[li[leaf_mask]] = si[leaf_mask]
+            ii = ci[~leaf_mask]
+            pre_int[ii] = pi[~leaf_mask]
+            skip_int[ii] = si[~leaf_mask]
+
+    # node AABBs: internal from cmin/cmax union, leaves from child slots
+    nodes = np.zeros((M, 8), np.float32)
+    int_min = bvh.cmin.min(axis=1)
+    int_max = bvh.cmax.max(axis=1)
+    nodes[pre_int, 0:3] = int_min
+    nodes[pre_int, 3:6] = int_max
+    # leaf AABBs: find them from parents' child slots
+    leaf_min = np.zeros((L, 3), np.float32)
+    leaf_max = np.zeros((L, 3), np.float32)
+    for side in range(2):
+        ci = bvh.child[:, side]
+        m = ci < 0
+        li = -(ci[m] + 1)
+        leaf_min[li] = bvh.cmin[m, side]
+        leaf_max[li] = bvh.cmax[m, side]
+    nodes[pre_leaf, 0:3] = leaf_min
+    nodes[pre_leaf, 3:6] = leaf_max
+
+    skip_all = np.zeros(M, np.int32)
+    skip_all[pre_int] = skip_int.astype(np.int32)
+    skip_all[pre_leaf] = skip_leaf.astype(np.int32)
+    leaf_row = np.full(M, -1, np.int32)
+    # reorder leaves by preorder position so their tri rows are DFS-ordered
+    leaf_order = np.argsort(pre_leaf, kind="stable")  # leaf ids in DFS order
+    dfs_pos = np.empty(L, np.int64)
+    dfs_pos[leaf_order] = np.arange(L)
+    leaf_row[pre_leaf] = (dfs_pos * leaf_size).astype(np.int32)
+
+    nodes[:, 6] = skip_all.view(np.float32)
+    nodes[:, 7] = leaf_row.view(np.float32)
+
+    tri_rows, row_tri = _pack_tri_rows(bvh.leaf_tris[leaf_order], v0, e1, e2)
+    return ThreadedBVH(
+        nodes=nodes,
+        tri_rows=tri_rows,
+        row_tri=row_tri,
+        depth=bvh.depth,
+        world_min=bvh.world_min,
+        world_max=bvh.world_max,
+        leaf_size=leaf_size,
+    )
+
+
+def _pack_tri_rows(leaf_tris: np.ndarray, v0, e1, e2):
+    """(L,leaf_size) tri ids -> ((L*leaf_size,12) f32 rows, i32 tri ids)."""
+    flat = leaf_tris.reshape(-1).astype(np.int64)
+    rows = np.zeros((len(flat), 12), np.float32)
+    rows[:, 0:3] = v0[flat]
+    rows[:, 3:6] = e1[flat]
+    rows[:, 6:9] = e2[flat]
+    return rows, flat.astype(np.int32)
+
+
+def build_threaded_bvh(v0, e1, e2, leaf_size: int = LEAF_SIZE) -> ThreadedBVH:
+    """Build + thread in one call (the BLAS build path)."""
+    return thread_bvh(build_bvh(v0, e1, e2, leaf_size), v0, e1, e2)
 
 
 def refit_bvh(bvh: BVH, v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> BVH:

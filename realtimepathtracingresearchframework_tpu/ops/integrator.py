@@ -52,13 +52,15 @@ from realtimepathtracingresearchframework_tpu.ops.bsdf_gltf import (
 )
 from realtimepathtracingresearchframework_tpu.ops.intersect import T_MAX
 from realtimepathtracingresearchframework_tpu.ops.traverse import (
-    BVHBuffers,
+    ThreadedBuffers,
     TriBuffers,
-    closest_hit,
-    occluded,
+    closest_hit_threaded,
+    occluded_threaded,
 )
+from realtimepathtracingresearchframework_tpu.ops import traverse_pallas
 
 RAY_EPSILON = 5.0e-6  # vulkan/gpu_params.glsl:28
+RAYS_PER_PASS = 262144  # HBM working-set bound for one integrator pass
 
 
 class MaterialBuffers(NamedTuple):
@@ -100,7 +102,7 @@ class ShadingBuffers(NamedTuple):
 class DeviceScene(NamedTuple):
     """Everything the integrator needs, as one pytree of device arrays."""
 
-    bvh: BVHBuffers
+    bvh: ThreadedBuffers
     tris: TriBuffers
     shading: ShadingBuffers
     materials: MaterialBuffers
@@ -127,6 +129,7 @@ class IntegratorConfig(NamedTuple):
     stack_depth: int = 32
     enable_sun_sky: bool = True
     unroll: bool = False  # RBO unroll_bounces (render_params.glsl.h:85)
+    use_pallas: bool = False  # Pallas traversal kernel (TPU, VMEM-resident)
 
 
 class FrameParams(NamedTuple):
@@ -248,15 +251,15 @@ def _sample_direct_light(
     eps = (jnp.linalg.norm(hit_p, axis=-1) + total_t) * RAY_EPSILON
     seg_ok = light_dist - 2.0 * eps > 0.0
     shadow_tmax = jnp.maximum(light_dist - eps, eps)
-    blocked = occluded(
-        ds.bvh,
-        ds.tris,
-        hit_p,
-        light_dir,
-        t_min=eps,
-        t_max=jnp.where(candidate & seg_ok, shadow_tmax, eps),
-        stack_depth=cfg.stack_depth,
-    )
+    shadow_tmax_eff = jnp.where(candidate & seg_ok, shadow_tmax, eps)
+    if cfg.use_pallas:
+        blocked = traverse_pallas.occluded_pallas(
+            ds.bvh, hit_p, light_dir, t_min=eps, t_max=shadow_tmax_eff
+        )
+    else:
+        blocked = occluded_threaded(
+            ds.bvh, hit_p, light_dir, t_min=eps, t_max=shadow_tmax_eff
+        )
     visible = candidate & (~blocked | ~seg_ok)
 
     bsdf_pdf = gltf_wpdf(mat, hit_n, w_o, light_dir)
@@ -278,6 +281,7 @@ def trace_paths(
     ro,
     rd,
     rng_state,
+    lane_mask=None,
 ):
     """Trace a batch of paths; returns (rgb (N,3), alpha (N,), rays).
 
@@ -296,15 +300,13 @@ def trace_paths(
         (ro, rd, t_min, illum, throughput, active, prev_pdf, bounce_count,
          total_t, rng_state, rays) = carry
         rays = rays + jnp.sum(active.astype(rays.dtype))
-        hit = closest_hit(
-            ds.bvh,
-            ds.tris,
-            ro,
-            rd,
-            t_min=t_min,
-            t_max=jnp.where(active, T_MAX, 0.0),
-            stack_depth=cfg.stack_depth,
-        )
+        tmax_eff = jnp.where(active, T_MAX, 0.0)
+        if cfg.use_pallas:
+            hit = traverse_pallas.closest_hit_pallas(
+                ds.bvh, ro, rd, t_min=t_min, t_max=tmax_eff
+            )
+        else:
+            hit = closest_hit_threaded(ds.bvh, ro, rd, t_min=t_min, t_max=tmax_eff)
         was_miss = hit.tri < 0
 
         # ---- miss: sky (pt_megakernel.glsl:480-489)
@@ -447,13 +449,16 @@ def trace_paths(
             (carry, ctx),
         )
 
+    active0 = (
+        jnp.ones((n,), bool) if lane_mask is None else jnp.asarray(lane_mask)
+    )
     carry = (
         ro,
         rd,
         jnp.zeros((n,), jnp.float32),  # t_min
         jnp.zeros((n, 3), jnp.float32),  # illum
         jnp.ones((n, 3), jnp.float32),  # throughput
-        jnp.ones((n,), bool),  # active
+        active0,  # active (padded/invalid lanes start dead)
         jnp.full((n,), 2.0e16, jnp.float32),  # prev_pdf (shading_interface:21)
         jnp.zeros((n,), jnp.int32),  # bounce_count
         jnp.zeros((n,), jnp.float32),  # total_t
@@ -496,36 +501,82 @@ def render_tile(
     width: int,
     height: int,
     spp: int,
-    y0: int = 0,
+    y0=0,
     tile_h: Optional[int] = None,
 ):
     """Render a horizontal tile: returns accum (tile_h, W, 4) = mean over the
-    spp batch (radiance, alpha)."""
+    spp batch (radiance, alpha). ``y0`` may be a traced value — this is the
+    unit of multi-chip work distribution (parallel/render_sharded.py), the
+    TPU equivalent of the reference's SIMT dispatch grid
+    (vulkan/setup_pixel_assignment.glsl)."""
     tile_h = tile_h if tile_h is not None else height
-    px = jnp.broadcast_to(jnp.arange(width)[None, :], (tile_h, width))
-    py = jnp.broadcast_to(
-        (jnp.arange(tile_h) + y0)[:, None], (tile_h, width)
-    )
-    px = px.reshape(-1)
-    py = py.reshape(-1)
+
+    # 16x16 pixel tiles -> 256-ray packets, the TPU analogue of the
+    # reference's 32x16 workgroup + pixel swizzle
+    # (vulkan/setup_pixel_assignment.glsl:18-25): packet-coherent primary
+    # rays keep the shared-cursor traversal divergence low.
+    ts = 16
+    bw = -(-width // ts)
+    bh = -(-tile_h // ts)
+    n_rays = bw * bh * ts * ts
+    # Precompute the swizzle tables on the host: leaving them as traced
+    # arange-chains makes XLA constant-fold them element by element, which
+    # dominates compile time at 1080p.
+    idx = np.arange(n_rays)
+    block = idx // (ts * ts)
+    within = idx % (ts * ts)
+    px_np = (block % bw) * ts + within % ts
+    py_rel_np = (block // bw) * ts + within // ts
+    valid_np = (px_np < width) & (py_rel_np < tile_h)
+    px_np = np.minimum(px_np, width - 1)
+    py_rel_np = np.minimum(py_rel_np, tile_h - 1)
+    lin_np = np.where(valid_np, py_rel_np * width + px_np, tile_h * width)
+
+    # Bound the in-flight ray count: all per-bounce intermediates (NEE bin
+    # scoring is the worst at ~O(rays x bin_size) temporaries) scale with the
+    # pass size, so large framebuffers run as sequential passes — the
+    # analogue of the reference's bounded dispatch grid.
+    chunk = min(n_rays, RAYS_PER_PASS)
+    n_pad = n_rays + ((-n_rays) % chunk)
+    num_chunks = n_pad // chunk
+
+    def pad_to(arr, fill):
+        if n_pad == n_rays:
+            return arr
+        return np.concatenate([arr, np.full(n_pad - n_rays, fill, arr.dtype)])
+
+    px_np = pad_to(px_np.astype(np.int32), 0)
+    py_rel_np = pad_to(py_rel_np.astype(np.int32), 0)
+    valid_np = pad_to(valid_np, False)
+    lin_np = pad_to(lin_np.astype(np.int32), tile_h * width)
+
+    px_c = jnp.asarray(px_np.reshape(num_chunks, chunk))
+    py_c = jnp.asarray(py_rel_np.reshape(num_chunks, chunk)) + y0
+    valid_c = jnp.asarray(valid_np.reshape(num_chunks, chunk))
+    lin_c = jnp.asarray(lin_np.reshape(num_chunks, chunk))
     dims = jnp.array([width, height], jnp.float32)
 
-    def one_sample(s, carry):
+    def one_pass(i, carry):
         acc, rays = carry
-        sample_index = fp.sample_offset + jnp.uint32(s)
+        s = (i // num_chunks).astype(jnp.uint32)
+        c = i % num_chunks
+        px = px_c[c]
+        py = py_c[c]
+        valid = valid_c[c]
+        lin = lin_c[c]
+        sample_index = fp.sample_offset + s
         state = rng_mod.lcg_seed(
             sample_index, fp.shot_offset, px, py, jnp.uint32(width)
         )
         state, jitter = rng_mod.lcg_float2(state)
         ro, rd = camera_rays(view, px, py, dims, jitter)
-        rgb, alpha, nrays = trace_paths(ds, cfg, fp, ro, rd, state)
-        return (
-            acc + jnp.concatenate([rgb, alpha[..., None]], axis=-1),
-            rays + nrays,
-        )
+        rgb, alpha, nrays = trace_paths(ds, cfg, fp, ro, rd, state, lane_mask=valid)
+        sample = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+        acc = acc.at[lin].add(jnp.where(valid[:, None], sample, 0.0), mode="drop")
+        return acc, rays + nrays
 
     acc = jnp.zeros((tile_h * width, 4), jnp.float32)
     rays0 = jnp.zeros((), jnp.int32)
-    acc, rays = jax.lax.fori_loop(0, spp, one_sample, (acc, rays0))
+    acc, rays = jax.lax.fori_loop(0, spp * num_chunks, one_pass, (acc, rays0))
     acc = acc / jnp.maximum(spp, 1).astype(jnp.float32)
     return acc.reshape(tile_h, width, 4), rays

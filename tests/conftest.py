@@ -7,14 +7,26 @@ bench path is exercised separately by bench.py.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. The environment ships an
+# "axon" TPU plugin whose sitecustomize registers itself regardless of
+# JAX_PLATFORMS; clearing PALLAS_AXON_POOL_IPS disables that registration so
+# the virtual CPU mesh actually takes effect.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# The axon sitecustomize registers the TPU plugin at interpreter start
+# (before this conftest runs), so the env vars alone don't stick — force the
+# platform through jax.config too. XLA_FLAGS is read lazily at CPU client
+# creation, so the 8-device override above still applies.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

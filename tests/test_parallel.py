@@ -1,0 +1,76 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realtimepathtracingresearchframework_tpu.backend.params import RenderParams
+from realtimepathtracingresearchframework_tpu.backend.renderer import (
+    FrameConfig,
+    Renderer,
+)
+from realtimepathtracingresearchframework_tpu.models import procedural
+from realtimepathtracingresearchframework_tpu.models.camera import OrientedCamera
+from realtimepathtracingresearchframework_tpu.models.scene import Scene
+from realtimepathtracingresearchframework_tpu.ops.integrator import (
+    FrameParams,
+    ViewBuffers,
+    render_tile,
+)
+from realtimepathtracingresearchframework_tpu.parallel.mesh import make_mesh
+from realtimepathtracingresearchframework_tpu.parallel.render_sharded import (
+    build_sharded_render,
+)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_render_matches_single_device():
+    scene = Scene.from_vkr_scene(procedural.cornell_box())
+    r = Renderer()
+    r.initialize(32, 32)
+    r.set_scene(scene)
+    params = RenderParams(batch_spp=2, max_path_depth=3)
+    cam = OrientedCamera.look_at([0, 1.0, 3.2], [0, 1.0, 0.0], fovy=50)
+    cfg = r._integrator_config(params)
+
+    pos, du, dv, tl = cam.view_basis(32, 32)
+    view = ViewBuffers(
+        cam_pos=jnp.asarray(pos),
+        cam_du=jnp.asarray(du),
+        cam_dv=jnp.asarray(dv),
+        cam_dir_top_left=jnp.asarray(tl),
+    )
+    fp = FrameParams(
+        rr_path_depth=jnp.int32(2),
+        glossy_only_mode=jnp.int32(0),
+        sample_offset=jnp.uint32(0),
+        shot_offset=jnp.uint32(0),
+    )
+
+    single, rays_single = render_tile(
+        r.device_scene, cfg, fp, view, 32, 32, 2
+    )
+
+    mesh = make_mesh()
+    f = build_sharded_render(mesh, cfg, 32, 32)
+    sharded, rays_sharded = f(r.device_scene, fp, view, jnp.int32(2))
+
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(sharded), atol=2e-6, rtol=1e-5
+    )
+    assert int(rays_single) == int(rays_sharded)
+
+
+def test_sharded_height_check():
+    scene = Scene.from_vkr_scene(procedural.single_triangle())
+    r = Renderer()
+    r.initialize(16, 12)
+    r.set_scene(scene)
+    cfg = r._integrator_config(RenderParams(max_path_depth=2))
+    mesh = make_mesh()
+    with pytest.raises(ValueError):
+        build_sharded_render(mesh, cfg, 16, 12)  # 12 % 8 != 0

@@ -75,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rr-depth", type=int, default=2)
     p.add_argument("--exposure", type=float, default=0.0)
     p.add_argument("--light-sampling", choices=["none", "ris"], default="ris")
+    p.add_argument(
+        "--rng",
+        choices=["uniform", "bn", "sobol", "z_sbl"],
+        default="uniform",
+        help="RNG pointset variant (RBO rng_variant)",
+    )
     p.add_argument("--sun-dir", nargs=3, type=float, default=[0.0, 1.0, 0.0])
     p.add_argument("--turbidity", type=float, default=3.0)
     return p
@@ -128,6 +134,7 @@ def main(argv=None) -> int:
         light_sampling_variant=(
             LIGHT_SAMPLING_VARIANT_RIS if args.light_sampling == "ris" else 0
         ),
+        rng_variant=["uniform", "bn", "sobol", "z_sbl"].index(args.rng),
     )
     renderer.options = opts
     renderer.initialize(args.img[0], args.img[1])

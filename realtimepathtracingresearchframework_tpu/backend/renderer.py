@@ -51,6 +51,8 @@ from realtimepathtracingresearchframework_tpu.ops.integrator import (
     render_tile,
 )
 from realtimepathtracingresearchframework_tpu.ops import traverse_pallas
+from realtimepathtracingresearchframework_tpu.ops import texture_atlas as atlas_mod
+from realtimepathtracingresearchframework_tpu.ops import pointsets
 from realtimepathtracingresearchframework_tpu.ops.traverse import (
     TriBuffers,
     closest_hit_threaded,
@@ -114,6 +116,8 @@ class Renderer:
         self._scene_revision = -1
         self._use_bins = False
         self._use_pallas = False
+        self._has_textures = False
+        self._atlas = None
         self.active_variant = VARIANT_MEGAKERNEL
 
     # ------------------------------------------------------------------
@@ -189,7 +193,21 @@ class Renderer:
             uv1=jnp.asarray(flat.uv1),
             uv2=jnp.asarray(flat.uv2),
             material_id=jnp.asarray(flat.material_id),
+            texel_density=jnp.asarray(flat.texel_density),
+            tangent=jnp.asarray(flat.tangent),
         )
+        self._atlas = atlas_mod.build_atlas(scene.textures)
+        if self._atlas is None:
+            # dummy 1-texel atlas keeps DeviceScene a uniform pytree
+            from realtimepathtracingresearchframework_tpu.models.texture import (
+                Texture,
+            )
+
+            dummy = Texture(1, 1, 37, mips=[np.full((1, 1, 4), 255, np.uint8)])
+            self._atlas = atlas_mod.build_atlas([dummy])
+            self._has_textures = False
+        else:
+            self._has_textures = True
         self._tris = tris
         self._shading = shading
         self._materials = MaterialBuffers.from_table(mat_table)
@@ -237,6 +255,8 @@ class Renderer:
             materials=self._materials,
             lights=lights,
             sky=sky,
+            atlas=self._atlas,
+            rng=pointsets.build_rng_buffers(self.options.rng_variant),
         )
         self._render_fns.clear()
 
@@ -257,24 +277,20 @@ class Renderer:
             enable_sun_sky=True,
             unroll=bool(self.options.unroll_bounces),
             use_pallas=bool(self._use_pallas),
+            has_textures=bool(self._has_textures),
+            rng_variant=int(self.options.rng_variant),
         )
 
     def _get_render_fn(self, cfg: IntegratorConfig):
+        if self.active_variant == VARIANT_WAVEFRONT:
+            cfg = cfg._replace(wavefront=True)
         key = (self.active_variant, cfg, self.fb_width, self.fb_height)
         fn = self._render_fns.get(key)
         if fn is None:
-            if self.active_variant == VARIANT_WAVEFRONT:
-                from realtimepathtracingresearchframework_tpu.ops.wavefront import (
-                    render_tile_wavefront,
-                )
-
-                kernel = render_tile_wavefront
-            else:
-                kernel = render_tile
 
             @jax.jit
             def fn(ds, fp, view, spp):
-                return kernel(
+                return render_tile(
                     ds, cfg, fp, view, self.fb_width, self.fb_height, spp
                 )
 
@@ -293,11 +309,14 @@ class Renderer:
             cam_dv=jnp.asarray(dv),
             cam_dir_top_left=jnp.asarray(tl),
         )
+        pixel_spread = float(np.linalg.norm(du)) / max(self.fb_width, 1)
         fp = FrameParams(
             rr_path_depth=jnp.int32(params.rr_path_depth),
             glossy_only_mode=jnp.int32(params.glossy_only_mode),
             sample_offset=jnp.uint32(self.frame_id),
             shot_offset=jnp.uint32(self.shot_offset),
+            pixel_spread=jnp.float32(params.pixel_radius * pixel_spread),
+            bump_scale=jnp.float32(config.scene_config.bump_scale),
         )
         cfg = self._integrator_config(params)
         fn = self._get_render_fn(cfg)

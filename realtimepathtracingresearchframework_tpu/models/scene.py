@@ -155,6 +155,8 @@ class FlatScene:
     uv2: np.ndarray
     material_id: np.ndarray  # (T,) i32 global ids
     instance_id: np.ndarray  # (T,) i32
+    texel_density: np.ndarray = None  # (T,) uv-units per world-unit
+    tangent: np.ndarray = None  # (T,4) uv-aligned tangent xyz + handedness
 
     @property
     def num_tris(self) -> int:
@@ -344,7 +346,7 @@ class Scene:
                 insts.append(np.full(geom.num_tris, ii, np.int32))
 
         cat = lambda xs: np.ascontiguousarray(np.concatenate(xs, axis=0), np.float32)
-        return FlatScene(
+        flat = FlatScene(
             v0=cat(v0s),
             e1=cat(e1s),
             e2=cat(e2s),
@@ -357,6 +359,34 @@ class Scene:
             material_id=np.concatenate(mats).astype(np.int32),
             instance_id=np.concatenate(insts).astype(np.int32),
         )
+        flat.texel_density, flat.tangent = _uv_mapping_attrs(flat)
+        return flat
 
     def material_table(self) -> MaterialTable:
         return MaterialTable.from_materials(self.materials)
+
+
+def _uv_mapping_attrs(flat: FlatScene):
+    """Per-triangle texel density (uv area / world area, for mip selection)
+    and uv-aligned tangent frame (for normal mapping) — the footprint/tangent
+    data the reference derives in rt/hit.glsl:95+ and rt/footprint.glsl."""
+    duv1 = flat.uv1 - flat.uv0
+    duv2 = flat.uv2 - flat.uv0
+    uv_area = 0.5 * np.abs(duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
+    gn = np.cross(flat.e1, flat.e2)
+    world_area = 0.5 * np.linalg.norm(gn, axis=-1)
+    density = np.sqrt(uv_area / np.maximum(world_area, 1e-20)).astype(np.float32)
+
+    # tangent along +u (standard uv-basis derivation)
+    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    r = np.where(np.abs(det) > 1e-20, 1.0 / np.where(det == 0, 1, det), 0.0)
+    tangent = (flat.e1 * duv2[:, 1:2] - flat.e2 * duv1[:, 1:2]) * r[:, None]
+    tl = np.linalg.norm(tangent, axis=-1, keepdims=True)
+    fallback = np.zeros_like(tangent)
+    fallback[:, 0] = 1.0
+    tangent = np.where(tl > 1e-12, tangent / np.maximum(tl, 1e-20), fallback)
+    bitangent = (flat.e2 * duv1[:, 0:1] - flat.e1 * duv2[:, 0:1]) * -r[:, None]
+    handed = np.where(
+        np.sum(np.cross(gn, tangent) * bitangent, axis=-1) >= 0.0, 1.0, -1.0
+    ).astype(np.float32)
+    return density, np.concatenate([tangent.astype(np.float32), handed[:, None]], axis=1)

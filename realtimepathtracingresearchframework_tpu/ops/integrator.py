@@ -43,6 +43,7 @@ from realtimepathtracingresearchframework_tpu.models.sky import (
     sky_radiance,
 )
 from realtimepathtracingresearchframework_tpu.ops import nee as nee_mod
+from realtimepathtracingresearchframework_tpu.ops import pointsets
 from realtimepathtracingresearchframework_tpu.ops import rng as rng_mod
 from realtimepathtracingresearchframework_tpu.ops.bsdf_gltf import (
     GLTFMaterial,
@@ -58,6 +59,10 @@ from realtimepathtracingresearchframework_tpu.ops.traverse import (
     occluded_threaded,
 )
 from realtimepathtracingresearchframework_tpu.ops import traverse_pallas
+from realtimepathtracingresearchframework_tpu.ops.texture_atlas import (
+    TextureAtlas,
+    sample_atlas,
+)
 
 RAY_EPSILON = 5.0e-6  # vulkan/gpu_params.glsl:28
 RAYS_PER_PASS = 262144  # HBM working-set bound for one integrator pass
@@ -72,6 +77,9 @@ class MaterialBuffers(NamedTuple):
     specular_transmission: jnp.ndarray
     emission_intensity: jnp.ndarray
     flags: jnp.ndarray
+    base_color_tex: jnp.ndarray  # i32, -1 = constant
+    specular_tex: jnp.ndarray  # .g roughness, .b metallic (scene.cpp:946-951)
+    normal_tex: jnp.ndarray
 
     @staticmethod
     def from_table(table) -> "MaterialBuffers":
@@ -84,6 +92,9 @@ class MaterialBuffers(NamedTuple):
             specular_transmission=jnp.asarray(table.specular_transmission),
             emission_intensity=jnp.asarray(table.emission_intensity),
             flags=jnp.asarray(table.flags),
+            base_color_tex=jnp.asarray(table.base_color_tex),
+            specular_tex=jnp.asarray(table.specular_tex),
+            normal_tex=jnp.asarray(table.normal_tex),
         )
 
 
@@ -97,6 +108,8 @@ class ShadingBuffers(NamedTuple):
     uv1: jnp.ndarray
     uv2: jnp.ndarray
     material_id: jnp.ndarray  # (T,)
+    texel_density: jnp.ndarray  # (T,) uv-units per world-unit
+    tangent: jnp.ndarray  # (T,4) tangent xyz + handedness
 
 
 class DeviceScene(NamedTuple):
@@ -108,6 +121,8 @@ class DeviceScene(NamedTuple):
     materials: MaterialBuffers
     lights: nee_mod.TriLightBuffers
     sky: SkyParams
+    atlas: TextureAtlas  # dummy 1-texel atlas when cfg.has_textures is False
+    rng: pointsets.RngBuffers  # pointset tables (dummy for the LCG variant)
 
 
 class ViewBuffers(NamedTuple):
@@ -130,6 +145,9 @@ class IntegratorConfig(NamedTuple):
     enable_sun_sky: bool = True
     unroll: bool = False  # RBO unroll_bounces (render_params.glsl.h:85)
     use_pallas: bool = False  # Pallas traversal kernel (TPU, VMEM-resident)
+    wavefront: bool = False  # stream-compact ray queues between bounces
+    has_textures: bool = False  # trace the texture-lookup stage
+    rng_variant: int = 0  # RNG_VARIANT_* (render_params.glsl.h:34-43)
 
 
 class FrameParams(NamedTuple):
@@ -139,6 +157,8 @@ class FrameParams(NamedTuple):
     glossy_only_mode: jnp.ndarray
     sample_offset: jnp.ndarray  # accumulation frame offset (uint32)
     shot_offset: jnp.ndarray  # frame_offset randomization (uint32)
+    pixel_spread: jnp.ndarray = jnp.float32(0.001)  # radians/px, for mip LOD
+    bump_scale: jnp.ndarray = jnp.float32(1.0)  # SceneConfig.bump_scale
 
 
 def _dot(a, b):
@@ -353,6 +373,60 @@ def trace_paths(
 
         total_t = jnp.where(active, total_t + hit.t, total_t)
 
+        # ---- texture lookups (rt/material_textures.glsl; mip from an
+        # isotropic footprint-cone approximation of rt/footprint.glsl)
+        if cfg.has_textures:
+            uv = (
+                ds.shading.uv0[tri] * b0[..., None]
+                + ds.shading.uv1[tri] * b1[..., None]
+                + ds.shading.uv2[tri] * b2[..., None]
+            )
+            density = ds.shading.texel_density[tri]
+            footprint_world = total_t * fp.pixel_spread
+
+            def tex_mip(tid):
+                base_w = ds.atlas.desc[jnp.maximum(tid, 0), 0, 1].astype(
+                    jnp.float32
+                )
+                return jnp.log2(
+                    jnp.maximum(footprint_world * density * base_w, 1.0)
+                )
+
+            bc_tid = ds.materials.base_color_tex[mid]
+            bc = sample_atlas(ds.atlas, bc_tid, uv, tex_mip(bc_tid))
+            mat = mat._replace(
+                base_color=jnp.where(
+                    (bc_tid >= 0)[..., None], bc[..., :3], mat.base_color
+                ),
+            )
+            mat = mat._replace(transmission_color=mat.base_color)
+
+            sp_tid = ds.materials.specular_tex[mid]
+            sp = sample_atlas(ds.atlas, sp_tid, uv, tex_mip(sp_tid))
+            has_sp = sp_tid >= 0
+            mat = mat._replace(
+                roughness=jnp.where(has_sp, sp[..., 1], mat.roughness),
+                metallic=jnp.where(has_sp, sp[..., 2], mat.metallic),
+            )
+
+            # normal mapping in the uv tangent frame
+            # (pt_megakernel.glsl:636-648)
+            nm_tid = ds.materials.normal_tex[mid]
+            nm = sample_atlas(ds.atlas, nm_tid, uv, tex_mip(nm_tid))
+            tn = nm[..., :3] * 2.0 - 1.0
+            tn = tn.at[..., 0:2].multiply(fp.bump_scale)
+            tang4 = ds.shading.tangent[tri]
+            tang = tang4[..., :3]
+            tang = _normalize(
+                tang - n_sh * _dot(tang, n_sh)[..., None]
+            )
+            bitan = jnp.cross(n_sh, tang) * tang4[..., 3:4]
+            n_mapped = _normalize(
+                tn[..., 0:1] * tang + tn[..., 1:2] * bitan + tn[..., 2:3] * n_sh
+            )
+            ok_nm = (nm_tid >= 0) & (jnp.linalg.norm(tn, axis=-1) > 1e-4)
+            n_sh = jnp.where(ok_nm[..., None], n_mapped, n_sh)
+
         # ---- emitter hit MIS (shade_base_material.glsl:33-39)
         emit_radiance = (
             mat.base_color * ds.materials.emission_intensity[mid][..., None]
@@ -377,16 +451,21 @@ def trace_paths(
 
     def scatter_tail(args):
         """NEE + BSDF sample + RR — skipped on the final bounce."""
-        carry, ctx = args
+        carry, ctx, bounce_i = args
         (ro, rd, t_min, illum, throughput, active, prev_pdf, bounce_count,
          total_t, rng_state, rays) = carry
         p, n_sh, gn, mat, w_o = ctx
 
         # ---- RNG draws in reference order (shade_base_material.glsl:60-84)
-        rng_state, pos_sample = rng_mod.lcg_float2(rng_state)
-        rng_state, sel_sample = rng_mod.lcg_float2(rng_state)
-        rng_state, lobe_sample = rng_mod.lcg_float2(rng_state)
-        rng_state, dir_sample = rng_mod.lcg_float2(rng_state)
+        # with pathspace dims (pathspace.h): bounce block = 2 + 8b, light
+        # dims first {sel:+0, pos:+2} then vertex dims {dir:+4, lobe:+6},
+        # RR reusing the free-path slot {+7}
+        dim_base = jnp.int32(2) + jnp.int32(8) * bounce_i
+        rv = cfg.rng_variant
+        rng_state, pos_sample = pointsets.draw2(rv, ds.rng, rng_state, dim_base + 2)
+        rng_state, sel_sample = pointsets.draw2(rv, ds.rng, rng_state, dim_base + 0)
+        rng_state, lobe_sample = pointsets.draw2(rv, ds.rng, rng_state, dim_base + 6)
+        rng_state, dir_sample = pointsets.draw2(rv, ds.rng, rng_state, dim_base + 4)
 
         # ---- NEE (one shadow ray per active lane)
         rays = rays + jnp.sum(active.astype(rays.dtype))
@@ -421,7 +500,9 @@ def trace_paths(
         t_min = (jnp.linalg.norm(ro, axis=-1) + total_t) * RAY_EPSILON
 
         # ---- Russian roulette (pt_megakernel.glsl:713-730)
-        rng_state, rr_sample = rng_mod.lcg_float(rng_state)
+        rng_state, rr_sample = pointsets.draw1(
+            cfg.rng_variant, ds.rng, rng_state, dim_base + 7
+        )
         prefix = jnp.max(throughput, axis=-1)
         rr_prob = jnp.where(
             bounce_count > 6, jnp.minimum(0.95, prefix), jnp.minimum(1.0, prefix)
@@ -438,16 +519,36 @@ def trace_paths(
         return (ro, rd, t_min, illum, throughput, active, prev_pdf,
                 bounce_count, total_t, rng_state, rays)
 
-    def bounce_body(i, carry):
+    def compact(carry, slot):
+        """Wavefront queue compaction: stable-partition live rays to the
+        queue front so terminated lanes form whole dead packets (which the
+        packet traversal skips in one step). This is the stream compaction
+        of the north-star wavefront design; a permutation, so per-ray
+        results are bit-identical to the megakernel ordering."""
+        (ro, rd, t_min, illum, throughput, active, prev_pdf, bounce_count,
+         total_t, rng_state, rays) = carry
+        perm = jnp.argsort(~active, stable=True)
+        carry = (
+            ro[perm], rd[perm], t_min[perm], illum[perm], throughput[perm],
+            active[perm], prev_pdf[perm], bounce_count[perm], total_t[perm],
+            jax.tree.map(lambda a: a[perm], rng_state), rays,
+        )
+        return carry, slot[perm]
+
+    def bounce_body(i, carry_slot):
+        carry, slot = carry_slot
+        if cfg.wavefront:
+            carry, slot = compact(carry, slot)
         carry, ctx = visit_hit(carry)
         # scalar predicate: real branch, not a lane mask — the final bounce
         # cuts NEE/BSDF work entirely (shade_base_material.glsl:56-57)
-        return jax.lax.cond(
+        carry = jax.lax.cond(
             i < cfg.max_path_depth - 1,
             scatter_tail,
             lambda args: args[0],
-            (carry, ctx),
+            (carry, ctx, jnp.asarray(i, jnp.int32)),
         )
+        return carry, slot
 
     active0 = (
         jnp.ones((n,), bool) if lane_mask is None else jnp.asarray(lane_mask)
@@ -465,17 +566,27 @@ def trace_paths(
         rng_state,
         jnp.zeros((), jnp.int32),  # rays traced
     )
+    slot0 = jnp.arange(n, dtype=jnp.int32)
 
     if cfg.unroll:
+        cs = (carry, slot0)
         for i in range(cfg.max_path_depth):
-            carry = bounce_body(jnp.int32(i), carry)
+            cs = bounce_body(jnp.int32(i), cs)
+        carry, slot = cs
     else:
-        carry = jax.lax.fori_loop(0, cfg.max_path_depth, bounce_body, carry)
+        carry, slot = jax.lax.fori_loop(
+            0, cfg.max_path_depth, bounce_body, (carry, slot0)
+        )
 
     illum = carry[3]
     bounce_count = carry[7]
     rays_traced = carry[10]
     alpha = jnp.where(bounce_count == 0, 0.0, 1.0)
+    if cfg.wavefront:
+        # un-permute back to ray order
+        inv = jnp.zeros((n,), jnp.int32).at[slot].set(jnp.arange(n, dtype=jnp.int32))
+        illum = illum[inv]
+        alpha = alpha[inv]
     return illum, alpha, rays_traced
 
 
@@ -565,10 +676,12 @@ def render_tile(
         valid = valid_c[c]
         lin = lin_c[c]
         sample_index = fp.sample_offset + s
-        state = rng_mod.lcg_seed(
-            sample_index, fp.shot_offset, px, py, jnp.uint32(width)
+        state = pointsets.make_state(
+            cfg.rng_variant, sample_index, fp.shot_offset, px, py, width
         )
-        state, jitter = rng_mod.lcg_float2(state)
+        state, jitter = pointsets.draw2(
+            cfg.rng_variant, ds.rng, state, jnp.int32(0)
+        )
         ro, rd = camera_rays(view, px, py, dims, jitter)
         rgb, alpha, nrays = trace_paths(ds, cfg, fp, ro, rd, state, lane_mask=valid)
         sample = jnp.concatenate([rgb, alpha[..., None]], axis=-1)

@@ -1,0 +1,201 @@
+"""RNG pointset contract + variant dispatch.
+
+The uniform pointset interface of the reference (rendering/defaults.glsl:
+22-67): a per-path RANDOM_STATE seeded from (sample index, shot offset,
+pixel, dims), drawn from with explicit path-space dimensions
+(rendering/pathspace.h). Variants (render_params.glsl.h:34-43):
+
+- UNIFORM: murmur-seeded LCG (ops/rng.py; bit-exact with the reference),
+- SOBOL: Owen-scrambled Sobol, per-pixel decorrelation via hashed digit
+  scrambling (the reference LCG-scrambles digits, sobol.glsl:81-213),
+- Z_SBL: one global Sobol stream indexed in Morton pixel order with
+  Owen-shuffled indices (sample_order.glsl semantics),
+- BN: Sobol dithered by a generated void-and-cluster blue-noise mask
+  (standing in for the reference's shipped Heitz-Belcour tiles,
+  bn_rng.glsl:11-74).
+
+State is a pair of u32 arrays; dimension indices follow pathspace.h:
+camera = dims 0-1 (simplified camera), bounce b uses
+2 + 8b + {sel:0, pos:2, dir:4, lobe:6, rr:7}.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realtimepathtracingresearchframework_tpu.backend.params import (
+    RNG_VARIANT_BN,
+    RNG_VARIANT_SOBOL,
+    RNG_VARIANT_UNIFORM,
+    RNG_VARIANT_Z_SBL,
+)
+from realtimepathtracingresearchframework_tpu.ops import rng as lcg
+from realtimepathtracingresearchframework_tpu.ops import sobol as sobol_mod
+
+_U = jnp.uint32
+
+
+class RngBuffers(NamedTuple):
+    """Constant tables needed by the active pointset (pytree member of
+    DeviceScene-adjacent state; dummy-sized for the LCG variant)."""
+
+    matrices: jnp.ndarray  # (D, 32) u32 sobol direction vectors
+    bn_mask: jnp.ndarray  # (64, 64, 8) f32 blue-noise dither offsets
+
+
+class RngState(NamedTuple):
+    s0: jnp.ndarray  # u32: LCG state / sobol index
+    s1: jnp.ndarray  # u32: pixel scramble key
+
+
+@functools.lru_cache(maxsize=1)
+def _blue_noise_mask_np(size: int = 64, channels: int = 8) -> np.ndarray:
+    """Void-and-cluster blue-noise ranks in [0,1), toroidal. Generated once
+    (deterministic); independent channels via toroidal shifts of one mask."""
+    rng = np.random.default_rng(0xB10E)
+    n = size * size
+
+    yy, xx = np.mgrid[0:size, 0:size]
+
+    def energy_kernel():
+        d2 = np.minimum(xx, size - xx) ** 2 + np.minimum(yy, size - yy) ** 2
+        return np.exp(-d2 / (2.0 * 1.9**2))
+
+    kern = energy_kernel()
+    kern_f = np.fft.rfft2(kern)
+
+    def filt(binary):
+        return np.fft.irfft2(np.fft.rfft2(binary) * kern_f, s=(size, size))
+
+    # initial pattern: 10% random, spread via void-and-cluster swaps
+    count = n // 10
+    binary = np.zeros((size, size), bool)
+    idx = rng.choice(n, count, replace=False)
+    binary.reshape(-1)[idx] = True
+    for _ in range(2000):
+        e = filt(binary.astype(np.float64))
+        cluster = np.unravel_index(np.where(binary, e, -np.inf).argmax(), e.shape)
+        binary[cluster] = False
+        e = filt(binary.astype(np.float64))
+        void = np.unravel_index(np.where(binary, np.inf, e).argmin(), e.shape)
+        if void == cluster:
+            binary[cluster] = True
+            break
+        binary[void] = True
+
+    rank = np.zeros((size, size), np.int64)
+    work = binary.copy()
+    # ranks below count: remove tightest cluster repeatedly
+    for r in range(count - 1, -1, -1):
+        e = filt(work.astype(np.float64))
+        c = np.unravel_index(np.where(work, e, -np.inf).argmax(), e.shape)
+        work[c] = False
+        rank[c] = r
+    # ranks above: fill largest void repeatedly
+    work = binary.copy()
+    for r in range(count, n):
+        e = filt(work.astype(np.float64))
+        v = np.unravel_index(np.where(work, np.inf, e).argmin(), e.shape)
+        work[v] = True
+        rank[v] = r
+
+    base = (rank.astype(np.float64) + 0.5) / n
+    chans = []
+    for c in range(channels):
+        sx, sy = rng.integers(0, size, 2)
+        chans.append(np.roll(np.roll(base, sx, 0), sy, 1))
+    return np.stack(chans, axis=-1).astype(np.float32)
+
+
+def build_rng_buffers(variant: int) -> RngBuffers:
+    if variant == RNG_VARIANT_UNIFORM:
+        mats = np.zeros((1, 32), np.uint32)
+        mask = np.zeros((1, 1, 1), np.float32)
+    else:
+        mats = sobol_mod.sobol_matrices()
+        mask = (
+            _blue_noise_mask_np()
+            if variant == RNG_VARIANT_BN
+            else np.zeros((1, 1, 1), np.float32)
+        )
+    return RngBuffers(matrices=jnp.asarray(mats), bn_mask=jnp.asarray(mask))
+
+
+def make_state(variant: int, sample_index, shot, px, py, width) -> RngState:
+    """GET_RNG analogue (defaults.glsl:34-40)."""
+    px = px.astype(_U)
+    py = py.astype(_U)
+    if variant == RNG_VARIANT_UNIFORM:
+        return RngState(
+            s0=lcg.lcg_seed(sample_index, shot, px, py, width),
+            s1=jnp.zeros_like(px),
+        )
+    pixel_linear = px + py * _U(width)
+    if variant == RNG_VARIANT_Z_SBL:
+        # global Morton stream: Owen-shuffled (pixel, sample) index
+        log_spp = _U(12)
+        base = (sobol_mod.morton2d(px, py) << log_spp) | (
+            jnp.asarray(sample_index).astype(_U) & ((_U(1) << log_spp) - _U(1))
+        )
+        idx = sobol_mod._reverse_bits(
+            sobol_mod._lk_hash(sobol_mod._reverse_bits(base), _U(0x55) ^ shot)
+        )
+        return RngState(s0=idx, s1=jnp.broadcast_to(shot, px.shape).astype(_U))
+    # SOBOL / BN: per-pixel stream
+    key = lcg.murmur_hash3_finalize(
+        lcg.murmur_hash3_mix(jnp.asarray(shot).astype(_U), pixel_linear)
+    )
+    return RngState(
+        s0=jnp.broadcast_to(jnp.asarray(sample_index).astype(_U), px.shape),
+        s1=key,
+    )
+
+
+def _sobol_dim(bufs, variant, state: RngState, dim, px_key_extra):
+    val = sobol_mod.sobol_value(bufs.matrices, state.s0, dim)
+    if variant == RNG_VARIANT_Z_SBL:
+        seed = sobol_mod._lk_hash(dim.astype(_U), _U(0x9E3779B9))
+    else:
+        seed = sobol_mod._lk_hash(
+            state.s1 ^ dim.astype(_U) * _U(0x9E3779B9), _U(0xA511E9B3)
+        )
+    return sobol_mod.owen_scramble(val, seed)
+
+
+def draw1(variant: int, bufs: RngBuffers, state: RngState, dim):
+    """One float; dim is a traced scalar (ignored by the LCG)."""
+    if variant == RNG_VARIANT_UNIFORM:
+        s0, x = lcg.lcg_float(state.s0)
+        return RngState(s0=s0, s1=state.s1), x
+    dim = jnp.asarray(dim, jnp.int32)
+    v = _sobol_dim(bufs, variant, state, dim, None)
+    x = sobol_mod.u32_to_float(v)
+    if variant == RNG_VARIANT_BN:
+        x = jnp.mod(x + _bn_offset(bufs, state, dim), 1.0)
+    return state, x
+
+
+def draw2(variant: int, bufs: RngBuffers, state: RngState, dim):
+    """Two floats at (dim, dim+1) -> (state, (N,2))."""
+    if variant == RNG_VARIANT_UNIFORM:
+        s0, xy = lcg.lcg_float2(state.s0)
+        return RngState(s0=s0, s1=state.s1), xy
+    state, x = draw1(variant, bufs, state, dim)
+    state, y = draw1(variant, bufs, state, jnp.asarray(dim, jnp.int32) + 1)
+    return state, jnp.stack([x, y], axis=-1)
+
+
+def _bn_offset(bufs: RngBuffers, state: RngState, dim):
+    """Cranley-Patterson rotation by the blue-noise mask; pixel recovered
+    from the scramble key is not invertible, so BN keys s1 carry the pixel
+    hash — we index the mask by hashed key + dim channel."""
+    h = sobol_mod._lk_hash(state.s1, _U(0xB1E))
+    x = (h & _U(63)).astype(jnp.int32)
+    y = ((h >> _U(6)) & _U(63)).astype(jnp.int32)
+    c = jnp.remainder(dim, bufs.bn_mask.shape[2]).astype(jnp.int32)
+    return bufs.bn_mask[x, y, c]

@@ -1,0 +1,139 @@
+"""Device texture atlas + filtered sampling.
+
+TPUs have no texture units, so the reference's sampled BCn textures
+(vulkan/render_vulkan.cpp:1646-1739, rt/material_textures.glsl) become:
+- load time: BCn decoded to RGBA8 mips (models/texture.py), every mip of
+  every texture packed into ONE flat u32 texel array + a descriptor table
+  (offset/width/height per (texture, mip)),
+- shading time: gather-based bilinear with wrap addressing, sRGB decoded
+  after the gather (filtering stays in texel space like the dedicated-HW
+  path, then linearized), mip chosen from an isotropic ray-footprint
+  estimate (a cone approximation of the reference's ray-differential
+  footprint transport, rt/footprint.glsl — full anisotropic transport is a
+  tracked refinement).
+
+Everything is fixed-shape vector math + 4 gathers per lookup.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+MAX_MIPS = 14
+
+
+class TextureAtlas(NamedTuple):
+    texels: jnp.ndarray  # (P,) u32 packed ABGR (r | g<<8 | b<<16 | a<<24)
+    desc: jnp.ndarray  # (T, MAX_MIPS, 3) i32: offset, width, height
+    num_mips: jnp.ndarray  # (T,) i32
+    srgb: jnp.ndarray  # (T,) bool — decode to linear after filtering
+
+    @property
+    def count(self) -> int:
+        return self.desc.shape[0]
+
+
+def build_atlas(textures: List) -> Optional[TextureAtlas]:
+    """Pack models.texture.Texture list into a device atlas; None if empty."""
+    if not textures:
+        return None
+    offsets = []
+    texel_parts = []
+    desc = np.zeros((len(textures), MAX_MIPS, 3), np.int64)
+    num_mips = np.zeros(len(textures), np.int32)
+    srgb = np.zeros(len(textures), bool)
+    cursor = 0
+    for ti, tex in enumerate(textures):
+        srgb[ti] = bool(tex.srgb)
+        mips = tex.mips[:MAX_MIPS]
+        num_mips[ti] = len(mips)
+        for mi, mip in enumerate(mips):
+            h, w = mip.shape[:2]
+            rgba = mip.astype(np.uint32)
+            packed = (
+                rgba[..., 0]
+                | (rgba[..., 1] << 8)
+                | (rgba[..., 2] << 16)
+                | (rgba[..., 3] << 24)
+            ).reshape(-1)
+            desc[ti, mi] = (cursor, w, h)
+            # missing finer mips clamp to the last one
+            texel_parts.append(packed)
+            cursor += len(packed)
+        for mi in range(len(mips), MAX_MIPS):
+            desc[ti, mi] = desc[ti, len(mips) - 1]
+    texels = np.concatenate(texel_parts)
+    return TextureAtlas(
+        texels=jnp.asarray(texels, jnp.uint32),
+        desc=jnp.asarray(desc, jnp.int32),
+        num_mips=jnp.asarray(num_mips),
+        srgb=jnp.asarray(srgb),
+    )
+
+
+def _unpack(px):
+    px = px.astype(jnp.uint32)
+    r = (px & 0xFF).astype(jnp.float32)
+    g = ((px >> 8) & 0xFF).astype(jnp.float32)
+    b = ((px >> 16) & 0xFF).astype(jnp.float32)
+    a = ((px >> 24) & 0xFF).astype(jnp.float32)
+    return jnp.stack([r, g, b, a], axis=-1) * (1.0 / 255.0)
+
+
+def sample_atlas(atlas: TextureAtlas, tex_id, uv, mip_level):
+    """Bilinear wrap sample. tex_id (N,) i32 (>=0; callers mask), uv (N,2),
+    mip_level (N,) f32 -> (N,4) linear float."""
+    tid = jnp.maximum(tex_id, 0)
+    nm = atlas.num_mips[tid]
+    mip = jnp.clip(jnp.round(mip_level).astype(jnp.int32), 0, nm - 1)
+    d = atlas.desc[tid, mip]  # (N,3)
+    off = d[..., 0]
+    w = d[..., 1]
+    h = d[..., 2]
+
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    x = uv[..., 0] * wf - 0.5
+    y = uv[..., 1] * hf - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0.astype(jnp.float32))[..., None]
+    fy = (y - y0.astype(jnp.float32))[..., None]
+
+    def wrap(v, m):
+        return jnp.remainder(v, m)
+
+    x0w = wrap(x0, w)
+    x1w = wrap(x0 + 1, w)
+    y0w = wrap(y0, h)
+    y1w = wrap(y0 + 1, h)
+
+    p00 = _unpack(atlas.texels[off + y0w * w + x0w])
+    p10 = _unpack(atlas.texels[off + y0w * w + x1w])
+    p01 = _unpack(atlas.texels[off + y1w * w + x0w])
+    p11 = _unpack(atlas.texels[off + y1w * w + x1w])
+    out = (
+        p00 * (1 - fx) * (1 - fy)
+        + p10 * fx * (1 - fy)
+        + p01 * (1 - fx) * fy
+        + p11 * fx * fy
+    )
+    # sRGB textures: linearize after filtering
+    is_srgb = atlas.srgb[tid]
+    lin = jnp.where(
+        out[..., :3] <= 0.04045,
+        out[..., :3] / 12.92,
+        ((out[..., :3] + 0.055) / 1.055) ** 2.4,
+    )
+    rgb = jnp.where(is_srgb[..., None], lin, out[..., :3])
+    return jnp.concatenate([rgb, out[..., 3:4]], axis=-1)
+
+
+def footprint_mip(atlas: TextureAtlas, tex_id, footprint_world, texels_per_world):
+    """Isotropic mip from a world-space footprint radius and the hit
+    triangle's texel density (texels per world unit at mip 0)."""
+    texels = footprint_world * texels_per_world
+    return jnp.log2(jnp.maximum(texels, 1.0))

@@ -141,3 +141,27 @@ def test_sun_sky_outdoor():
     assert len(sky_px) > 0
     assert sky_px.mean(axis=0)[2] > sky_px.mean(axis=0)[0]  # blue > red
     assert np.isfinite(img).all()
+
+
+def test_wavefront_matches_megakernel(cornell_renderer):
+    """The wavefront variant is a queue permutation of the megakernel —
+    images must be bit-identical (BASELINE config 3 correctness gate)."""
+    from realtimepathtracingresearchframework_tpu.backend.renderer import (
+        VARIANT_MEGAKERNEL,
+        VARIANT_WAVEFRONT,
+    )
+
+    r = cornell_renderer
+    cfg = FrameConfig(camera=_cam(), params=RenderParams(batch_spp=2, max_path_depth=4))
+    r.active_variant = VARIANT_MEGAKERNEL
+    r.reset_accumulation()
+    r.render(cfg)
+    mega = r.readback_accumulation()
+
+    r.active_variant = VARIANT_WAVEFRONT
+    r.reset_accumulation()
+    r.render(cfg)
+    wave = r.readback_accumulation()
+    r.active_variant = VARIANT_MEGAKERNEL
+
+    np.testing.assert_array_equal(mega, wave)

@@ -123,9 +123,44 @@ def main(argv=None) -> int:
     scene = load_scene(args.scenes, args.resource_dir)
     info("scene: %s", scene.info_string())
 
-    eye = args.eye if args.eye is not None else [0.0, 1.0, 3.2]
-    center = args.center if args.center is not None else [0.0, 1.0, 0.0]
-    camera = OrientedCamera.look_at(eye, center, args.up, fovy=args.fov)
+    # imstate config: scene-adjacent ini, --config files, --frame keyframes
+    # (load order per main.cpp:93-150)
+    from realtimepathtracingresearchframework_tpu.app.imstate import ImState
+    from realtimepathtracingresearchframework_tpu.app.state import AppStateBundle
+
+    ims = ImState()
+    bundle = AppStateBundle(ims, args.scenes[0] if args.scenes else "")
+    for path in args.scenes:
+        adj = os.path.splitext(path)[0] + ".ini"
+        if os.path.exists(adj):
+            ims.load_ini(adj)
+    for path in args.config:
+        ims.load_ini(path)
+    for path in args.frame:
+        ims.load_ini(path)
+    ims.apply_base()
+
+    eye = args.eye if args.eye is not None else None
+    center = args.center
+    if eye is not None:
+        bundle.scene.camera.position = np.asarray(eye, np.float64)
+    if center is not None:
+        pos = np.asarray(bundle.scene.camera.position, np.float64)
+        d = np.asarray(center, np.float64) - pos
+        bundle.scene.camera.direction = d / np.linalg.norm(d)
+    if args.eye is None and args.center is None and not (args.config or args.frame):
+        bundle.scene.camera.position = np.array([0.0, 1.0, 3.2])
+        bundle.scene.camera.direction = np.array([0.0, 0.0, -1.0])
+    bundle.scene.camera.up = np.asarray(args.up, np.float64)
+    bundle.scene.camera.fov = args.fov
+    bundle.scene.sun.direction = np.asarray(args.sun_dir, np.float64)
+    bundle.scene.sun.turbidity = args.turbidity
+    bundle.scene.exposure = args.exposure
+    bundle.app.batch_spp = args.spp
+    bundle.app.max_path_depth = args.max_depth
+    bundle.app.rr_path_depth = args.rr_depth
+    bundle.app.render_upscale_factor = args.upscale
+    camera = bundle.scene.camera.to_camera()
 
     renderer = Renderer()
     renderer.active_variant = args.variant
@@ -158,11 +193,31 @@ def main(argv=None) -> int:
         )
         return 0
 
+    if args.data_capture:
+        modes.run_data_capture(
+            renderer, ims, bundle, args.data_capture,
+            target_spp=max(args.validation_spp, 1),
+        )
+        return 0
+
     if args.profiling:
+        if args.frame or args.config:
+            # keyframed replay from the loaded ini timeline (SURVEY 3.4)
+            modes.run_profiling_keyframed(
+                renderer,
+                ims,
+                bundle,
+                args.profiling,
+                fps=args.profiling_fps,
+                save_keyframe_images=args.profiling_img,
+                fmt=fmt,
+            )
+            return 0
+        # no timeline given: synthesize a small camera orbit
         n_keyframes = 3
         cams = []
         for i in range(n_keyframes):
-            c = OrientedCamera.look_at(eye, center, args.up, fovy=args.fov)
+            c = bundle.scene.camera.to_camera()
             c.rotate(yaw_rad=0.15 * i)
             cams.append(FrameConfig(camera=c, params=params))
         times = [

@@ -89,6 +89,120 @@ def run_validation(
     return saved
 
 
+def run_profiling_keyframed(
+    renderer: Renderer,
+    ims,
+    bundle,
+    prefix: str,
+    fps: float = 60.0,
+    save_keyframe_images: bool = False,
+    fmt: str = OUTPUT_IMAGE_FORMAT_PFM,
+    benchmark: Optional[BenchmarkInfo] = None,
+    scene_config_cb=None,
+) -> BenchmarkInfo:
+    """Profiling mode over an imstate keyframe timeline (SURVEY 3.4):
+    non-realtime fixed-fps time progression (app_state.cpp:300-305),
+    keyframed settings applied when time passes their constraint
+    (imstate.cpp:821-846), one CSV row per frame, exit when the last
+    keyframe is reached (app_state.cpp:495-497)."""
+    bi = benchmark or BenchmarkInfo()
+    bi.open_csv(prefix + ".csv")
+    ims.pad_frames(1)  # ensure >=1 keyframe pair (main.cpp:146-148)
+
+    t = 0.0
+    dt = 1.0 / fps
+    frames_accumulated = 0
+    while True:
+        if ims.have_new_settings(t):
+            if save_keyframe_images and frames_accumulated > 0:
+                save_framebuffer(
+                    f"{prefix}_kf{ims.current_keyframe():03d}", renderer, fmt
+                )
+            ims.handled_new_settings()
+            renderer.reset_accumulation()
+            frames_accumulated = 0
+            if scene_config_cb:
+                scene_config_cb(bundle)
+
+        t0 = time.perf_counter()
+        stats = renderer.render(bundle.frame_config())
+        app_ms = (time.perf_counter() - t0) * 1e3
+        frames_accumulated += 1
+        bi.aggregate_frame(stats.render_time, app_ms)
+        bi.write_csv(
+            ims.current_keyframe(), frames_accumulated, stats.render_time, app_ms
+        )
+
+        if ims.last_keyframe_coming_up(t) and not ims.have_new_settings(t):
+            break
+        t += dt
+
+    if save_keyframe_images:
+        save_framebuffer(f"{prefix}_kf{ims.current_keyframe():03d}", renderer, fmt)
+    bi.close_csv()
+    info(
+        "profiling: %d frames, p50 render %.3f ms",
+        bi.frames_total,
+        bi.p50_render_time(),
+    )
+    return bi
+
+
+def run_data_capture(
+    renderer: Renderer,
+    ims,
+    bundle,
+    prefix: str,
+    target_spp: int = 16,
+    rgba: bool = True,
+    albedo_roughness: bool = True,
+    normal_depth: bool = True,
+    motion: bool = True,
+) -> List[str]:
+    """Data-capture mode (denoiser training data): per keyframe, accumulate
+    to target spp then dump rgba + AOV EXRs named
+    <prefix>_%04d_{rgba,albedo_roughness,normal_depth,motion_jitter}
+    (app_state.cpp:499-530)."""
+    saved = []
+    ims.pad_frames(1)
+    kf = 0
+    while True:
+        if ims.have_new_settings(float(kf)):
+            ims.handled_new_settings()
+        renderer.reset_accumulation()
+        config = bundle.frame_config()
+        accumulated = 0
+        batch = max(config.params.batch_spp, 1)
+        while accumulated < target_spp:
+            spp = next_frame_spp(accumulated, target_spp, batch)
+            renderer.render(config, batch_spp=spp)
+            accumulated += spp
+        renderer.render_aovs(config)
+
+        pf = f"{prefix}_{ims.current_keyframe() + 1:04d}"
+        if rgba:
+            img = renderer.readback_accumulation()
+            image_io.write_exr_rgba(pf + "_rgba.exr", img, half=False,
+                                    compression="none")
+            saved.append(pf + "_rgba.exr")
+        for flag, name, idx in (
+            (albedo_roughness, "albedo_roughness", Renderer.AOV_ALBEDO_ROUGHNESS),
+            (normal_depth, "normal_depth", Renderer.AOV_NORMAL_DEPTH),
+            (motion, "motion_jitter", Renderer.AOV_MOTION_JITTER),
+        ):
+            if flag:
+                aov = renderer.readback_aov(idx)
+                image_io.write_exr_rgba(
+                    f"{pf}_{name}.exr", aov, half=False, compression="none"
+                )
+                saved.append(f"{pf}_{name}.exr")
+        if ims.last_keyframe_coming_up(float(kf + 1)):
+            break
+        kf += 1
+    info("data capture: wrote %d images", len(saved))
+    return saved
+
+
 def run_profiling(
     renderer: Renderer,
     configs: List[FrameConfig],

@@ -410,6 +410,49 @@ class Renderer:
             np.asarray(hit.v),
         )
 
+    # AOV buffer indices (util/display/render_graphic.h:12-18)
+    AOV_ALBEDO_ROUGHNESS = 0
+    AOV_NORMAL_DEPTH = 1
+    AOV_MOTION_JITTER = 2
+
+    def render_aovs(self, config: FrameConfig):
+        """First-hit AOV pass (ENABLE_AOV_BUFFERS analogue); caches the
+        previous frame's view for motion vectors."""
+        from realtimepathtracingresearchframework_tpu.ops.aov import render_aovs
+
+        params = config.params
+        pos, du, dv, tl = config.camera.view_basis(self.fb_width, self.fb_height)
+        view = ViewBuffers(
+            cam_pos=jnp.asarray(pos),
+            cam_du=jnp.asarray(du),
+            cam_dv=jnp.asarray(dv),
+            cam_dir_top_left=jnp.asarray(tl),
+        )
+        prev_view = getattr(self, "_prev_view", None)
+        if prev_view is None:
+            prev_view = view
+        fp = FrameParams(
+            rr_path_depth=jnp.int32(params.rr_path_depth),
+            glossy_only_mode=jnp.int32(params.glossy_only_mode),
+            sample_offset=jnp.uint32(self.frame_id),
+            shot_offset=jnp.uint32(self.shot_offset),
+        )
+        cfg = self._integrator_config(params)
+        aovs = render_aovs(
+            self.device_scene, cfg, fp, view, prev_view, self.fb_width, self.fb_height
+        )
+        self._prev_view = view
+        self._aovs = aovs
+        return aovs
+
+    def readback_aov(self, aov_index: int) -> np.ndarray:
+        """readback_aov analogue (render_graphic.h:40)."""
+        aovs = getattr(self, "_aovs", None)
+        if aovs is None:
+            raise RuntimeError("render_aovs() has not been called")
+        arr = [aovs.albedo_roughness, aovs.normal_depth, aovs.motion_jitter][aov_index]
+        return np.asarray(jax.block_until_ready(arr))
+
     def hot_reload(self) -> None:
         """Drop all compiled pipelines; next frame re-traces
         (render_vulkan.cpp:2646-2648)."""

@@ -35,8 +35,14 @@ def dequantize_vertices(
 ) -> np.ndarray:
     """Render-space decode (librender/dequantize.glsl:8-21).
 
-    vq: (N,) uint64 -> (N, 3) float32.
+    vq: (N,) uint64 -> (N, 3) float32. Uses the native C++ decoder when
+    built (native/vkr_decode.cpp); numpy otherwise.
     """
+    from realtimepathtracingresearchframework_tpu import native
+
+    out = native.dequantize_vertices(vq, scale, offset)
+    if out is not None:
+        return out
     vq = np.asarray(vq, dtype=np.uint64)
     q = np.stack(
         [
@@ -152,6 +158,11 @@ def pack_normal_uv(n: np.ndarray, uv: np.ndarray) -> np.ndarray:
 
 
 def unpack_normal_uv(nq: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    from realtimepathtracingresearchframework_tpu import native
+
+    out = native.dequantize_normal_uv(nq)
+    if out is not None:
+        return out
     nq = np.asarray(nq, dtype=np.uint64)
     n = dequantize_normal((nq & np.uint64(0xFFFFFFFF)).astype(np.uint32))
     uv = dequantize_uv((nq >> np.uint64(32)).astype(np.uint32))
@@ -277,6 +288,11 @@ def quantize_transforms(matrices: np.ndarray) -> np.ndarray:
 
 def dequantize_transforms(blob: np.ndarray) -> np.ndarray:
     """(N, 24) uint8 (or flat bytes) -> (N, 3, 4) row-major affine."""
+    from realtimepathtracingresearchframework_tpu import native
+
+    out = native.dequantize_transforms(np.asarray(blob, np.uint8))
+    if out is not None:
+        return out
     blob = np.asarray(blob, dtype=np.uint8).reshape(-1, TRANSFORM_SIZE)
     translation = blob[:, 0:12].copy().view("<f4").reshape(-1, 3)
     scaling = blob[:, 12:16].copy().view("<f4").reshape(-1)

@@ -200,12 +200,19 @@ def decode_bc5(data: bytes, width: int, height: int) -> np.ndarray:
 
 
 def decode_mip(fmt: int, data: bytes, width: int, height: int) -> np.ndarray:
+    from realtimepathtracingresearchframework_tpu import native
+
     if fmt in _BC1_FORMATS:
-        return decode_bc1(data, width, height, opaque=fmt in (131, 132))
+        out = native.decode_bc1(data, width, height, fmt in (131, 132))
+        return out if out is not None else decode_bc1(
+            data, width, height, opaque=fmt in (131, 132)
+        )
     if fmt in (FORMAT_BC3_UNORM, FORMAT_BC3_SRGB):
-        return decode_bc3(data, width, height)
+        out = native.decode_bc3(data, width, height)
+        return out if out is not None else decode_bc3(data, width, height)
     if fmt == FORMAT_BC5_UNORM:
-        return decode_bc5(data, width, height)
+        out = native.decode_bc5(data, width, height)
+        return out if out is not None else decode_bc5(data, width, height)
     if fmt == FORMAT_RGBA8_UNORM:
         return (
             np.frombuffer(data, np.uint8)

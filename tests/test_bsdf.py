@@ -47,7 +47,7 @@ def _mat(n, rng, transmission=False):
     )
 
 
-N = 200_000
+N = 60_000
 
 
 @pytest.mark.parametrize("transmission", [False, True])
@@ -87,7 +87,7 @@ def test_sample_no_nan_bounded_weight(rng, transmission):
 
 def test_eval_matches_sampling_ratio(rng):
     """For sampled directions: weight ~= f * |cos| / pdf."""
-    n = 50_000
+    n = 20_000
     normal = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (n, 1))
     vx = np.tile(np.array([1.0, 0.0, 0.0], np.float32), (n, 1))
     vy = np.tile(np.array([0.0, 1.0, 0.0], np.float32), (n, 1))
@@ -110,7 +110,7 @@ def test_eval_matches_sampling_ratio(rng):
 
 def test_white_furnace_diffuse():
     """Pure white diffuse: integral of weight over samples ~ albedo (=1)."""
-    n = 500_000
+    n = 150_000
     rng = np.random.default_rng(7)
     normal = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (n, 1))
     vx = np.tile(np.array([1.0, 0.0, 0.0], np.float32), (n, 1))
@@ -142,7 +142,7 @@ def test_white_furnace_diffuse():
 
 
 def test_wpdf_nonnegative(rng):
-    n = 100_000
+    n = 40_000
     normal = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (n, 1))
     w_o = _random_dirs(rng, n)
     w_i = _random_dirs(rng, n)

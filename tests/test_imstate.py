@@ -1,0 +1,103 @@
+"""ImState config system tests (imstate.cpp semantics)."""
+
+import numpy as np
+import pytest
+
+from realtimepathtracingresearchframework_tpu.app.imstate import ImState
+from realtimepathtracingresearchframework_tpu.app.state import (
+    AppStateBundle,
+    make_scene_id,
+)
+
+
+def test_basic_roundtrip(tmp_path):
+    ims = ImState()
+    b = AppStateBundle(ims)
+    b.app.target_spp = 64
+    b.scene.exposure = 1.5
+    b.scene.camera.position = np.array([1.0, 2.0, 3.0])
+    text = ims.serialize()
+    assert "[Application][Application Settings]" in text
+    assert "[.][camera]" in text
+
+    ims2 = ImState()
+    b2 = AppStateBundle(ims2)
+    ims2.loads(text)
+    ims2.apply_base()
+    assert b2.app.target_spp == 64
+    assert b2.scene.exposure == pytest.approx(1.5)
+    np.testing.assert_allclose(b2.scene.camera.position, [1, 2, 3])
+
+
+def test_keyframes_absolute_and_relative():
+    ims = ImState()
+    b = AppStateBundle(ims)
+    ims.loads(
+        """
+[Application][Application Settings]
+batch_spp= 2
+
+[;][1.0]
+[Application][Application Settings]
+batch_spp= 4
+
+[;][+0.5]
+[Application][Application Settings]
+batch_spp= 8
+"""
+    )
+    ims.apply_base()
+    assert b.app.batch_spp == 2
+    assert ims.num_keyframes() == 3
+    assert not ims.have_new_settings(0.5)
+    assert ims.have_new_settings(1.0)
+    ims.handled_new_settings()
+    assert b.app.batch_spp == 4
+    # relative timecode: 1.0 + 0.5
+    assert not ims.have_new_settings(1.2)
+    assert ims.have_new_settings(1.5)
+    ims.handled_new_settings()
+    assert b.app.batch_spp == 8
+    assert ims.last_keyframe_coming_up(99.0)
+
+
+def test_include(tmp_path):
+    inc = tmp_path / "common.ini"
+    inc.write_text("[Application][Application Settings]\nmax_path_depth= 5\n")
+    main = tmp_path / "main.ini"
+    main.write_text(
+        f"[Include][common.ini]\n[Application][Application Settings]\nbatch_spp= 3\n"
+    )
+    ims = ImState()
+    b = AppStateBundle(ims)
+    ims.load_ini(str(main))
+    ims.apply_base()
+    assert b.app.max_path_depth == 5
+    assert b.app.batch_spp == 3
+
+
+def test_scene_qualified_target():
+    ims = ImState()
+    b = AppStateBundle(ims, "scenes/test/box.vks")
+    assert make_scene_id("scenes/test/box.vks") == "Scene##test/box.vks"
+    ims.loads(
+        "[Application][Scene##test/box.vks]\nexposure= 2.0\n"
+    )
+    ims.apply_base()
+    assert b.scene.exposure == pytest.approx(2.0)
+
+
+def test_unknown_target_ignored():
+    ims = ImState()
+    AppStateBundle(ims)
+    ims.loads("[Application][NoSuchThing]\nfoo= 1\n")
+    ims.apply_base()  # no exception
+
+
+def test_pad_frames():
+    ims = ImState()
+    ims.loads("[Application][Application Settings]\nbatch_spp= 1\n")
+    assert ims.num_keyframes() == 1
+    ims.pad_frames(1)
+    assert ims.num_keyframes() == 2
+    assert ims.settings[1].timeline_constraint == 1.0

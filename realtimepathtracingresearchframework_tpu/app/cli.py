@@ -81,6 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
         default="uniform",
         help="RNG pointset variant (RBO rng_variant)",
     )
+    p.add_argument("--taa", action="store_true", help="enable TAA resolve")
+    p.add_argument(
+        "--reprojection",
+        choices=["none", "discard", "accumulate"],
+        default="none",
+    )
     p.add_argument("--sun-dir", nargs=3, type=float, default=[0.0, 1.0, 0.0])
     p.add_argument("--turbidity", type=float, default=3.0)
     return p
@@ -170,6 +176,7 @@ def main(argv=None) -> int:
             LIGHT_SAMPLING_VARIANT_RIS if args.light_sampling == "ris" else 0
         ),
         rng_variant=["uniform", "bn", "sobol", "z_sbl"].index(args.rng),
+        enable_taa=args.taa,
     )
     renderer.options = opts
     renderer.initialize(args.img[0], args.img[1])
@@ -184,6 +191,7 @@ def main(argv=None) -> int:
         rr_path_depth=args.rr_depth,
         exposure=args.exposure,
         render_upscale_factor=args.upscale,
+        reprojection_mode=["none", "discard", "accumulate"].index(args.reprojection),
     )
     config = FrameConfig(camera=camera, params=params)
 

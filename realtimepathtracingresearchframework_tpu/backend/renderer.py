@@ -30,6 +30,7 @@ import numpy as np
 
 from realtimepathtracingresearchframework_tpu.backend.params import (
     LIGHT_SAMPLING_VARIANT_RIS,
+    REPROJECTION_MODE_ACCUMULATE,
     RenderBackendOptions,
     RenderParams,
     SceneConfig,
@@ -173,9 +174,10 @@ class Renderer:
         )
         t0 = time.perf_counter()
         with ProfilingScope("build BVH"):
-            self._bvh = bvh_mod.build_threaded_bvh(
+            self._topology = bvh_mod.build_bvh(
                 flat.v0, flat.e1, flat.e2, leaf_size=leaf_size
             )
+            self._bvh = bvh_mod.thread_bvh(self._topology, flat.v0, flat.e1, flat.e2)
         self.timers.add(ProfilingMarker.BUILD_BLAS, (time.perf_counter() - t0) * 1e3)
 
         self._flat = flat
@@ -323,16 +325,59 @@ class Renderer:
 
         t0 = time.perf_counter()
         new_accum, rays = fn(self.device_scene, fp, view, jnp.int32(spp))
-        # progressive history average (process_samples.comp:116-131)
-        self.accum = resolve_mod.accumulate_history(
-            self.accum, new_accum, jnp.int32(self.frame_id), jnp.int32(spp)
-        )
+
+        if params.reprojection_mode == REPROJECTION_MODE_ACCUMULATE:
+            # realtime resolve: reproject linear history by the motion AOV
+            # with a bounded window (postprocess/reprojection.glsl)
+            from realtimepathtracingresearchframework_tpu.ops import taa as taa_mod
+
+            aovs = self.render_aovs(config)
+            prev_accum = self.accum
+            prev_depth = getattr(self, "_prev_depth", None)
+            depth = aovs.normal_depth[..., 3]
+            if prev_depth is None or self.frame_id == 0:
+                self.accum = new_accum
+            else:
+                self.accum = taa_mod.reproject_and_accumulate(
+                    new_accum,
+                    prev_accum,
+                    aovs.motion_jitter[..., :2],
+                    depth,
+                    prev_depth,
+                    jnp.int32(params.spp_accumulation_window),
+                    jnp.int32(self.frame_id),
+                    jnp.int32(spp),
+                )
+            self._prev_depth = depth
+        else:
+            # progressive history average (process_samples.comp:116-131)
+            self.accum = resolve_mod.accumulate_history(
+                self.accum, new_accum, jnp.int32(self.frame_id), jnp.int32(spp)
+            )
         self.framebuffer = resolve_mod.resolve_framebuffer(
             self.accum,
             jnp.float32(params.exposure),
             tonemap_mode=int(params.early_tone_mapping_mode),
             upscale=int(params.render_upscale_factor),
         )
+
+        if self.options.enable_taa:
+            # TAA post pass (vulkan/processing/process_taa.comp)
+            from realtimepathtracingresearchframework_tpu.ops import taa as taa_mod
+
+            aovs = getattr(self, "_aovs", None)
+            if aovs is None or params.reprojection_mode != REPROJECTION_MODE_ACCUMULATE:
+                aovs = self.render_aovs(config)
+            hist = getattr(self, "_taa_history", None)
+            if hist is None or self.frame_id == 0:
+                hist = self.framebuffer
+            up = int(params.render_upscale_factor)
+            motion = aovs.motion_jitter[..., :2]
+            if up > 1:
+                motion = jnp.repeat(jnp.repeat(motion, up, axis=0), up, axis=1)
+            self.framebuffer = taa_mod.taa_resolve(self.framebuffer, hist, motion)
+            self._taa_history = self.framebuffer
+
         jax.block_until_ready(self.framebuffer)
         dt_ms = (time.perf_counter() - t0) * 1e3
 
@@ -409,6 +454,52 @@ class Renderer:
             np.asarray(hit.u),
             np.asarray(hit.v),
         )
+
+    # ------------------------------------------------------------------
+    # Dynamic scenes: animation + acceleration-structure refit
+    # (the TLAS rebuild/refit request queue analogue,
+    #  render_vulkan.cpp:1219-1366; public-release rptr ships the refit
+    #  machinery but not animation playback — we support both)
+    # ------------------------------------------------------------------
+
+    def set_animation_frame(self, frame: int, scene_config: SceneConfig = SceneConfig()) -> None:
+        """Re-pose instances at an animation frame. Same topology -> the
+        acceleration structure is REFIT (AABBs recomputed over the same
+        tree, vulkanrt_utils.h:92-101) unless force_bvh_rebuild or the
+        triangle count is within rebuild_triangle_budget, in which case a
+        full rebuild keeps quality (render_vulkan.cpp:472-545 budget)."""
+        scene = self.scene
+        with ProfilingScope("animate flatten"):
+            flat = scene.flatten_world(frame=frame)
+        rebuild = (
+            self.options.force_bvh_rebuild
+            or flat.num_tris <= self.options.rebuild_triangle_budget
+        )
+        t0 = time.perf_counter()
+        if rebuild:
+            self._topology = bvh_mod.build_bvh(
+                flat.v0, flat.e1, flat.e2, leaf_size=self._bvh.leaf_size
+            )
+            marker = ProfilingMarker.BUILD_TLAS
+        else:
+            self._topology = bvh_mod.refit_bvh(
+                self._topology, flat.v0, flat.e1, flat.e2
+            )
+            marker = ProfilingMarker.UPDATE_TLAS
+        self._bvh = bvh_mod.thread_bvh(self._topology, flat.v0, flat.e1, flat.e2)
+        self.timers.add(marker, (time.perf_counter() - t0) * 1e3)
+
+        self._flat = flat
+        self._tris = TriBuffers(
+            v0=jnp.asarray(flat.v0), e1=jnp.asarray(flat.e1), e2=jnp.asarray(flat.e2)
+        )
+        self._shading = self._shading._replace(
+            n0=jnp.asarray(flat.n0),
+            n1=jnp.asarray(flat.n1),
+            n2=jnp.asarray(flat.n2),
+        )
+        self._upload_lights_and_sky(scene_config)
+        self.reset_accumulation()
 
     # AOV buffer indices (util/display/render_graphic.h:12-18)
     AOV_ALBEDO_ROUGHNESS = 0

@@ -312,16 +312,48 @@ class Scene:
     # Flatten to world-space SoA (consumed by BVH build + integrators)
     # ------------------------------------------------------------------
 
-    def flatten_world(self, frame: int = 0) -> FlatScene:
+    def select_lod(self, mesh_id: int, xform, camera_pos, lod_threshold: float) -> int:
+        """Distance-based LoD level selection (util/lod.{h,cpp}): pick the
+        coarsest level whose screen-space error (detail_reduction x bound
+        radius / distance) stays under the threshold. Level 0 = base."""
+        mesh = self.meshes[mesh_id]
+        group = (
+            self.lod_groups[mesh.lod_group]
+            if mesh.lod_group < len(self.lod_groups)
+            else None
+        )
+        if camera_pos is None or group is None or len(group.mesh_ids) < 2:
+            return mesh_id
+        geom = mesh.geometries[0]
+        radius = 0.5 * float(
+            np.linalg.norm(geom.scale.astype(np.float64) * float(0x1FFFFF))
+        )
+        scale = float(np.cbrt(abs(np.linalg.det(xform[:, :3])) + 1e-20))
+        center = xform[:, 3]
+        dist = max(float(np.linalg.norm(np.asarray(camera_pos) - center)), 1e-3)
+        selected = group.mesh_ids[0]
+        for mid, reduction in zip(group.mesh_ids, group.detail_reduction):
+            err = reduction * radius * scale / dist
+            if err <= lod_threshold:
+                selected = mid
+        return selected
+
+    def flatten_world(
+        self,
+        frame: int = 0,
+        camera_pos=None,
+        lod_threshold: float = 0.02,
+    ) -> FlatScene:
         v0s, e1s, e2s = [], [], []
         n0s, n1s, n2s = [], [], []
         uv0s, uv1s, uv2s = [], [], []
         mats, insts = [], []
         for ii, inst in enumerate(self.instances):
             pm = self.parameterized_meshes[inst.parameterized_mesh_id]
-            mesh = self.meshes[pm.mesh_id]
             anim = self.animation_data[inst.animation_data_index]
             xform = anim.transform(inst.transform_index, frame)
+            lod_mesh_id = self.select_lod(pm.mesh_id, xform, camera_pos, lod_threshold)
+            mesh = self.meshes[lod_mesh_id]
             lin, tr = xform[:, :3].astype(np.float32), xform[:, 3].astype(np.float32)
             # normal transform: inverse-transpose of linear part
             lin_it = np.linalg.inv(lin).T.astype(np.float32)

@@ -369,10 +369,11 @@ def refit_bvh(bvh: BVH, v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> BVH:
     v2 = v0 + e2
     tmin = np.minimum(np.minimum(v0, v1), v2)
     tmax = np.maximum(np.maximum(v0, v1), v2)
+    leaf_size = bvh.leaf_tris.shape[1]
     lt = bvh.leaf_tris.reshape(-1)
     nl = bvh.num_leaves
-    lmin = tmin[lt].reshape(nl, LEAF_SIZE, 3).min(axis=1)
-    lmax = tmax[lt].reshape(nl, LEAF_SIZE, 3).max(axis=1)
+    lmin = tmin[lt].reshape(nl, leaf_size, 3).min(axis=1)
+    lmax = tmax[lt].reshape(nl, leaf_size, 3).max(axis=1)
 
     # recompute levels by walking from root
     n = bvh.num_nodes

@@ -1,0 +1,105 @@
+"""Animation, BVH refit, and LoD selection tests."""
+
+import numpy as np
+import pytest
+
+from realtimepathtracingresearchframework_tpu.backend.params import RenderParams
+from realtimepathtracingresearchframework_tpu.backend.renderer import (
+    FrameConfig,
+    Renderer,
+)
+from realtimepathtracingresearchframework_tpu.models import procedural, vkr
+from realtimepathtracingresearchframework_tpu.models.camera import OrientedCamera
+from realtimepathtracingresearchframework_tpu.models.quantization import (
+    quantize_transforms,
+)
+from realtimepathtracingresearchframework_tpu.models.scene import Scene
+
+
+def _animated_scene(frames=3):
+    """Single triangle translated +x by 1 unit per frame."""
+    vs = procedural.single_triangle()
+    mats = []
+    for f in range(frames):
+        m = np.zeros((3, 4), np.float32)
+        m[:, :3] = np.eye(3)
+        m[0, 3] = float(f)
+        mats.append(m)
+    vs.num_static_transforms = 0
+    vs.num_animated_transforms = 1
+    vs.num_frames = frames
+    vs.transforms_q = quantize_transforms(np.array(mats))
+    vs.instances[0].transform_index = 0
+    return Scene.from_vkr_scene(vs)
+
+
+def test_animated_transform_table():
+    scene = _animated_scene()
+    anim = scene.animation_data[0]
+    t0 = anim.transform(0, frame=0)
+    t2 = anim.transform(0, frame=2)
+    assert t0[0, 3] == pytest.approx(0.0, abs=1e-4)
+    assert t2[0, 3] == pytest.approx(2.0, abs=1e-4)
+
+
+def test_set_animation_frame_moves_geometry():
+    scene = _animated_scene()
+    r = Renderer()
+    r.initialize(8, 8)
+    r.set_scene(scene)
+    t, tri, u, v = r.render_ray_queries(
+        np.array([[0.0, 0.0, 5.0]], np.float32), np.array([[0.0, 0.0, -1.0]], np.float32)
+    )
+    assert tri[0] == 0  # hit at frame 0
+
+    r.set_animation_frame(2)
+    t, tri, u, v = r.render_ray_queries(
+        np.array([[0.0, 0.0, 5.0]], np.float32), np.array([[0.0, 0.0, -1.0]], np.float32)
+    )
+    assert tri[0] == -1  # moved away
+    t, tri, u, v = r.render_ray_queries(
+        np.array([[2.0, 0.0, 5.0]], np.float32), np.array([[0.0, 0.0, -1.0]], np.float32)
+    )
+    assert tri[0] == 0  # found at x=+2
+
+
+def test_refit_vs_rebuild_budget():
+    scene = _animated_scene()
+    r = Renderer()
+    r.initialize(8, 8)
+    r.options = r.options.replace(rebuild_triangle_budget=0)  # force refit path
+    r.set_scene(scene)
+    r.set_animation_frame(1)
+    t, tri, _, _ = r.render_ray_queries(
+        np.array([[1.0, 0.0, 5.0]], np.float32), np.array([[0.0, 0.0, -1.0]], np.float32)
+    )
+    assert tri[0] == 0
+
+
+def test_lod_selection():
+    # two-mesh lod group: fine (base) and coarse
+    vs = procedural.single_triangle()
+    coarse = procedural.make_mesh(
+        "tri_lod1",
+        np.array([[[-1, -1, 0], [1, -1, 0], [0, 1, 0]]], np.float32) * 1.0,
+    )
+    coarse.lod_group = 1
+    vs.meshes[0].lod_group = 1
+    vs.meshes.append(coarse)
+    vs.lod_groups.append(
+        vkr.VkrLodGroup(mesh_ids=[0, 1], detail_reduction=[0.0, 0.5])
+    )
+    scene = Scene.from_vkr_scene(vs)
+    assert len(scene.instances) == 1  # only base level instanced
+
+    xform = np.zeros((3, 4), np.float32)
+    xform[:, :3] = np.eye(3)
+    # close: base mesh; far: coarse
+    near = scene.select_lod(0, xform, camera_pos=[0, 0, 2.0], lod_threshold=0.02)
+    far = scene.select_lod(0, xform, camera_pos=[0, 0, 1e5], lod_threshold=0.02)
+    assert near == 0
+    assert far == 1
+
+    flat_near = scene.flatten_world(camera_pos=[0, 0, 2.0])
+    flat_far = scene.flatten_world(camera_pos=[0, 0, 1e5])
+    assert flat_near.num_tris == 1 and flat_far.num_tris == 1

@@ -1,0 +1,57 @@
+"""Tooling tests: vkr2obj, vktinfo, vktconvert, blender exporter core."""
+
+import numpy as np
+import pytest
+
+from realtimepathtracingresearchframework_tpu.models import procedural, texture, vkr
+from realtimepathtracingresearchframework_tpu.tools import (
+    blender_vkr,
+    vkr2obj,
+    vktconvert,
+    vktinfo,
+)
+from realtimepathtracingresearchframework_tpu.utils.image_io import write_png
+
+
+def test_vkr2obj(tmp_path):
+    p = str(tmp_path / "c.vks")
+    vkr.write_scene(p, procedural.cornell_box())
+    out = str(tmp_path / "c.obj")
+    assert vkr2obj.main([p, out]) == 0
+    text = open(out).read()
+    assert text.count("\nf ") == 32
+    assert text.count("\nv ") == 96
+
+
+def test_vktinfo(tmp_path, capsys, rng):
+    p = str(tmp_path / "t.vkt")
+    texture.write_vkt(p, (rng.random((8, 16, 4)) * 255).astype(np.uint8))
+    assert vktinfo.main([p]) == 0
+    out = capsys.readouterr().out
+    assert "16 x 8" in out and "R8G8B8A8_UNORM" in out
+
+
+def test_vktconvert_pow2_upsample(tmp_path, rng):
+    png = str(tmp_path / "in.png")
+    write_png(png, (rng.random((10, 12, 3)) * 255).astype(np.uint8))
+    out = str(tmp_path / "out.vkt")
+    assert vktconvert.main([png, out]) == 0
+    t = texture.read_vkt(out)
+    assert (t.width, t.height) == (16, 16)
+
+
+def test_blender_export_core(tmp_path):
+    tris = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32)
+    ident = np.zeros((3, 4), np.float32)
+    ident[:, :3] = np.eye(3)
+    out = str(tmp_path / "b.vks")
+    blender_vkr.export_scene_data(
+        meshes=[{"name": "m", "triangles": tris, "material_ids": np.zeros(1)}],
+        instances=[{"name": "i", "mesh_id": 0, "transform": ident}],
+        materials=[{"name": "Mat", "base_color": (0.5, 0.2, 0.1), "emission": 0.0}],
+        out_path=out,
+    )
+    back = vkr.open_scene(out)
+    assert back.num_triangles == 1
+    assert back.materials[0].name == "Mat"
+    np.testing.assert_allclose(back.materials[0].base_color, [0.5, 0.2, 0.1], atol=1e-6)

@@ -55,22 +55,31 @@ def main() -> int:
         params=RenderParams(batch_spp=spp, max_path_depth=max_depth),
     )
 
+    import numpy as np
+
+    def hard_sync():
+        # on the axon relay, block_until_ready returns at enqueue time; a
+        # 1-element readback is the only true device-completion barrier
+        _ = np.asarray(r.framebuffer.ravel()[0:1])
+
     # warmup / compile
     t0 = time.perf_counter()
     r.render(config)
+    hard_sync()
     compile_s = time.perf_counter() - t0
 
-    times = []
+    # amortized wall-clock over the frame batch with one final hard sync —
+    # per-frame soft timings under-report on this platform
     rays = []
+    t0 = time.perf_counter()
     for _ in range(frames):
-        stats = r.render(config)
-        times.append(stats.render_time)
+        r.render(config)
         rays.append(r._last_rays)
+    hard_sync()
+    total_s = time.perf_counter() - t0
 
-    times_sorted = sorted(times)
-    p50_ms = times_sorted[len(times_sorted) // 2]
+    p50_ms = total_s / frames * 1000.0
     total_rays = sum(rays)
-    total_s = sum(times) * 1e-3
     mrays = (total_rays / total_s) / 1e6 if total_s > 0 else 0.0
     fps = 1000.0 / p50_ms if p50_ms > 0 else 0.0
 

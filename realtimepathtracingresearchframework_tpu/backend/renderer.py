@@ -49,7 +49,9 @@ from realtimepathtracingresearchframework_tpu.ops.integrator import (
     MaterialBuffers,
     ShadingBuffers,
     ViewBuffers,
+    make_pass_fn,
     render_tile,
+    render_tile_host,
 )
 from realtimepathtracingresearchframework_tpu.ops import traverse_pallas
 from realtimepathtracingresearchframework_tpu.ops import texture_atlas as atlas_mod
@@ -112,6 +114,8 @@ class Renderer:
         self.shot_offset = 0
         self.timers = DeviceTimers()
         self._render_fns: Dict = {}  # jit cache (GpuProgramCache analogue)
+        self._pass_fns: Dict = {}  # scene-capturing pass programs
+        self._device_scene_revision = 0
         self._last_rays = 0
         self._last_render_ms = 0.0
         self._scene_revision = -1
@@ -260,7 +264,9 @@ class Renderer:
             atlas=self._atlas,
             rng=pointsets.build_rng_buffers(self.options.rng_variant),
         )
+        self._device_scene_revision += 1
         self._render_fns.clear()
+        self._pass_fns.clear()
 
     # ------------------------------------------------------------------
     # Frame lifecycle
@@ -321,10 +327,26 @@ class Renderer:
             bump_scale=jnp.float32(config.scene_config.bump_scale),
         )
         cfg = self._integrator_config(params)
-        fn = self._get_render_fn(cfg)
+        if self.active_variant == VARIANT_WAVEFRONT:
+            cfg = cfg._replace(wavefront=True)
 
         t0 = time.perf_counter()
-        new_accum, rays = fn(self.device_scene, fp, view, jnp.int32(spp))
+        # host-dispatched chunk passes: each pass runs as its own device
+        # program with the scene captured as constants (XLA layout quality
+        # degrades when waves share a module or the scene arrives as a
+        # parameter — see integrator.make_pass_fn)
+        pkey = (cfg, self.fb_width, self.fb_height, self._device_scene_revision)
+        pass_fn = self._pass_fns.get(pkey)
+        if pass_fn is None:
+            self._pass_fns.clear()  # stale scene closures
+            pass_fn = make_pass_fn(
+                self.device_scene, cfg, self.fb_width, self.fb_height
+            )
+            self._pass_fns[pkey] = pass_fn
+        new_accum, rays = render_tile_host(
+            self.device_scene, cfg, fp, view, self.fb_width, self.fb_height,
+            spp, pass_fn=pass_fn,
+        )
 
         if params.reprojection_mode == REPROJECTION_MODE_ACCUMULATE:
             # realtime resolve: reproject linear history by the motion AOV

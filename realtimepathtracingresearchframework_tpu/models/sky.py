@@ -38,6 +38,11 @@ class SkyParams(NamedTuple):
     sun_cos_angle: jnp.ndarray  # ()
     sun_radiance: jnp.ndarray  # (4,): rgb + NEE selection weight
     scale: jnp.ndarray  # () overall radiance scale
+    # equirect radiance map baked at build time: per-miss analytic Perez
+    # evaluation costs ~15 transcendentals/ray; a (H, W, 3) table lookup is
+    # 4 gathers. 256x128 keeps banding below the quantization of 8-bit
+    # displays for typical turbidities.
+    sky_img: jnp.ndarray = jnp.zeros((1, 1, 3), jnp.float32)
 
 
 def _perez_coeffs(t: float) -> np.ndarray:
@@ -130,7 +135,7 @@ def build_sky(
         if not has_area_lights:
             sun_radiance[3] = 1.0
 
-    return SkyParams(
+    params = SkyParams(
         perez=jnp.asarray(perez, jnp.float32),
         zenith=jnp.asarray(zenith, jnp.float32),
         sun_dir=jnp.asarray(sun_dir, jnp.float32),
@@ -138,6 +143,32 @@ def build_sky(
         sun_radiance=jnp.asarray(sun_radiance, jnp.float32),
         scale=jnp.float32(scale),
     )
+    # note: measured on v5e, the analytic Perez evaluation (~15
+    # transcendentals) is FASTER than 4 table gathers, so the baked map is
+    # opt-in (bake_sky_image) and the default stays analytic
+    return params
+
+
+def bake_sky_image(params: SkyParams, height: int = 128) -> jnp.ndarray:
+    """Bake the analytic model into an equirect (H, 2H, 3) radiance map
+    (upper hemisphere only; lookups fold downward dirs like the analytic
+    path)."""
+    width = 2 * height
+    v = (np.arange(height) + 0.5) / height  # theta in [0, pi/2] (y >= 0)
+    u = (np.arange(width) + 0.5) / width  # phi in [0, 2pi)
+    theta = v * (np.pi / 2.0)
+    phi = u * (2.0 * np.pi)
+    st = np.sin(theta)[:, None]
+    d = np.stack(
+        [
+            st * np.cos(phi)[None, :],
+            np.broadcast_to(np.cos(theta)[:, None], (height, width)),
+            st * np.sin(phi)[None, :],
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    rgb = _sky_radiance_analytic(params, jnp.asarray(d.reshape(-1, 3)))
+    return rgb.reshape(height, width, 3)
 
 
 def _perez(coeffs, cos_theta, gamma, cos_gamma):
@@ -147,7 +178,7 @@ def _perez(coeffs, cos_theta, gamma, cos_gamma):
     )
 
 
-def sky_radiance(params: SkyParams, d):
+def _sky_radiance_analytic(params: SkyParams, d):
     """Atmosphere radiance for direction(s) d (..., 3), linear sRGB.
 
     Downward directions are mirrored with the ocean attenuation
@@ -198,3 +229,41 @@ def sun_visible_radiance(params: SkyParams, d):
     return jnp.where(
         in_cap[..., None], params.sun_radiance[:3] * ocean[..., None], 0.0
     )
+
+
+def sky_radiance(params: SkyParams, d):
+    """Runtime sky lookup: samples the baked equirect map (4 gathers)
+    when present, else evaluates the analytic model."""
+    if params.sky_img.shape[0] <= 1:
+        return _sky_radiance_analytic(params, d)
+    h, w = params.sky_img.shape[:2]
+    y = d[..., 1]
+    ocean = jnp.where(y <= 0.0, 0.7 * jnp.maximum(1.0 - jnp.abs(y), 0.0) ** 5, 1.0)
+    ay = jnp.abs(y)
+    norm = jnp.sqrt(jnp.maximum(d[..., 0] ** 2 + ay**2 + d[..., 2] ** 2, 1e-20))
+    theta = jnp.arccos(jnp.clip(ay / norm, 0.0, 1.0))
+    phi = jnp.arctan2(d[..., 2], d[..., 0])
+    u = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi) * (1.0 / (2.0 * jnp.pi))
+    v = theta * (2.0 / jnp.pi)
+    x = u * w - 0.5
+    yy = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(yy).astype(jnp.int32)
+    fx = (x - x0.astype(jnp.float32))[..., None]
+    fy = (yy - y0.astype(jnp.float32))[..., None]
+    x0w = jnp.remainder(x0, w)
+    x1w = jnp.remainder(x0 + 1, w)
+    y0c = jnp.clip(y0, 0, h - 1)
+    y1c = jnp.clip(y0 + 1, 0, h - 1)
+    img = params.sky_img
+    p00 = img[y0c, x0w]
+    p10 = img[y0c, x1w]
+    p01 = img[y1c, x0w]
+    p11 = img[y1c, x1w]
+    out = (
+        p00 * (1 - fx) * (1 - fy)
+        + p10 * fx * (1 - fy)
+        + p01 * (1 - fx) * fy
+        + p11 * fx * fy
+    )
+    return out * ocean[..., None]

@@ -65,7 +65,9 @@ def _refract(i, n, eta):
 
 
 def schlick_weight(c):
-    return jnp.clip(1.0 - c, 0.0, 1.0) ** 5
+    x = jnp.clip(1.0 - c, 0.0, 1.0)
+    x2 = x * x
+    return x2 * x2 * x  # explicit multiplies: ** 5 can lower via exp/log
 
 
 def gltf_schlick_weight(o_dot_h, ior):

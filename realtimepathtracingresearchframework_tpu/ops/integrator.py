@@ -294,6 +294,39 @@ def _sample_direct_light(
     return jnp.where(ok[..., None], contrib, 0.0)
 
 
+
+def _split3(v):
+    """(N,3) -> three (N,) components. Per-ray state is carried through the
+    bounce loop as 1-D components: multi-column carries let XLA choose
+    column-major layouts that fight the gathers/custom-calls and insert
+    ~30ms transposing relayout copies per iteration."""
+    return v[..., 0], v[..., 1], v[..., 2]
+
+
+def _join3(x, y, z):
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def _pack_carry(ro, rd, t_min, illum, throughput, active, prev_pdf,
+                bounce_count, total_t, rng_state, rays):
+    return (
+        *_split3(ro), *_split3(rd), t_min, *_split3(illum),
+        *_split3(throughput), active, prev_pdf, bounce_count, total_t,
+        rng_state, rays,
+    )
+
+
+def _unpack_carry(c):
+    ro = _join3(c[0], c[1], c[2])
+    rd = _join3(c[3], c[4], c[5])
+    t_min = c[6]
+    illum = _join3(c[7], c[8], c[9])
+    throughput = _join3(c[10], c[11], c[12])
+    active, prev_pdf, bounce_count, total_t, rng_state, rays = c[13:19]
+    return (ro, rd, t_min, illum, throughput, active, prev_pdf,
+            bounce_count, total_t, rng_state, rays)
+
+
 def trace_paths(
     ds: DeviceScene,
     cfg: IntegratorConfig,
@@ -318,7 +351,7 @@ def trace_paths(
         """Traverse + hit attributes + emitter MIS; shared by body/epilogue.
         Returns (carry w/ miss handled, hit shading context)."""
         (ro, rd, t_min, illum, throughput, active, prev_pdf, bounce_count,
-         total_t, rng_state, rays) = carry
+         total_t, rng_state, rays) = _unpack_carry(carry)
         rays = rays + jnp.sum(active.astype(rays.dtype))
         tmax_eff = jnp.where(active, T_MAX, 0.0)
         if cfg.use_pallas:
@@ -444,8 +477,8 @@ def trace_paths(
 
         bounce_count = jnp.where(active, bounce_count + 1, bounce_count)
 
-        carry = (ro, rd, t_min, illum, throughput, active, prev_pdf,
-                 bounce_count, total_t, rng_state, rays)
+        carry = _pack_carry(ro, rd, t_min, illum, throughput, active,
+                            prev_pdf, bounce_count, total_t, rng_state, rays)
         ctx = (p, n_sh, gn, mat, w_o)
         return carry, ctx
 
@@ -453,7 +486,7 @@ def trace_paths(
         """NEE + BSDF sample + RR — skipped on the final bounce."""
         carry, ctx, bounce_i = args
         (ro, rd, t_min, illum, throughput, active, prev_pdf, bounce_count,
-         total_t, rng_state, rays) = carry
+         total_t, rng_state, rays) = _unpack_carry(carry)
         p, n_sh, gn, mat, w_o = ctx
 
         # ---- RNG draws in reference order (shade_base_material.glsl:60-84)
@@ -516,8 +549,8 @@ def trace_paths(
         )
         active = active & (~do_rr | survive)
 
-        return (ro, rd, t_min, illum, throughput, active, prev_pdf,
-                bounce_count, total_t, rng_state, rays)
+        return _pack_carry(ro, rd, t_min, illum, throughput, active,
+                           prev_pdf, bounce_count, total_t, rng_state, rays)
 
     def compact(carry, slot):
         """Wavefront queue compaction: stable-partition live rays to the
@@ -525,35 +558,47 @@ def trace_paths(
         packet traversal skips in one step). This is the stream compaction
         of the north-star wavefront design; a permutation, so per-ray
         results are bit-identical to the megakernel ordering."""
-        (ro, rd, t_min, illum, throughput, active, prev_pdf, bounce_count,
-         total_t, rng_state, rays) = carry
+        active = carry[13]
+        rays = carry[18]
         perm = jnp.argsort(~active, stable=True)
-        carry = (
-            ro[perm], rd[perm], t_min[perm], illum[perm], throughput[perm],
-            active[perm], prev_pdf[perm], bounce_count[perm], total_t[perm],
-            jax.tree.map(lambda a: a[perm], rng_state), rays,
-        )
+        carry = tuple(
+            jax.tree.map(lambda a: a[perm], c) for c in carry[:18]
+        ) + (rays,)
         return carry, slot[perm]
 
     def bounce_body(i, carry_slot):
         carry, slot = carry_slot
         if cfg.wavefront:
             carry, slot = compact(carry, slot)
-        carry, ctx = visit_hit(carry)
-        # scalar predicate: real branch, not a lane mask — the final bounce
-        # cuts NEE/BSDF work entirely (shade_base_material.glsl:56-57)
-        carry = jax.lax.cond(
-            i < cfg.max_path_depth - 1,
-            scatter_tail,
-            lambda args: args[0],
-            (carry, ctx, jnp.asarray(i, jnp.int32)),
-        )
+
+        def live_body(carry):
+            carry, ctx = visit_hit(carry)
+            if isinstance(i, int):
+                # unrolled: final-bounce cut resolved in Python
+                # (shade_base_material.glsl:56-57)
+                if i < cfg.max_path_depth - 1:
+                    carry = scatter_tail((carry, ctx, jnp.int32(i)))
+            else:
+                # dynamic loop: scalar predicate, real branch
+                carry = jax.lax.cond(
+                    i < cfg.max_path_depth - 1,
+                    scatter_tail,
+                    lambda args: args[0],
+                    (carry, ctx, jnp.asarray(i, jnp.int32)),
+                )
+            return carry
+
+        # whole-wave early out: once every lane is dead (RR/absorption/sky)
+        # the remaining bounces are skipped in one scalar branch — the
+        # fixed-shape analogue of the reference's per-thread loop break
+        # (pt_megakernel.glsl:445-449)
+        carry = jax.lax.cond(jnp.any(carry[13]), live_body, lambda c: c, carry)
         return carry, slot
 
     active0 = (
         jnp.ones((n,), bool) if lane_mask is None else jnp.asarray(lane_mask)
     )
-    carry = (
+    carry = _pack_carry(
         ro,
         rd,
         jnp.zeros((n,), jnp.float32),  # t_min
@@ -571,16 +616,14 @@ def trace_paths(
     if cfg.unroll:
         cs = (carry, slot0)
         for i in range(cfg.max_path_depth):
-            cs = bounce_body(jnp.int32(i), cs)
+            cs = bounce_body(i, cs)
         carry, slot = cs
     else:
         carry, slot = jax.lax.fori_loop(
             0, cfg.max_path_depth, bounce_body, (carry, slot0)
         )
 
-    illum = carry[3]
-    bounce_count = carry[7]
-    rays_traced = carry[10]
+    (_, _, _, illum, _, _, _, bounce_count, _, _, rays_traced) = _unpack_carry(carry)
     alpha = jnp.where(bounce_count == 0, 0.0, 1.0)
     if cfg.wavefront:
         # un-permute back to ray order
@@ -664,17 +707,25 @@ def render_tile(
     px_c = jnp.asarray(px_np.reshape(num_chunks, chunk))
     py_c = jnp.asarray(py_rel_np.reshape(num_chunks, chunk)) + y0
     valid_c = jnp.asarray(valid_np.reshape(num_chunks, chunk))
-    lin_c = jnp.asarray(lin_np.reshape(num_chunks, chunk))
     dims = jnp.array([width, height], jnp.float32)
 
+    # inverse swizzle (host-constant): pixel j's accumulator slot in the
+    # swizzle-ordered buffer. Chunks accumulate CONTIGUOUSLY (one
+    # dynamic_update_slice per pass — an in-place row-block write) and the
+    # frame is unswizzled with a single constant-index gather at the end;
+    # a per-chunk scatter-add into pixel order was the frame-time hotspot
+    # on TPU (scatters serialize, gathers pipeline).
+    inv_np = np.zeros(tile_h * width, np.int32)
+    inv_np[lin_np[valid_np]] = np.nonzero(valid_np)[0].astype(np.int32)
+    inv = jnp.asarray(inv_np)
+
     def one_pass(i, carry):
-        acc, rays = carry
+        acc_sw, rays = carry
         s = (i // num_chunks).astype(jnp.uint32)
         c = i % num_chunks
         px = px_c[c]
         py = py_c[c]
         valid = valid_c[c]
-        lin = lin_c[c]
         sample_index = fp.sample_offset + s
         state = pointsets.make_state(
             cfg.rng_variant, sample_index, fp.shot_offset, px, py, width
@@ -685,11 +736,145 @@ def render_tile(
         ro, rd = camera_rays(view, px, py, dims, jitter)
         rgb, alpha, nrays = trace_paths(ds, cfg, fp, ro, rd, state, lane_mask=valid)
         sample = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
-        acc = acc.at[lin].add(jnp.where(valid[:, None], sample, 0.0), mode="drop")
-        return acc, rays + nrays
+        sample = jnp.where(valid[:, None], sample, 0.0)
+        start = c * chunk
+        cur = jax.lax.dynamic_slice(acc_sw, (start, 0), (chunk, 4))
+        acc_sw = jax.lax.dynamic_update_slice(acc_sw, cur + sample, (start, 0))
+        return acc_sw, rays + nrays
 
-    acc = jnp.zeros((tile_h * width, 4), jnp.float32)
+    acc_sw = jnp.zeros((n_pad, 4), jnp.float32)
     rays0 = jnp.zeros((), jnp.int32)
-    acc, rays = jax.lax.fori_loop(0, spp * num_chunks, one_pass, (acc, rays0))
+    acc_sw, rays = jax.lax.fori_loop(0, spp * num_chunks, one_pass, (acc_sw, rays0))
+    acc = acc_sw[inv]
     acc = acc / jnp.maximum(spp, 1).astype(jnp.float32)
     return acc.reshape(tile_h, width, 4), rays
+
+
+# ---------------------------------------------------------------------------
+# Host-driven frame loop (single-chip fast path)
+# ---------------------------------------------------------------------------
+
+_TABLE_CACHE: dict = {}
+
+
+def _swizzle_tables(width: int, tile_h: int):
+    """Device-resident swizzle tables for (width, tile_h), cached. Same
+    16x16-tile traversal order as render_tile."""
+    key = (width, tile_h)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    ts = 16
+    bw = -(-width // ts)
+    bh = -(-tile_h // ts)
+    n_rays = bw * bh * ts * ts
+    idx = np.arange(n_rays)
+    block = idx // (ts * ts)
+    within = idx % (ts * ts)
+    px_np = (block % bw) * ts + within % ts
+    py_np = (block // bw) * ts + within // ts
+    valid_np = (px_np < width) & (py_np < tile_h)
+    px_np = np.minimum(px_np, width - 1).astype(np.int32)
+    py_np = np.minimum(py_np, tile_h - 1).astype(np.int32)
+    lin_np = np.where(valid_np, py_np * width + px_np, tile_h * width)
+    chunk = min(n_rays, RAYS_PER_PASS)
+    n_pad = n_rays + ((-n_rays) % chunk)
+    nc = n_pad // chunk
+
+    def pad(a, f):
+        return (
+            np.concatenate([a, np.full(n_pad - n_rays, f, a.dtype)])
+            if n_pad > n_rays
+            else a
+        )
+
+    px_np, py_np = pad(px_np, 0), pad(py_np, 0)
+    valid_np, lin_np = pad(valid_np, False), pad(lin_np.astype(np.int32), 0)
+    inv_np = np.zeros(tile_h * width, np.int32)
+    inv_np[lin_np[valid_np]] = np.nonzero(valid_np)[0].astype(np.int32)
+    out = (
+        [jnp.asarray(px_np.reshape(nc, chunk)[c]) for c in range(nc)],
+        [jnp.asarray(py_np.reshape(nc, chunk)[c]) for c in range(nc)],
+        [jnp.asarray(valid_np.reshape(nc, chunk)[c]) for c in range(nc)],
+        jnp.asarray(inv_np),
+        nc,
+        chunk,
+    )
+    _TABLE_CACHE[key] = out
+    return out
+
+
+def make_pass_fn(ds: DeviceScene, cfg: IntegratorConfig, width: int, height: int):
+    """Build the jitted single-pass program for a scene.
+
+    Two deliberate choices, both measured on v5e:
+    - One pass = its own device program. XLA's layout assignment and
+      scheduling degrade sharply when several integrator waves share one
+      module (240ms -> 700ms per depth-9 wave; reductions and loop-carry
+      updates got 5-50x slower), so the frame loop lives on the host and
+      dispatches this well-tuned single-wave program per chunk.
+    - The scene is CAPTURED, not passed: as a parameter the scene arrives
+      in default layouts and the same program runs 3.2x slower (761ms vs
+      240ms) — XLA only picks optimal gather-table/custom-call layouts
+      for baked constants. Callers must rebuild on scene change (the
+      renderer keys its cache on the scene revision)."""
+    dims = jnp.array([width, height], jnp.float32)
+
+    @partial(jax.jit, donate_argnames=("acc",))
+    def pass_fn(fp, view, acc, px, py, valid, sample_index):
+        state = pointsets.make_state(
+            cfg.rng_variant, sample_index, fp.shot_offset, px, py, width
+        )
+        state, jitter = pointsets.draw2(
+            cfg.rng_variant, ds.rng, state, jnp.int32(0)
+        )
+        ro, rd = camera_rays(view, px, py, dims, jitter)
+        rgb, alpha, nrays = trace_paths(
+            ds, cfg, fp, ro, rd, state, lane_mask=valid
+        )
+        sample = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+        sample = jnp.where(valid[:, None], sample, 0.0)
+        return acc + sample, nrays
+
+    return pass_fn
+
+
+@partial(jax.jit, static_argnames=("spp", "width", "tile_h"))
+def _assemble_frame(chunks, rays, inv, spp: int, width: int, tile_h: int):
+    acc = jnp.concatenate(chunks, axis=0)[inv]
+    acc = acc / jnp.float32(max(spp, 1))
+    return acc.reshape(tile_h, width, 4), jnp.stack(rays).sum()
+
+
+def render_tile_host(
+    ds: DeviceScene,
+    cfg: IntegratorConfig,
+    fp: FrameParams,
+    view: ViewBuffers,
+    width: int,
+    height: int,
+    spp: int,
+    y0: int = 0,
+    tile_h: Optional[int] = None,
+    pass_fn=None,
+):
+    """Host-driven equivalent of render_tile: one async device dispatch per
+    (sample, chunk) pass. Bit-identical results; ~3x faster frames than the
+    single-module loop (see make_pass_fn). Host-side only — use render_tile
+    under jit/shard_map. Callers rendering repeatedly should build
+    ``pass_fn`` once via make_pass_fn and pass it in (rebuilding retraces)."""
+    tile_h = tile_h if tile_h is not None else height
+    if pass_fn is None:
+        pass_fn = make_pass_fn(ds, cfg, width, height)
+    px_c, py_c, valid_c, inv, nc, chunk = _swizzle_tables(width, tile_h)
+    accs = [jnp.zeros((chunk, 4), jnp.float32) for _ in range(nc)]
+    rays = []
+    for s in range(spp):
+        for c in range(nc):
+            py = py_c[c] if y0 == 0 else py_c[c] + jnp.int32(y0)
+            sample_index = fp.sample_offset + jnp.uint32(s)
+            accs[c], nr = pass_fn(
+                fp, view, accs[c], px_c[c], py, valid_c[c], sample_index
+            )
+            rays.append(nr)
+    return _assemble_frame(accs, rays, inv, spp, width, tile_h)

@@ -160,17 +160,31 @@ def sample_tri_lights(
         bin_id = jnp.minimum(sx.astype(jnp.int32), num_bins - 1)
         sel_p = 1.0 / num_bins
         # score all lights in the bin (fixed width)
-        lid = bin_id[..., None] * bin_size + jnp.arange(bin_size)  # (...,B)
-        lv0 = lights.v0[lid] - hit_p[..., None, :]
-        lv1 = lights.v1[lid] - hit_p[..., None, :]
-        lv2 = lights.v2[lid] - hit_p[..., None, :]
+        if num_bins == 1:
+            # single bin: broadcast the tiny light table instead of (N,16)
+            # gathers — gathers are the costly primitive on TPU
+            lid = jnp.broadcast_to(
+                jnp.arange(bin_size), hit_p.shape[:-1] + (bin_size,)
+            )
+            lv0 = lights.v0[None, :, :] - hit_p[..., None, :]
+            lv1 = lights.v1[None, :, :] - hit_p[..., None, :]
+            lv2 = lights.v2[None, :, :] - hit_p[..., None, :]
+        else:
+            lid = bin_id[..., None] * bin_size + jnp.arange(bin_size)  # (...,B)
+            lv0 = lights.v0[lid] - hit_p[..., None, :]
+            lv1 = lights.v1[lid] - hit_p[..., None, :]
+            lv2 = lights.v2[lid] - hit_p[..., None, :]
         front = is_tri_facing_forward(lv0, lv1, lv2)
         above = (
             (_dot(lv0, hit_n[..., None, :]) > 0.0)
             | (_dot(lv1, hit_n[..., None, :]) > 0.0)
             | (_dot(lv2, hit_n[..., None, :]) > 0.0)
         )
-        contrib = _lum(lights.radiance[lid])
+        contrib = (
+            _lum(lights.radiance)[None, :]
+            if num_bins == 1
+            else _lum(lights.radiance[lid])
+        )
         sa = approx_triangle_solid_angle(
             _normalize(lv0), _normalize(lv1), _normalize(lv2)
         )

@@ -83,21 +83,26 @@ def pack_for_pallas(tb: ThreadedBVH) -> PallasBVHBuffers:
     )
 
 
-def _kernel(nodes_ref, tris_ref, rays_lane_ref, rays_sub_ref,
+def _kernel(nodes_ref, tris_ref, rays_ref,
             t_out, row_out, u_out, v_out, *, num_nodes: int, any_hit: bool,
             block: int):
+    # Rays arrive as ONE (8, B) operand (rows = rox..tmax). A single packed
+    # operand means XLA materializes the ray data with a single producer
+    # fusion: with eight separate operands, XLA re-ran the (expensive,
+    # unfusable-into-custom-calls) producer chain once PER OPERAND, which
+    # dominated in-context cost (65ms vs 9ms standalone for shadow rays).
     b = block
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, PALLAS_LEAF_SIZE), 1)
 
-    # lane-major ray fields (1, B)
-    rox_l = rays_lane_ref[0:1, :]
-    roy_l = rays_lane_ref[1:2, :]
-    roz_l = rays_lane_ref[2:3, :]
-    rdx_l = rays_lane_ref[3:4, :]
-    rdy_l = rays_lane_ref[4:5, :]
-    rdz_l = rays_lane_ref[5:6, :]
-    tmin_l = rays_lane_ref[6:7, :]
-    tmax_l = rays_lane_ref[7:8, :]
+    # lane-major (1, B) rows — already the layout the AABB test wants
+    rox_l = rays_ref[0:1, :]
+    roy_l = rays_ref[1:2, :]
+    roz_l = rays_ref[2:3, :]
+    rdx_l = rays_ref[3:4, :]
+    rdy_l = rays_ref[4:5, :]
+    rdz_l = rays_ref[5:6, :]
+    tmin_l = rays_ref[6:7, :]
+    tmax_l = rays_ref[7:8, :]
 
     tiny = 1e-20
 
@@ -106,15 +111,15 @@ def _kernel(nodes_ref, tris_ref, rays_lane_ref, rays_sub_ref,
 
     ix_l, iy_l, iz_l = inv(rdx_l), inv(rdy_l), inv(rdz_l)
 
-    # sublane-major ray fields (B, 1)
-    rox_s = rays_sub_ref[:, 0:1]
-    roy_s = rays_sub_ref[:, 1:2]
-    roz_s = rays_sub_ref[:, 2:3]
-    rdx_s = rays_sub_ref[:, 3:4]
-    rdy_s = rays_sub_ref[:, 4:5]
-    rdz_s = rays_sub_ref[:, 5:6]
-    tmin_s = rays_sub_ref[:, 6:7]
-    tmax_s = rays_sub_ref[:, 7:8]
+    # sublane-major (B, 1) views (on-core relayout of small blocks)
+    rox_s = rox_l.T
+    roy_s = roy_l.T
+    roz_s = roz_l.T
+    rdx_s = rdx_l.T
+    rdy_s = rdy_l.T
+    rdz_s = rdz_l.T
+    tmin_s = tmin_l.T
+    tmax_s = tmax_l.T
 
     def cond(c):
         cur = c[0]
@@ -238,9 +243,9 @@ def _kernel(nodes_ref, tris_ref, rays_lane_ref, rays_sub_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("num_nodes", "block", "any_hit"))
-def _traverse_pallas(nodes, tris_t, rays_lane, rays_sub,
+def _traverse_pallas(nodes, tris_t, rays,
                      num_nodes: int, block: int, any_hit: bool):
-    n = rays_lane.shape[1]
+    n = rays.shape[1]  # rays is a single (8, Np) packed operand
     grid = (n // block,)
     kernel = functools.partial(
         _kernel, num_nodes=num_nodes, any_hit=any_hit, block=block
@@ -262,10 +267,9 @@ def _traverse_pallas(nodes, tris_t, rays_lane, rays_sub,
             pl.BlockSpec(nodes.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(tris_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            sub_spec(8),
         ],
         out_specs=[sub_spec(1), sub_spec(1), sub_spec(1), sub_spec(1)],
-    )(nodes, tris_t, rays_lane, rays_sub)
+    )(nodes, tris_t, rays)
 
 
 def _prep_rays(ro, rd, t_min, t_max, block):
@@ -273,16 +277,20 @@ def _prep_rays(ro, rd, t_min, t_max, block):
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     pad = (-n) % block
-    if pad:
-        ro = jnp.concatenate([ro, jnp.zeros((pad, 3), ro.dtype)])
-        rd = jnp.concatenate([rd, jnp.ones((pad, 3), rd.dtype)])
-        t_min = jnp.concatenate([t_min, jnp.zeros((pad,), jnp.float32)])
-        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), jnp.float32)])
-    rays_sub = jnp.concatenate(
-        [ro, rd, t_min[:, None], t_max[:, None]], axis=1
-    )  # (Np, 8)
-    rays_lane = rays_sub.T  # (8, Np)
-    return rays_lane, rays_sub, n
+
+    def padv(x, fill):
+        if pad == 0:
+            return x
+        return jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+
+    comps = [
+        padv(ro[:, 0], 0.0), padv(ro[:, 1], 0.0), padv(ro[:, 2], 0.0),
+        padv(rd[:, 0], 1.0), padv(rd[:, 1], 0.0), padv(rd[:, 2], 0.0),
+        padv(t_min, 0.0), padv(t_max, 0.0),
+    ]
+    # single packed (8, Np) operand: one producer fusion materializes all
+    # ray data (separate operands each re-ran their producer chain)
+    return jnp.stack(comps, axis=0), n
 
 
 def closest_hit_pallas(
@@ -290,9 +298,9 @@ def closest_hit_pallas(
 ):
     from realtimepathtracingresearchframework_tpu.ops.traverse import Hit
 
-    rays_lane, rays_sub, n = _prep_rays(ro, rd, t_min, t_max, block)
+    rays, n = _prep_rays(ro, rd, t_min, t_max, block)
     t, row, u, v = _traverse_pallas(
-        bb.nodes, bb.tris_t, rays_lane, rays_sub,
+        bb.nodes, bb.tris_t, rays,
         num_nodes=bb.num_nodes, block=block, any_hit=False,
     )
     t = t[:n, 0]
@@ -305,9 +313,9 @@ def closest_hit_pallas(
 def occluded_pallas(
     bb: PallasBVHBuffers, ro, rd, t_min=0.0, t_max=_INF, block: int = DEFAULT_BLOCK
 ):
-    rays_lane, rays_sub, n = _prep_rays(ro, rd, t_min, t_max, block)
+    rays, n = _prep_rays(ro, rd, t_min, t_max, block)
     t, row, u, v = _traverse_pallas(
-        bb.nodes, bb.tris_t, rays_lane, rays_sub,
+        bb.nodes, bb.tris_t, rays,
         num_nodes=bb.num_nodes, block=block, any_hit=True,
     )
     return row[:n, 0] >= 0

@@ -127,6 +127,8 @@ def main(argv=None) -> int:
         fmt = modes.OUTPUT_IMAGE_FORMAT_PFM  # README documents .pfm validation
 
     scene = load_scene(args.scenes, args.resource_dir)
+    if args.deduplicate_scene:
+        scene.deduplicate()
     info("scene: %s", scene.info_string())
 
     # imstate config: scene-adjacent ini, --config files, --frame keyframes
@@ -169,7 +171,7 @@ def main(argv=None) -> int:
     camera = bundle.scene.camera.to_camera()
 
     renderer = Renderer()
-    renderer.active_variant = args.variant
+    renderer.set_variant(args.variant)
     opts = renderer.options.replace(
         render_upscale_factor=args.upscale,
         light_sampling_variant=(

@@ -61,7 +61,7 @@ from realtimepathtracingresearchframework_tpu.ops.traverse import (
     closest_hit_threaded,
     threaded_to_device,
 )
-from realtimepathtracingresearchframework_tpu.utils.error_io import info
+from realtimepathtracingresearchframework_tpu.utils.error_io import info, warning
 from realtimepathtracingresearchframework_tpu.utils.profiling import (
     DeviceTimers,
     ProfilingMarker,
@@ -70,9 +70,32 @@ from realtimepathtracingresearchframework_tpu.utils.profiling import (
 
 # Integrator variant registry — the RPTR_INTEGRATORS analogue
 # (vulkan/CMakeLists.txt:22-69 / render_vulkan.cpp:202-226). Megakernel is
-# the flagship; WAVEFRONT is the stream-compacted pipeline (ops/wavefront).
+# the flagship; WAVEFRONT is the stream-compacted pipeline. The reference's
+# recursion-style variants (PT_TAIL_RECURSIVE / PT_BTD_SHADE /
+# PT_STACK_RECURSIVE / PT_RTP_MEGAKERNEL / PT) exist only because Vulkan RT
+# offers several dispatch shapes for the same estimator; on TPU they all
+# lower to the same traced bounce loop, so they are registered as aliases
+# of the megakernel program (identical images by construction).
 VARIANT_MEGAKERNEL = "PT_MEGAKERNEL"
 VARIANT_WAVEFRONT = "PT_WAVEFRONT"
+VARIANT_PT = "PT"  # naive/independent estimator (raygen.rgen) — same math
+VARIANT_TAIL_RECURSIVE = "PT_TAIL_RECURSIVE"
+VARIANT_BTD_SHADE = "PT_BTD_SHADE"
+VARIANT_STACK_RECURSIVE = "PT_STACK_RECURSIVE"
+VARIANT_RTP_MEGAKERNEL = "PT_RTP_MEGAKERNEL"
+VARIANT_RT_DEBUG = "RT_DEBUG"  # first-hit debug visualizer (rt_debug.comp)
+VARIANT_GBUFFER = "GBUFFER"  # computational raytracer G-buffer dump
+VARIANT_RQ_CLOSEST = "RQ_CLOSEST"  # ray-query kernel (rt_intersect.comp)
+
+# variants that render via the megakernel bounce loop
+_MEGAKERNEL_ALIASES = (
+    VARIANT_MEGAKERNEL,
+    VARIANT_PT,
+    VARIANT_TAIL_RECURSIVE,
+    VARIANT_BTD_SHADE,
+    VARIANT_STACK_RECURSIVE,
+    VARIANT_RTP_MEGAKERNEL,
+)
 
 
 @dataclass
@@ -130,7 +153,37 @@ class Renderer:
     # ------------------------------------------------------------------
 
     def variants(self) -> List[str]:
-        return [VARIANT_MEGAKERNEL, VARIANT_WAVEFRONT]
+        """Registered variant list, reference registration order
+        (vulkan/CMakeLists.txt:22-69)."""
+        return [
+            VARIANT_TAIL_RECURSIVE,
+            VARIANT_BTD_SHADE,
+            VARIANT_STACK_RECURSIVE,
+            VARIANT_MEGAKERNEL,
+            VARIANT_RTP_MEGAKERNEL,
+            VARIANT_PT,
+            VARIANT_WAVEFRONT,
+            VARIANT_RQ_CLOSEST,
+            VARIANT_GBUFFER,
+            VARIANT_RT_DEBUG,
+        ]
+
+    def supported_variants(self) -> List[str]:
+        """mark_unsupported_variants analogue (render_vulkan.cpp:228-232):
+        RQ_CLOSEST is a query kernel, not a frame renderer."""
+        return [v for v in self.variants() if v != VARIANT_RQ_CLOSEST]
+
+    def set_variant(self, name: str) -> bool:
+        """Select the active integrator; falls back to the next supported
+        variant like the UI does (app_state.cpp:117-143). Returns False if
+        ``name`` was unsupported and a fallback was chosen."""
+        if name in self.supported_variants():
+            self.active_variant = name
+            return True
+        warning("unsupported variant %s; falling back to %s",
+                name, VARIANT_MEGAKERNEL)
+        self.active_variant = VARIANT_MEGAKERNEL
+        return False
 
     def initialize(self, fb_width: int, fb_height: int) -> None:
         """Framebuffer (re)allocation (render_vulkan.cpp:246-370)."""
@@ -140,12 +193,42 @@ class Renderer:
         self.framebuffer = jnp.zeros_like(self.accum)
         self.frame_id = 0
 
+    def _validate_options(self, options: RenderBackendOptions):
+        """Returns (ok, adjusted) — the auto-adjust strategy of the
+        invalid-configuration recovery loop (app.cpp:397-432): clamp
+        out-of-range values to the supported lattice instead of failing."""
+        adj = {}
+        if not (0 <= options.rng_variant <= 3):
+            adj["rng_variant"] = min(max(options.rng_variant, 0), 3)
+        if not (1 <= options.light_sampling_bucket_count <= 64):
+            adj["light_sampling_bucket_count"] = min(
+                max(int(options.light_sampling_bucket_count), 1), 64
+            )
+        if options.render_upscale_factor < 1:
+            adj["render_upscale_factor"] = 1
+        return (not adj), (options.replace(**adj) if adj else options)
+
     def configure_for(self, options: RenderBackendOptions) -> bool:
-        if options != self.options:
-            self.options = options
-            if self.scene is not None:
-                self._upload_lights_and_sky(SceneConfig())
-        return True
+        """Apply options with two-strategy recovery (app.cpp:397-432):
+        1) auto-adjust invalid values to the supported lattice,
+        2) else revert to the last-known-good options.
+        Returns True iff the requested options applied unmodified."""
+        ok, adjusted = self._validate_options(options)
+        if not ok:
+            warning("invalid render options; auto-adjusted to supported values")
+        if adjusted != self.options:
+            last_good = self.options
+            try:
+                self.options = adjusted
+                if self.scene is not None:
+                    self._upload_lights_and_sky(SceneConfig())
+            except Exception as e:  # revert to last-known-good
+                warning("option apply failed (%s); reverting", e)
+                self.options = last_good
+                if self.scene is not None:
+                    self._upload_lights_and_sky(SceneConfig())
+                return False
+        return ok
 
     def set_scene(self, scene: Scene, scene_config: SceneConfig = SceneConfig()) -> None:
         with ProfilingScope("set_scene"):
@@ -214,6 +297,15 @@ class Renderer:
             self._has_textures = False
         else:
             self._has_textures = True
+        # alpha-tested any-hit only when some textured material can cut
+        from realtimepathtracingresearchframework_tpu.models.material import (
+            BASE_MATERIAL_NOALPHA,
+        )
+
+        self._has_alpha = self._has_textures and any(
+            m.base_color_tex >= 0 and not (m.flags & BASE_MATERIAL_NOALPHA)
+            for m in scene.materials
+        )
         self._tris = tris
         self._shading = shading
         self._materials = MaterialBuffers.from_table(mat_table)
@@ -287,6 +379,7 @@ class Renderer:
             use_pallas=bool(self._use_pallas),
             has_textures=bool(self._has_textures),
             rng_variant=int(self.options.rng_variant),
+            alpha_test=bool(getattr(self, "_has_alpha", False)),
         )
 
     def _get_render_fn(self, cfg: IntegratorConfig):
@@ -309,6 +402,9 @@ class Renderer:
         """One full frame: begin/draw/end collapsed (app.cpp:453-467)."""
         params = config.params
         spp = int(batch_spp if batch_spp is not None else params.batch_spp)
+
+        if self.active_variant in (VARIANT_RT_DEBUG, VARIANT_GBUFFER):
+            return self._render_debug_variant(config)
 
         pos, du, dv, tl = config.camera.view_basis(self.fb_width, self.fb_height)
         view = ViewBuffers(
@@ -423,6 +519,91 @@ class Renderer:
         """Linear HDR accumulation buffer (H, W, 4) float — what validation
         mode saves (app_state.cpp:341-462 save paths use the linear image)."""
         return np.asarray(jax.block_until_ready(self.accum))
+
+    def _render_debug_variant(self, config: FrameConfig) -> RenderStats:
+        """RT_DEBUG / GBUFFER computational raytracers (rt_debug.comp /
+        gpu_programs.cmake:47): first-hit visualization from the AOV pass.
+        RT_DEBUG shows shading normals (0.5n+0.5) with depth-based fade;
+        GBUFFER shows albedo with roughness in alpha."""
+        t0 = time.perf_counter()
+        aovs = self.render_aovs(config)
+        if self.active_variant == VARIANT_RT_DEBUG:
+            n = aovs.normal_depth[..., :3]
+            depth = aovs.normal_depth[..., 3:4]
+            hit = depth < 1.0e16
+            rgb = jnp.where(hit, n * 0.5 + 0.5, 0.0)
+            fb = jnp.concatenate(
+                [rgb, jnp.where(hit, 1.0, 0.0)], axis=-1
+            )
+        else:
+            fb = aovs.albedo_roughness
+        self.accum = fb
+        self.framebuffer = fb
+        self._last_render_ms = (time.perf_counter() - t0) * 1e3
+        self._last_rays = self.fb_width * self.fb_height
+        self.frame_id += 1
+        return self.stats()
+
+    def render_ray_stats(self, config: FrameConfig) -> np.ndarray:
+        """Per-pixel traced-ray-count image for one sample — the
+        REPORT_RAY_STATS readback (render_vulkan.h:87-91, .cpp:321-331).
+        Returns (H, W) int32."""
+        from realtimepathtracingresearchframework_tpu.ops.integrator import (
+            render_ray_stats_host,
+        )
+
+        params = config.params
+        pos, du, dv, tl = config.camera.view_basis(self.fb_width, self.fb_height)
+        view = ViewBuffers(
+            cam_pos=jnp.asarray(pos),
+            cam_du=jnp.asarray(du),
+            cam_dv=jnp.asarray(dv),
+            cam_dir_top_left=jnp.asarray(tl),
+        )
+        fp = FrameParams(
+            rr_path_depth=jnp.int32(params.rr_path_depth),
+            glossy_only_mode=jnp.int32(params.glossy_only_mode),
+            sample_offset=jnp.uint32(self.frame_id),
+            shot_offset=jnp.uint32(self.shot_offset),
+        )
+        cfg = self._integrator_config(params)
+        img = render_ray_stats_host(
+            self.device_scene, cfg, fp, view, self.fb_width, self.fb_height
+        )
+        return np.asarray(img)
+
+    # ------------------------------------------------------------------
+    # Checkpoint / resume (SURVEY §5.4: imstate persists config; the
+    # accumulation state itself is explicitly checkpointable arrays)
+    # ------------------------------------------------------------------
+
+    def save_state(self, path: str) -> None:
+        """Checkpoint the progressive render: accumulation buffer + sample
+        bookkeeping. Config/camera state persists separately via imstate
+        (the reference's auto-serialized ini, app.cpp:587-593)."""
+        np.savez_compressed(
+            path,
+            accum=np.asarray(self.accum),
+            frame_id=self.frame_id,
+            shot_offset=self.shot_offset,
+            fb_width=self.fb_width,
+            fb_height=self.fb_height,
+        )
+
+    def load_state(self, path: str) -> None:
+        """Resume a checkpointed accumulation; render() continues adding
+        samples from frame_id with identical results to an uninterrupted
+        run (the RNG seeds on sample_offset = frame_id)."""
+        with np.load(path) as z:
+            w, h = int(z["fb_width"]), int(z["fb_height"])
+            if (w, h) != (self.fb_width, self.fb_height):
+                self.initialize(w, h)
+            self.accum = jnp.asarray(z["accum"])
+            self.frame_id = int(z["frame_id"])
+            self.shot_offset = int(z["shot_offset"])
+        self.framebuffer = resolve_mod.resolve_framebuffer(
+            self.accum, jnp.float32(0.0), tonemap_mode=0, upscale=1
+        )
 
     def stats(self) -> RenderStats:
         mem = 0

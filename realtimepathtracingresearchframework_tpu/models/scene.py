@@ -245,9 +245,32 @@ class Scene:
             if vm.tex_specular is not None:
                 spec_tex = len(self.textures)
                 self.textures.append(vm.tex_specular)
-            self.materials.append(
-                translate_vkr_material(vm, base_tex, normal_tex, spec_tex)
-            )
+            mat = translate_vkr_material(vm, base_tex, normal_tex, spec_tex)
+            # fully-opaque base textures never alpha-test (the reference
+            # keys this off the texture format; we key off actual texels)
+            if (
+                vm.tex_base_color is not None
+                and vm.tex_base_color.mips
+                and int(vm.tex_base_color.mips[0][..., 3].min()) == 255
+            ):
+                from realtimepathtracingresearchframework_tpu.models.material import (
+                    BASE_MATERIAL_NOALPHA,
+                )
+
+                mat.flags |= BASE_MATERIAL_NOALPHA
+            # name-keyword shader assignment (scene.cpp:678-706): artists
+            # force a shading path by embedding _SHADERMATERIAL_<KIND> in
+            # the material name. On TPU the hit-shader selection is
+            # data-driven, so keywords resolve to material parameters.
+            uname = vm.name.upper()
+            if "_SHADERMATERIAL_SIMPLIFIED" in uname:
+                mat.roughness = 1.0
+                mat.metallic = 0.0
+                mat.specular = 0.0
+                mat.specular_transmission = 0.0
+            elif "_SHADERMATERIAL_TRANSMISSION" in uname:
+                mat.specular_transmission = max(mat.specular_transmission, 1.0)
+            self.materials.append(mat)
             self.material_names.append(vm.name)
 
         # meshes
@@ -311,6 +334,94 @@ class Scene:
     # ------------------------------------------------------------------
     # Flatten to world-space SoA (consumed by BVH build + integrators)
     # ------------------------------------------------------------------
+
+    def deduplicate(self) -> dict:
+        """Merge identical meshes / parameterized meshes and drop orphans —
+        the ``--deduplicate-scene`` pass (cmdline flag, main.cpp; dedup on
+        mesh buffer identity like scene.cpp's shared-geometry reuse).
+
+        Returns a summary dict {"meshes_removed": n, "pmeshes_removed": m}.
+        Safe by construction: instances are remapped to canonical ids, so
+        flatten_world output is unchanged."""
+
+        def mesh_content_key(m: Mesh):
+            parts = []
+            for g in m.geometries:
+                parts.append(g.vertices_q.tobytes())
+                parts.append(g.normal_uv_q.tobytes())
+                parts.append(np.asarray(g.scale, np.float32).tobytes())
+                parts.append(np.asarray(g.offset, np.float32).tobytes())
+                parts.append(np.asarray(g.material_ids).tobytes())
+            return hash(b"".join(parts))
+
+        content = [mesh_content_key(m) for m in self.meshes]
+
+        # canonical LoD groups by content (appended scenes each bring their
+        # own group ids; identical groups must merge for meshes to merge)
+        lg_canon: dict = {}
+        lg_remap = {}
+        for gi, lg in enumerate(self.lod_groups):
+            k = (
+                tuple(content[m] for m in lg.mesh_ids),
+                tuple(lg.detail_reduction),
+            )
+            lg_remap[gi] = lg_canon.setdefault(k, gi)
+        for m in self.meshes:
+            m.lod_group = lg_remap.get(m.lod_group, m.lod_group)
+
+        # canonical mesh per (content, lod binding)
+        canon: dict = {}
+        mesh_remap = {}
+        for i, m in enumerate(self.meshes):
+            k = (content[i], m.lod_group)
+            if k in canon:
+                mesh_remap[i] = canon[k]
+            else:
+                canon[k] = i
+                mesh_remap[i] = i
+        for pm in self.parameterized_meshes:
+            pm.mesh_id = mesh_remap[pm.mesh_id]
+
+        # canonical parameterized mesh per (mesh, materials) binding
+        pm_canon: dict = {}
+        pm_remap = {}
+        for i, pm in enumerate(self.parameterized_meshes):
+            k = (pm.mesh_id, pm.material_offset, pm.per_triangle_materials)
+            if k in pm_canon:
+                pm_remap[i] = pm_canon[k]
+            else:
+                pm_canon[k] = i
+                pm_remap[i] = i
+        for inst in self.instances:
+            inst.parameterized_mesh_id = pm_remap[inst.parameterized_mesh_id]
+
+        # GC: drop unreferenced parameterized meshes, then meshes
+        used_pm = sorted({i.parameterized_mesh_id for i in self.instances})
+        pm_new_ids = {old: new for new, old in enumerate(used_pm)}
+        pmeshes_removed = len(self.parameterized_meshes) - len(used_pm)
+        self.parameterized_meshes = [self.parameterized_meshes[i] for i in used_pm]
+        for inst in self.instances:
+            inst.parameterized_mesh_id = pm_new_ids[inst.parameterized_mesh_id]
+
+        used_m = sorted({pm.mesh_id for pm in self.parameterized_meshes})
+        m_new_ids = {old: new for new, old in enumerate(used_m)}
+        meshes_removed = len(self.meshes) - len(used_m)
+        self.meshes = [self.meshes[i] for i in used_m]
+        for pm in self.parameterized_meshes:
+            pm.mesh_id = m_new_ids[pm.mesh_id]
+        for lg in self.lod_groups:
+            lg.mesh_ids = [m_new_ids[i] for i in lg.mesh_ids if i in m_new_ids]
+
+        if meshes_removed or pmeshes_removed:
+            self.revision += 1
+            info(
+                f"deduplicate: removed {meshes_removed} meshes, "
+                f"{pmeshes_removed} parameterized meshes"
+            )
+        return {
+            "meshes_removed": meshes_removed,
+            "pmeshes_removed": pmeshes_removed,
+        }
 
     def select_lod(self, mesh_id: int, xform, camera_pos, lod_threshold: float) -> int:
         """Distance-based LoD level selection (util/lod.{h,cpp}): pick the

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from realtimepathtracingresearchframework_tpu.models.material import (
+    BASE_MATERIAL_NOALPHA,
     BASE_MATERIAL_ONESIDED,
     BASE_MATERIAL_VOLUME,
 )
@@ -148,6 +149,7 @@ class IntegratorConfig(NamedTuple):
     wavefront: bool = False  # stream-compact ray queues between bounces
     has_textures: bool = False  # trace the texture-lookup stage
     rng_variant: int = 0  # RNG_VARIANT_* (render_params.glsl.h:34-43)
+    alpha_test: bool = False  # any-hit alpha-cutout emulation
 
 
 class FrameParams(NamedTuple):
@@ -199,6 +201,116 @@ def _sky_illum(ds: DeviceScene, ro, rd, prev_pdf, cfg: IntegratorConfig):
     light_pdf = ds.sky.sun_radiance[3] * nee_mod.sun_dir_pdf(ds.sky.sun_cos_angle)
     w = nee_mod.nee_mis_heuristic(1.0, prev_pdf, 1.0, light_pdf)
     return atm + w[..., None] * jnp.abs(sun)
+
+
+MAX_ALPHA_HOPS = 4  # candidate-hit re-trace budget (generate_candidate_hit)
+ALPHA_CUTOFF = 0.5  # punch-through threshold
+
+
+def _hit_alpha_cut(ds: DeviceScene, tri, u, v):
+    """True where the hit texel is alpha-cut — the any-hit alpha test
+    emulation of ``generate_candidate_hit`` (pt_megakernel.glsl:153-211,
+    any_hit.glsl). Samples mip 0 of the base-color texture."""
+    t = jnp.maximum(tri, 0)
+    b0 = 1.0 - u - v
+    uv = (
+        ds.shading.uv0[t] * b0[..., None]
+        + ds.shading.uv1[t] * u[..., None]
+        + ds.shading.uv2[t] * v[..., None]
+    )
+    mid = ds.shading.material_id[t]
+    bc_tid = ds.materials.base_color_tex[mid]
+    a = sample_atlas(ds.atlas, bc_tid, uv, jnp.zeros_like(u))[..., 3]
+    can_cut = (bc_tid >= 0) & (
+        (ds.materials.flags[mid] & BASE_MATERIAL_NOALPHA) == 0
+    )
+    return (tri >= 0) & can_cut & (a < ALPHA_CUTOFF)
+
+
+def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro, rd,
+                          t_min, t_max):
+    if cfg.use_pallas:
+        return traverse_pallas.closest_hit_pallas(
+            ds.bvh, ro, rd, t_min=t_min, t_max=t_max
+        )
+    return closest_hit_threaded(ds.bvh, ro, rd, t_min=t_min, t_max=t_max)
+
+
+def closest_hit_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro, rd,
+                      t_min, t_max):
+    """Closest hit honoring alpha-cutout textures: re-traces past cut
+    texels up to MAX_ALPHA_HOPS (the reference's candidate-hit loop).
+    Static no-op unless ``cfg.alpha_test``."""
+    hit = _closest_hit_dispatch(ds, cfg, ro, rd, t_min, t_max)
+    if not (cfg.alpha_test and cfg.has_textures):
+        return hit
+    from realtimepathtracingresearchframework_tpu.ops.traverse import Hit
+
+    cut0 = _hit_alpha_cut(ds, hit.tri, hit.u, hit.v)
+
+    def cond(c):
+        i = c[0]
+        return (i < MAX_ALPHA_HOPS) & jnp.any(c[5])
+
+    def body(c):
+        i, t, tri, u, v, cut = c
+        eps = jnp.abs(t) * 1e-4 + 1e-5
+        nxt_tmin = jnp.where(cut, t + eps, t_min)
+        nxt_tmax = jnp.where(cut, t_max, 0.0)  # settled lanes trace nothing
+        h = _closest_hit_dispatch(ds, cfg, ro, rd, nxt_tmin, nxt_tmax)
+        t = jnp.where(cut, h.t, t)
+        tri = jnp.where(cut, h.tri, tri)
+        u = jnp.where(cut, h.u, u)
+        v = jnp.where(cut, h.v, v)
+        cut = cut & _hit_alpha_cut(ds, tri, u, v)
+        return (i + 1, t, tri, u, v, cut)
+
+    _, t, tri, u, v, cut = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), hit.t, hit.tri, hit.u, hit.v, cut0)
+    )
+    # hops exhausted while still cut: treat as opaque (reference behavior)
+    return Hit(t=t, tri=tri, u=u, v=v)
+
+
+def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro, rd,
+                   t_min, t_max):
+    """Shadow-ray visibility honoring alpha cutouts (any_hit.rahit): walks
+    candidate hits until a solid blocker or segment end."""
+    if not (cfg.alpha_test and cfg.has_textures):
+        if cfg.use_pallas:
+            return traverse_pallas.occluded_pallas(
+                ds.bvh, ro, rd, t_min=t_min, t_max=t_max
+            )
+        return occluded_threaded(ds.bvh, ro, rd, t_min=t_min, t_max=t_max)
+
+    hit = _closest_hit_dispatch(ds, cfg, ro, rd, t_min, t_max)
+    in_seg = (hit.tri >= 0) & (hit.t < t_max)
+    cut0 = _hit_alpha_cut(ds, hit.tri, hit.u, hit.v)
+    blocked0 = in_seg & ~cut0
+    live0 = in_seg & cut0
+
+    def cond(c):
+        i = c[0]
+        return (i < MAX_ALPHA_HOPS) & jnp.any(c[3])
+
+    def body(c):
+        i, t, blocked, live = c
+        eps = jnp.abs(t) * 1e-4 + 1e-5
+        nxt_tmin = jnp.where(live, t + eps, t_min)
+        nxt_tmax = jnp.where(live, t_max, 0.0)
+        h = _closest_hit_dispatch(ds, cfg, ro, rd, nxt_tmin, nxt_tmax)
+        in_seg = (h.tri >= 0) & (h.t < t_max) & live
+        cut = _hit_alpha_cut(ds, h.tri, h.u, h.v)
+        blocked = blocked | (in_seg & ~cut)
+        live = in_seg & cut
+        t = jnp.where(live, h.t, t)
+        return (i + 1, t, blocked, live)
+
+    _, _, blocked, live = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), hit.t, blocked0, live0)
+    )
+    # hops exhausted while still inside cut geometry: treat as blocked
+    return blocked | live
 
 
 def _sample_direct_light(
@@ -272,14 +384,9 @@ def _sample_direct_light(
     seg_ok = light_dist - 2.0 * eps > 0.0
     shadow_tmax = jnp.maximum(light_dist - eps, eps)
     shadow_tmax_eff = jnp.where(candidate & seg_ok, shadow_tmax, eps)
-    if cfg.use_pallas:
-        blocked = traverse_pallas.occluded_pallas(
-            ds.bvh, hit_p, light_dir, t_min=eps, t_max=shadow_tmax_eff
-        )
-    else:
-        blocked = occluded_threaded(
-            ds.bvh, hit_p, light_dir, t_min=eps, t_max=shadow_tmax_eff
-        )
+    blocked = occluded_alpha(
+        ds, cfg, hit_p, light_dir, t_min=eps, t_max=shadow_tmax_eff
+    )
     visible = candidate & (~blocked | ~seg_ok)
 
     bsdf_pdf = gltf_wpdf(mat, hit_n, w_o, light_dir)
@@ -336,7 +443,11 @@ def trace_paths(
     rng_state,
     lane_mask=None,
 ):
-    """Trace a batch of paths; returns (rgb (N,3), alpha (N,), rays).
+    """Trace a batch of paths; returns (rgb (N,3), alpha (N,), rays (N,)).
+
+    ``rays`` is the per-lane traced-ray count (closest + shadow) — the
+    REPORT_RAY_STATS per-pixel image (render_vulkan.h:87-91); sum it for
+    the aggregate counter.
 
     The bounce loop runs as ``lax.fori_loop`` by default (the reference's
     DYNAMIC_LOOP_BOUNCES mode) or statically unrolled when ``cfg.unroll``
@@ -352,14 +463,9 @@ def trace_paths(
         Returns (carry w/ miss handled, hit shading context)."""
         (ro, rd, t_min, illum, throughput, active, prev_pdf, bounce_count,
          total_t, rng_state, rays) = _unpack_carry(carry)
-        rays = rays + jnp.sum(active.astype(rays.dtype))
+        rays = rays + active.astype(rays.dtype)  # per-lane ray counter
         tmax_eff = jnp.where(active, T_MAX, 0.0)
-        if cfg.use_pallas:
-            hit = traverse_pallas.closest_hit_pallas(
-                ds.bvh, ro, rd, t_min=t_min, t_max=tmax_eff
-            )
-        else:
-            hit = closest_hit_threaded(ds.bvh, ro, rd, t_min=t_min, t_max=tmax_eff)
+        hit = closest_hit_alpha(ds, cfg, ro, rd, t_min, tmax_eff)
         was_miss = hit.tri < 0
 
         # ---- miss: sky (pt_megakernel.glsl:480-489)
@@ -501,7 +607,7 @@ def trace_paths(
         rng_state, dir_sample = pointsets.draw2(rv, ds.rng, rng_state, dim_base + 4)
 
         # ---- NEE (one shadow ray per active lane)
-        rays = rays + jnp.sum(active.astype(rays.dtype))
+        rays = rays + active.astype(rays.dtype)
         nee_contrib = _sample_direct_light(
             ds, cfg, p, n_sh, gn, mat, w_o, pos_sample, sel_sample, total_t
         )
@@ -559,11 +665,8 @@ def trace_paths(
         of the north-star wavefront design; a permutation, so per-ray
         results are bit-identical to the megakernel ordering."""
         active = carry[13]
-        rays = carry[18]
         perm = jnp.argsort(~active, stable=True)
-        carry = tuple(
-            jax.tree.map(lambda a: a[perm], c) for c in carry[:18]
-        ) + (rays,)
+        carry = tuple(jax.tree.map(lambda a: a[perm], c) for c in carry)
         return carry, slot[perm]
 
     def bounce_body(i, carry_slot):
@@ -609,7 +712,7 @@ def trace_paths(
         jnp.zeros((n,), jnp.int32),  # bounce_count
         jnp.zeros((n,), jnp.float32),  # total_t
         rng_state,
-        jnp.zeros((), jnp.int32),  # rays traced
+        jnp.zeros((n,), jnp.int32),  # per-lane rays traced
     )
     slot0 = jnp.arange(n, dtype=jnp.int32)
 
@@ -630,6 +733,7 @@ def trace_paths(
         inv = jnp.zeros((n,), jnp.int32).at[slot].set(jnp.arange(n, dtype=jnp.int32))
         illum = illum[inv]
         alpha = alpha[inv]
+        rays_traced = rays_traced[inv]
     return illum, alpha, rays_traced
 
 
@@ -737,6 +841,7 @@ def render_tile(
         rgb, alpha, nrays = trace_paths(ds, cfg, fp, ro, rd, state, lane_mask=valid)
         sample = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
         sample = jnp.where(valid[:, None], sample, 0.0)
+        nrays = nrays.sum()
         start = c * chunk
         cur = jax.lax.dynamic_slice(acc_sw, (start, 0), (chunk, 4))
         acc_sw = jax.lax.dynamic_update_slice(acc_sw, cur + sample, (start, 0))
@@ -834,9 +939,50 @@ def make_pass_fn(ds: DeviceScene, cfg: IntegratorConfig, width: int, height: int
         )
         sample = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
         sample = jnp.where(valid[:, None], sample, 0.0)
-        return acc + sample, nrays
+        return acc + sample, nrays.sum()
 
     return pass_fn
+
+
+def make_ray_stats_fn(ds: DeviceScene, cfg: IntegratorConfig, width: int, height: int):
+    """Per-pixel traced-ray-count pass — the REPORT_RAY_STATS image
+    (render_vulkan.h:87-91, readback render_vulkan.cpp:321-331)."""
+    dims = jnp.array([width, height], jnp.float32)
+
+    @jax.jit
+    def stats_fn(fp, view, px, py, valid, sample_index):
+        state = pointsets.make_state(
+            cfg.rng_variant, sample_index, fp.shot_offset, px, py, width
+        )
+        state, jitter = pointsets.draw2(
+            cfg.rng_variant, ds.rng, state, jnp.int32(0)
+        )
+        ro, rd = camera_rays(view, px, py, dims, jitter)
+        _, _, nrays = trace_paths(ds, cfg, fp, ro, rd, state, lane_mask=valid)
+        return jnp.where(valid, nrays, 0)
+
+    return stats_fn
+
+
+def render_ray_stats_host(
+    ds: DeviceScene,
+    cfg: IntegratorConfig,
+    fp: FrameParams,
+    view: ViewBuffers,
+    width: int,
+    height: int,
+    stats_fn=None,
+):
+    """One-sample ray-stats image (H, W) int32."""
+    if stats_fn is None:
+        stats_fn = make_ray_stats_fn(ds, cfg, width, height)
+    px_c, py_c, valid_c, inv, nc, chunk = _swizzle_tables(width, height)
+    counts = [
+        stats_fn(fp, view, px_c[c], py_c[c], valid_c[c], fp.sample_offset)
+        for c in range(nc)
+    ]
+    img = jnp.concatenate(counts)[inv].reshape(height, width)
+    return img
 
 
 @partial(jax.jit, static_argnames=("spp", "width", "tile_h"))

@@ -28,6 +28,12 @@ import jax  # noqa: E402
 # creation, so the 8-device override above still applies.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: renderer tests build scene-capturing jit
+# closures per Renderer instance; identical programs hit the cache across
+# tests and across CI runs instead of recompiling.
+jax.config.update("jax_compilation_cache_dir", "/tmp/rptr_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,213 @@
+"""Backend feature parity: dedup, checkpoint/resume, variant registry,
+config recovery, ray-stats image, debug variants, watchdogs."""
+
+import copy
+import os
+
+import numpy as np
+import pytest
+
+from realtimepathtracingresearchframework_tpu.backend.params import (
+    RenderParams,
+)
+from realtimepathtracingresearchframework_tpu.backend.renderer import (
+    FrameConfig,
+    Renderer,
+    VARIANT_GBUFFER,
+    VARIANT_MEGAKERNEL,
+    VARIANT_PT,
+    VARIANT_RQ_CLOSEST,
+    VARIANT_RT_DEBUG,
+)
+from realtimepathtracingresearchframework_tpu.models import procedural
+from realtimepathtracingresearchframework_tpu.models.camera import OrientedCamera
+from realtimepathtracingresearchframework_tpu.models.scene import Scene
+
+
+def _cornell():
+    return Scene.from_vkr_scene(procedural.cornell_box())
+
+
+def _small_renderer(scene=None, w=32, h=32):
+    r = Renderer()
+    r.initialize(w, h)
+    r.set_scene(scene or _cornell())
+    return r
+
+
+def _config():
+    cam = OrientedCamera.look_at([0, 1.0, 3.2], [0, 1.0, 0.0], fovy=50)
+    return FrameConfig(camera=cam, params=RenderParams(max_path_depth=3))
+
+
+# ---------------------------------------------------------------------------
+# scene dedup / GC
+# ---------------------------------------------------------------------------
+
+
+def test_deduplicate_merges_identical_meshes():
+    scene = _cornell()
+    # duplicate every mesh + parameterized mesh, instances keep pointing at
+    # the originals -> dups are pure garbage to collect
+    n_m = len(scene.meshes)
+    n_pm = len(scene.parameterized_meshes)
+    scene.meshes.extend(copy.deepcopy(scene.meshes))
+    from realtimepathtracingresearchframework_tpu.models.scene import (
+        ParameterizedMesh,
+    )
+
+    dups = [
+        ParameterizedMesh(
+            mesh_id=pm.mesh_id + n_m,
+            material_offset=pm.material_offset,
+            per_triangle_materials=pm.per_triangle_materials,
+        )
+        for pm in scene.parameterized_meshes
+    ]
+    scene.parameterized_meshes.extend(dups)
+    ref = _cornell().flatten_world(frame=0)
+    res = scene.deduplicate()
+    assert res["meshes_removed"] == n_m
+    assert res["pmeshes_removed"] == n_pm
+    flat = scene.flatten_world(frame=0)
+    np.testing.assert_array_equal(flat.v0, ref.v0)
+    np.testing.assert_array_equal(flat.material_id, ref.material_id)
+
+
+def test_deduplicate_noop_on_clean_scene():
+    scene = _cornell()
+    res = scene.deduplicate()
+    assert res == {"meshes_removed": 0, "pmeshes_removed": 0}
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_resume_matches_uninterrupted(tmp_path):
+    cfg = _config()
+    r1 = _small_renderer()
+    for _ in range(4):
+        r1.render(cfg)
+    ref = np.asarray(r1.accum)
+
+    r2 = _small_renderer()
+    for _ in range(2):
+        r2.render(cfg)
+    ckpt = os.path.join(tmp_path, "state.npz")
+    r2.save_state(ckpt)
+
+    r3 = _small_renderer()
+    r3.load_state(ckpt)
+    assert r3.frame_id == 2
+    for _ in range(2):
+        r3.render(cfg)
+    np.testing.assert_allclose(np.asarray(r3.accum), ref, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# variant registry
+# ---------------------------------------------------------------------------
+
+
+def test_variant_registry_and_fallback():
+    r = _small_renderer()
+    vs = r.variants()
+    assert VARIANT_MEGAKERNEL in vs and VARIANT_RT_DEBUG in vs
+    assert VARIANT_RQ_CLOSEST in vs
+    assert VARIANT_RQ_CLOSEST not in r.supported_variants()
+    assert r.set_variant(VARIANT_PT)  # alias of the megakernel
+    assert r.active_variant == VARIANT_PT
+    assert not r.set_variant("NO_SUCH_VARIANT")
+    assert r.active_variant == VARIANT_MEGAKERNEL
+
+
+def test_megakernel_alias_variants_bit_identical():
+    cfg = _config()
+    r = _small_renderer()
+    r.set_variant(VARIANT_MEGAKERNEL)
+    r.render(cfg)
+    ref = np.asarray(r.framebuffer)
+    r2 = _small_renderer()
+    r2.set_variant(VARIANT_PT)
+    r2.render(cfg)
+    np.testing.assert_array_equal(np.asarray(r2.framebuffer), ref)
+
+
+def test_rt_debug_and_gbuffer_variants():
+    cfg = _config()
+    r = _small_renderer()
+    r.set_variant(VARIANT_RT_DEBUG)
+    r.render(cfg)
+    fb = np.asarray(r.framebuffer)
+    assert fb.shape == (32, 32, 4)
+    # normals map to [0,1]; nearly all pixels hit (open cornell front lets
+    # a few edge rays escape)
+    assert (fb[..., 3] == 1.0).mean() > 0.9
+    assert fb[..., :3].min() >= 0.0 and fb[..., :3].max() <= 1.0
+
+    r.set_variant(VARIANT_GBUFFER)
+    r.render(cfg)
+    gb = np.asarray(r.framebuffer)
+    assert gb.shape == (32, 32, 4)
+    assert gb[..., :3].max() > 0.1  # albedo present
+
+
+# ---------------------------------------------------------------------------
+# config recovery
+# ---------------------------------------------------------------------------
+
+
+def test_configure_for_auto_adjusts_invalid_options():
+    r = _small_renderer()
+    bad = r.options.replace(rng_variant=99, light_sampling_bucket_count=0)
+    ok = r.configure_for(bad)
+    assert not ok  # did not apply unmodified
+    assert r.options.rng_variant == 3
+    assert r.options.light_sampling_bucket_count == 1
+    good = r.options.replace(rng_variant=0, light_sampling_bucket_count=16)
+    assert r.configure_for(good)
+
+
+# ---------------------------------------------------------------------------
+# ray stats image
+# ---------------------------------------------------------------------------
+
+
+def test_ray_stats_image():
+    r = _small_renderer()
+    img = r.render_ray_stats(_config())
+    assert img.shape == (32, 32)
+    # every pixel traces at least the primary ray; hits add shadow rays
+    assert img.min() >= 1
+    assert (img >= 2).mean() > 0.9
+    assert img.max() <= 2 * 3  # <= closest+shadow per bounce
+
+
+# ---------------------------------------------------------------------------
+# watchdogs
+# ---------------------------------------------------------------------------
+
+
+def test_assert_all_finite():
+    from realtimepathtracingresearchframework_tpu.utils.debug import (
+        assert_all_finite,
+    )
+
+    assert_all_finite({"a": np.ones(4)}, "ok")
+    with pytest.raises(Exception):
+        assert_all_finite({"a": np.array([1.0, np.nan])}, "bad")
+
+
+def test_rebuild_watcher(tmp_path):
+    from realtimepathtracingresearchframework_tpu.app.relaunch import (
+        RebuildWatcher,
+    )
+
+    f = tmp_path / "mod.py"
+    f.write_text("x = 1\n")
+    w = RebuildWatcher([str(f)])
+    assert not w.changed()
+    os.utime(f, (0, 0))
+    assert w.changed()

@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--taa", action="store_true", help="enable TAA resolve")
     p.add_argument(
+        "--use-tlas",
+        action="store_true",
+        help="two-level BLAS/TLAS instanced traversal (animation fast path)",
+    )
+    p.add_argument(
         "--reprojection",
         choices=["none", "discard", "accumulate"],
         default="none",
@@ -179,6 +184,7 @@ def main(argv=None) -> int:
         ),
         rng_variant=["uniform", "bn", "sobol", "z_sbl"].index(args.rng),
         enable_taa=args.taa,
+        use_tlas=args.use_tlas,
     )
     renderer.options = opts
     renderer.initialize(args.img[0], args.img[1])

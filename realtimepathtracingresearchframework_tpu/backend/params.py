@@ -117,6 +117,9 @@ class RenderBackendOptions:
     enable_taa: bool = False
     enable_raytraced_dof: bool = True
     debug_mode: int = DEBUG_MODE_OFF
+    # two-level BLAS/TLAS instanced traversal (ops/tlas.py): per-mesh object
+    # BVHs + instance TLAS; animation rebuilds only the instance-count TLAS
+    use_tlas: bool = False
 
     def replace(self, **kw) -> "RenderBackendOptions":
         return dataclasses.replace(self, **kw)

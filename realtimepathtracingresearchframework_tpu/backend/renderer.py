@@ -146,6 +146,8 @@ class Renderer:
         self._use_pallas = False
         self._has_textures = False
         self._atlas = None
+        self._use_two_level = False
+        self._tlas_buffers = None
         self.active_variant = VARIANT_MEGAKERNEL
 
     # ------------------------------------------------------------------
@@ -251,11 +253,61 @@ class Renderer:
         # ~64B/tri row in VMEM; cap well under the 16MB core budget
         return num_tris <= 150_000
 
+    def _build_tlas_buffers(self, transforms):
+        """TLAS + instance tables for one frame (the TLAS rebuild/refit of
+        default_update_tlas, render_vulkan.cpp:1219-1366): instance-count
+        work only, the BLASes are untouched."""
+        from realtimepathtracingresearchframework_tpu.ops import tlas as tlas_mod
+
+        mesh_ids, mat_offsets = self._inst_binding
+        aabbs = tlas_mod.instance_world_aabbs(self._blas, mesh_ids, transforms)
+        nodes, row_inst = tlas_mod.build_tlas_nodes(aabbs)
+        tables = tlas_mod.build_instance_tables(
+            self._blas, mesh_ids, mat_offsets, transforms
+        )
+        return tlas_mod.TwoLevelBuffers(
+            tlas_nodes=jnp.asarray(nodes),
+            tlas_row_inst=jnp.asarray(row_inst),
+            blas_nodes=jnp.asarray(self._blas.nodes),
+            blas_tri_rows=jnp.asarray(self._blas.tri_rows),
+            blas_row_tri=jnp.asarray(self._blas.row_tri),
+            **tables,
+        )
+
     def _rebuild_scene(self, scene_config: SceneConfig, frame: int = 0) -> None:
         scene = self.scene
+        self._use_two_level = bool(self.options.use_tlas)
         with ProfilingScope("flatten scene"):
             flat = scene.flatten_world(frame=frame)
-        self._use_pallas = self._select_traversal(flat.num_tris)
+        if self._use_two_level:
+            from realtimepathtracingresearchframework_tpu.ops import (
+                tlas as tlas_mod,
+            )
+
+            self._use_pallas = False
+            obj_flat, mesh_tris, mesh_ids, mat_offsets = scene.flatten_meshes()
+            self._inst_binding = (mesh_ids, mat_offsets)
+            t0 = time.perf_counter()
+            with ProfilingScope("build BLAS set"):
+                self._blas = tlas_mod.build_blas_set(mesh_tris)
+            self.timers.add(
+                ProfilingMarker.BUILD_BLAS, (time.perf_counter() - t0) * 1e3
+            )
+            t0 = time.perf_counter()
+            with ProfilingScope("build TLAS"):
+                self._tlas_buffers = self._build_tlas_buffers(
+                    scene.instance_transforms(frame)
+                )
+            self.timers.add(
+                ProfilingMarker.BUILD_TLAS, (time.perf_counter() - t0) * 1e3
+            )
+            shade_flat = obj_flat
+        else:
+            self._tlas_buffers = None
+            shade_flat = flat
+        self._use_pallas = (
+            False if self._use_two_level else self._select_traversal(flat.num_tris)
+        )
         leaf_size = (
             traverse_pallas.PALLAS_LEAF_SIZE if self._use_pallas else bvh_mod.LEAF_SIZE
         )
@@ -272,18 +324,20 @@ class Renderer:
         self._mat_table = mat_table
 
         tris = TriBuffers(
-            v0=jnp.asarray(flat.v0), e1=jnp.asarray(flat.e1), e2=jnp.asarray(flat.e2)
+            v0=jnp.asarray(shade_flat.v0),
+            e1=jnp.asarray(shade_flat.e1),
+            e2=jnp.asarray(shade_flat.e2),
         )
         shading = ShadingBuffers(
-            n0=jnp.asarray(flat.n0),
-            n1=jnp.asarray(flat.n1),
-            n2=jnp.asarray(flat.n2),
-            uv0=jnp.asarray(flat.uv0),
-            uv1=jnp.asarray(flat.uv1),
-            uv2=jnp.asarray(flat.uv2),
-            material_id=jnp.asarray(flat.material_id),
-            texel_density=jnp.asarray(flat.texel_density),
-            tangent=jnp.asarray(flat.tangent),
+            n0=jnp.asarray(shade_flat.n0),
+            n1=jnp.asarray(shade_flat.n1),
+            n2=jnp.asarray(shade_flat.n2),
+            uv0=jnp.asarray(shade_flat.uv0),
+            uv1=jnp.asarray(shade_flat.uv1),
+            uv2=jnp.asarray(shade_flat.uv2),
+            material_id=jnp.asarray(shade_flat.material_id),
+            texel_density=jnp.asarray(shade_flat.texel_density),
+            tangent=jnp.asarray(shade_flat.tangent),
         )
         self._atlas = atlas_mod.build_atlas(scene.textures)
         if self._atlas is None:
@@ -355,6 +409,7 @@ class Renderer:
             sky=sky,
             atlas=self._atlas,
             rng=pointsets.build_rng_buffers(self.options.rng_variant),
+            tlas=self._tlas_buffers if getattr(self, "_use_two_level", False) else None,
         )
         self._device_scene_revision += 1
         self._render_fns.clear()
@@ -379,7 +434,9 @@ class Renderer:
             use_pallas=bool(self._use_pallas),
             has_textures=bool(self._has_textures),
             rng_variant=int(self.options.rng_variant),
-            alpha_test=bool(getattr(self, "_has_alpha", False)),
+            alpha_test=bool(getattr(self, "_has_alpha", False))
+            and not getattr(self, "_use_two_level", False),
+            two_level=bool(getattr(self, "_use_two_level", False)),
         )
 
     def _get_render_fn(self, cfg: IntegratorConfig):
@@ -637,7 +694,18 @@ class Renderer:
             if t_max is not None
             else jnp.full((len(origins),), 2.0e32, jnp.float32)
         )
-        if self._use_pallas:
+        if self._use_two_level:
+            from realtimepathtracingresearchframework_tpu.ops import (
+                tlas as tlas_mod,
+            )
+
+            hit = tlas_mod.closest_hit_two_level(
+                ds.tlas,
+                jnp.asarray(origins, jnp.float32),
+                jnp.asarray(dirs, jnp.float32),
+                t_max=t_max_arr,
+            )
+        elif self._use_pallas:
             hit = traverse_pallas.closest_hit_pallas(
                 ds.bvh,
                 jnp.asarray(origins, jnp.float32),
@@ -672,6 +740,26 @@ class Renderer:
         triangle count is within rebuild_triangle_budget, in which case a
         full rebuild keeps quality (render_vulkan.cpp:472-545 budget)."""
         scene = self.scene
+        if getattr(self, "_use_two_level", False):
+            # two-level fast path: only the instance-count TLAS is rebuilt
+            # (the reference's per-frame TLAS update, render_vulkan.cpp:1219)
+            # — no host reflatten, no triangle-level BVH work
+            t0 = time.perf_counter()
+            with ProfilingScope("update TLAS"):
+                self._tlas_buffers = self._build_tlas_buffers(
+                    scene.instance_transforms(frame)
+                )
+            self.timers.add(
+                ProfilingMarker.UPDATE_TLAS, (time.perf_counter() - t0) * 1e3
+            )
+            self.device_scene = self.device_scene._replace(
+                tlas=self._tlas_buffers
+            )
+            self._device_scene_revision += 1
+            self._pass_fns.clear()
+            self._render_fns.clear()
+            self.reset_accumulation()
+            return
         with ProfilingScope("animate flatten"):
             flat = scene.flatten_world(frame=frame)
         rebuild = (
@@ -712,6 +800,11 @@ class Renderer:
     def render_aovs(self, config: FrameConfig):
         """First-hit AOV pass (ENABLE_AOV_BUFFERS analogue); caches the
         previous frame's view for motion vectors."""
+        if self._use_two_level:
+            raise NotImplementedError(
+                "AOV pass is not yet wired for use_tlas=True; render with the "
+                "flattened BVH (default) for AOV/reprojection/TAA modes"
+            )
         from realtimepathtracingresearchframework_tpu.ops.aov import render_aovs
 
         params = config.params

@@ -505,6 +505,83 @@ class Scene:
         flat.texel_density, flat.tangent = _uv_mapping_attrs(flat)
         return flat
 
+    def flatten_meshes(self):
+        """Object-space per-mesh flatten for the two-level path: one
+        FlatScene concatenating every mesh in OBJECT space (material ids
+        LOCAL — the per-instance material offset is applied at shading
+        time), plus per-mesh triangle soups for BLAS builds and the
+        per-instance (mesh_id, material_offset) binding tables.
+
+        Returns (flat, mesh_tris, instance_mesh_ids, instance_mat_offsets,
+        instance_transforms(frame 0))."""
+        v0s, e1s, e2s = [], [], []
+        n0s, n1s, n2s = [], [], []
+        uv0s, uv1s, uv2s = [], [], []
+        mats, insts = [], []
+        mesh_tris = []
+        for mi, mesh in enumerate(self.meshes):
+            mv0, me1, me2 = [], [], []
+            for geom in mesh.geometries:
+                p = geom.decode_positions()
+                n, uv = geom.decode_normals_uvs()
+                v0s.append(p[:, 0])
+                e1s.append(p[:, 1] - p[:, 0])
+                e2s.append(p[:, 2] - p[:, 0])
+                mv0.append(p[:, 0])
+                me1.append(p[:, 1] - p[:, 0])
+                me2.append(p[:, 2] - p[:, 0])
+                n0s.append(n[:, 0])
+                n1s.append(n[:, 1])
+                n2s.append(n[:, 2])
+                uv0s.append(uv[:, 0])
+                uv1s.append(uv[:, 1])
+                uv2s.append(uv[:, 2])
+                mats.append(geom.material_ids.astype(np.int32))
+                insts.append(np.full(geom.num_tris, mi, np.int32))
+            mesh_tris.append(
+                (
+                    np.concatenate(mv0),
+                    np.concatenate(me1),
+                    np.concatenate(me2),
+                )
+            )
+        cat = lambda xs: np.ascontiguousarray(np.concatenate(xs, axis=0), np.float32)
+        flat = FlatScene(
+            v0=cat(v0s),
+            e1=cat(e1s),
+            e2=cat(e2s),
+            n0=cat(n0s),
+            n1=cat(n1s),
+            n2=cat(n2s),
+            uv0=cat(uv0s),
+            uv1=cat(uv1s),
+            uv2=cat(uv2s),
+            material_id=np.concatenate(mats).astype(np.int32),
+            instance_id=np.concatenate(insts).astype(np.int32),
+        )
+        flat.texel_density, flat.tangent = _uv_mapping_attrs(flat)
+        mesh_ids = [
+            self.parameterized_meshes[i.parameterized_mesh_id].mesh_id
+            for i in self.instances
+        ]
+        mat_offsets = [
+            self.parameterized_meshes[i.parameterized_mesh_id].material_offset
+            for i in self.instances
+        ]
+        return flat, mesh_tris, mesh_ids, mat_offsets
+
+    def instance_transforms(self, frame: int = 0) -> np.ndarray:
+        """(I,3,4) decoded world transforms for one animation frame — the
+        TLAS update input (default_update_tlas, render_vulkan.cpp:1219)."""
+        return np.stack(
+            [
+                self.animation_data[i.animation_data_index].transform(
+                    i.transform_index, frame
+                )
+                for i in self.instances
+            ]
+        )
+
     def material_table(self) -> MaterialTable:
         return MaterialTable.from_materials(self.materials)
 

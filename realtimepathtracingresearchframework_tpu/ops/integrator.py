@@ -59,6 +59,7 @@ from realtimepathtracingresearchframework_tpu.ops.traverse import (
     closest_hit_threaded,
     occluded_threaded,
 )
+from realtimepathtracingresearchframework_tpu.ops import tlas as tlas_mod
 from realtimepathtracingresearchframework_tpu.ops import traverse_pallas
 from realtimepathtracingresearchframework_tpu.ops.texture_atlas import (
     TextureAtlas,
@@ -124,6 +125,7 @@ class DeviceScene(NamedTuple):
     sky: SkyParams
     atlas: TextureAtlas  # dummy 1-texel atlas when cfg.has_textures is False
     rng: pointsets.RngBuffers  # pointset tables (dummy for the LCG variant)
+    tlas: object = None  # TwoLevelBuffers when cfg.two_level (else None)
 
 
 class ViewBuffers(NamedTuple):
@@ -150,6 +152,7 @@ class IntegratorConfig(NamedTuple):
     has_textures: bool = False  # trace the texture-lookup stage
     rng_variant: int = 0  # RNG_VARIANT_* (render_params.glsl.h:34-43)
     alpha_test: bool = False  # any-hit alpha-cutout emulation
+    two_level: bool = False  # BLAS/TLAS instanced traversal (ops/tlas.py)
 
 
 class FrameParams(NamedTuple):
@@ -276,6 +279,9 @@ def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro, rd,
                    t_min, t_max):
     """Shadow-ray visibility honoring alpha cutouts (any_hit.rahit): walks
     candidate hits until a solid blocker or segment end."""
+    if cfg.two_level:
+        # alpha cutouts are resolved in the flattened path only for now
+        return tlas_mod.occluded_two_level(ds.tlas, ro, rd, t_min, t_max)
     if not (cfg.alpha_test and cfg.has_textures):
         if cfg.use_pallas:
             return traverse_pallas.occluded_pallas(
@@ -465,7 +471,12 @@ def trace_paths(
          total_t, rng_state, rays) = _unpack_carry(carry)
         rays = rays + active.astype(rays.dtype)  # per-lane ray counter
         tmax_eff = jnp.where(active, T_MAX, 0.0)
-        hit = closest_hit_alpha(ds, cfg, ro, rd, t_min, tmax_eff)
+        if cfg.two_level:
+            hit = tlas_mod.closest_hit_two_level(
+                ds.tlas, ro, rd, t_min=t_min, t_max=tmax_eff
+            )
+        else:
+            hit = closest_hit_alpha(ds, cfg, ro, rd, t_min, tmax_eff)
         was_miss = hit.tri < 0
 
         # ---- miss: sky (pt_megakernel.glsl:480-489)
@@ -479,7 +490,6 @@ def trace_paths(
         tri = jnp.maximum(hit.tri, 0)
         e1 = ds.tris.e1[tri]
         e2 = ds.tris.e2[tri]
-        gn_raw = jnp.cross(e1, e2)
         b1, b2 = hit.u, hit.v
         b0 = 1.0 - b1 - b2
         n_sh = (
@@ -487,6 +497,17 @@ def trace_paths(
             + ds.shading.n1[tri] * b1[..., None]
             + ds.shading.n2[tri] * b2[..., None]
         )
+        if cfg.two_level:
+            # object -> world: edges by the instance linear A, normals by
+            # A^-T (correct under the format's signed-uniform scales,
+            # vkr.h:15 transform encoding)
+            inst = jnp.maximum(hit.inst, 0)
+            A = ds.tlas.inst_linear[inst].reshape(-1, 3, 3)
+            Ait = ds.tlas.inst_inv_t[inst].reshape(-1, 3, 3)
+            e1 = jnp.einsum("nab,nb->na", A, e1)
+            e2 = jnp.einsum("nab,nb->na", A, e2)
+            n_sh = jnp.einsum("nab,nb->na", Ait, n_sh)
+        gn_raw = jnp.cross(e1, e2)
         gn_raw = jnp.where((_dot(n_sh, gn_raw) < 0.0)[..., None], -gn_raw, gn_raw)
         gn_len = jnp.linalg.norm(gn_raw, axis=-1)  # 2*area
         gn = gn_raw / jnp.maximum(gn_len, 1e-20)[..., None]
@@ -499,6 +520,8 @@ def trace_paths(
         n_sh = _normalize(n_sh)
 
         mid = ds.shading.material_id[tri]
+        if cfg.two_level:
+            mid = mid + ds.tlas.inst_mat_offset[inst]
         mat = _gather_material(ds.materials, mid)
 
         p = ro + hit.t[..., None] * rd
@@ -521,6 +544,9 @@ def trace_paths(
                 + ds.shading.uv2[tri] * b2[..., None]
             )
             density = ds.shading.texel_density[tri]
+            if cfg.two_level:
+                # object-space density scales by 1/|s| in world units
+                density = density / jnp.maximum(ds.tlas.inst_scale[inst], 1e-8)
             footprint_world = total_t * fp.pixel_spread
 
             def tex_mip(tid):
@@ -556,10 +582,15 @@ def trace_paths(
             tn = tn.at[..., 0:2].multiply(fp.bump_scale)
             tang4 = ds.shading.tangent[tri]
             tang = tang4[..., :3]
+            if cfg.two_level:
+                tang = jnp.einsum("nab,nb->na", A, tang)
             tang = _normalize(
                 tang - n_sh * _dot(tang, n_sh)[..., None]
             )
-            bitan = jnp.cross(n_sh, tang) * tang4[..., 3:4]
+            hand = tang4[..., 3:4]
+            if cfg.two_level:
+                hand = hand * ds.tlas.inst_sign[inst][..., None]
+            bitan = jnp.cross(n_sh, tang) * hand
             n_mapped = _normalize(
                 tn[..., 0:1] * tang + tn[..., 1:2] * bitan + tn[..., 2:3] * n_sh
             )

@@ -42,7 +42,7 @@ except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
 PALLAS_LEAF_SIZE = 128
-DEFAULT_BLOCK = 256
+DEFAULT_BLOCK = 512
 _INF = 2.0e32
 
 
@@ -84,7 +84,7 @@ def pack_for_pallas(tb: ThreadedBVH) -> PallasBVHBuffers:
 
 
 def _kernel(nodes_ref, tris_ref, rays_ref,
-            t_out, row_out, u_out, v_out, *, num_nodes: int, any_hit: bool,
+            out_ref, *, num_nodes: int, any_hit: bool,
             block: int):
     # Rays arrive as ONE (8, B) operand (rows = rox..tmax). A single packed
     # operand means XLA materializes the ray data with a single producer
@@ -236,10 +236,13 @@ def _kernel(nodes_ref, tris_ref, rays_ref,
         cond, body, init
     )
 
-    t_out[:, :] = jnp.where(best_row < 0, jnp.float32(_INF), t_best)
-    row_out[:, :] = best_row
-    u_out[:, :] = best_u
-    v_out[:, :] = best_v
+    # ONE packed (4, B) output (rows: t, row-bits, u, v): a single output
+    # keeps the consumer side to one fusion — four separate outputs each
+    # grew their own epilogue fusion around the custom call
+    out_ref[0:1, :] = jnp.where(best_row < 0, jnp.float32(_INF), t_best).T
+    out_ref[1:2, :] = jax.lax.bitcast_convert_type(best_row, jnp.float32).T
+    out_ref[2:3, :] = best_u.T
+    out_ref[3:4, :] = best_v.T
 
 
 @functools.partial(jax.jit, static_argnames=("num_nodes", "block", "any_hit"))
@@ -250,25 +253,17 @@ def _traverse_pallas(nodes, tris_t, rays,
     kernel = functools.partial(
         _kernel, num_nodes=num_nodes, any_hit=any_hit, block=block
     )
-    out_shapes = [
-        jax.ShapeDtypeStruct((n, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n, 1), jnp.int32),
-        jax.ShapeDtypeStruct((n, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n, 1), jnp.float32),
-    ]
-    sub_spec = lambda cols: pl.BlockSpec(
-        (block, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
+    out_shape = jax.ShapeDtypeStruct((4, n), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=out_shapes,
+        out_shape=out_shape,
         in_specs=[
             pl.BlockSpec(nodes.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(tris_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=[sub_spec(1), sub_spec(1), sub_spec(1), sub_spec(1)],
+        out_specs=pl.BlockSpec((4, block), lambda i: (0, i), memory_space=pltpu.VMEM),
     )(nodes, tris_t, rays)
 
 
@@ -299,23 +294,23 @@ def closest_hit_pallas(
     from realtimepathtracingresearchframework_tpu.ops.traverse import Hit
 
     rays, n = _prep_rays(ro, rd, t_min, t_max, block)
-    t, row, u, v = _traverse_pallas(
+    out = _traverse_pallas(
         bb.nodes, bb.tris_t, rays,
         num_nodes=bb.num_nodes, block=block, any_hit=False,
     )
-    t = t[:n, 0]
-    row = row[:n, 0]
+    t = out[0, :n]
+    row = jax.lax.bitcast_convert_type(out[1, :n], jnp.int32)
     miss = row < 0
     tri = jnp.where(miss, -1, bb.row_tri[jnp.maximum(row, 0)])
-    return Hit(t=t, tri=tri, u=u[:n, 0], v=v[:n, 0])
+    return Hit(t=t, tri=tri, u=out[2, :n], v=out[3, :n])
 
 
 def occluded_pallas(
     bb: PallasBVHBuffers, ro, rd, t_min=0.0, t_max=_INF, block: int = DEFAULT_BLOCK
 ):
     rays, n = _prep_rays(ro, rd, t_min, t_max, block)
-    t, row, u, v = _traverse_pallas(
+    out = _traverse_pallas(
         bb.nodes, bb.tris_t, rays,
         num_nodes=bb.num_nodes, block=block, any_hit=True,
     )
-    return row[:n, 0] >= 0
+    return jax.lax.bitcast_convert_type(out[1, :n], jnp.int32) >= 0

@@ -342,8 +342,14 @@ def sample_gltf_brdf(mat: GLTFMaterial, n, w_o, v_x, v_y, dir_sample, lobe_sampl
     cdf2 = cdf1 + weights[..., 1]
     r = lobe_sample[..., 0]
     component = jnp.where(r < cdf1, 0, jnp.where(r < cdf2, 1, 2))
-    # guard: component must have nonzero weight
-    wsel = jnp.take_along_axis(weights, component[..., None], axis=-1)[..., 0]
+    # guard: component must have nonzero weight (arithmetic select — a
+    # take_along_axis gather stages its index vector through scalar
+    # memory at ~3.7ms per 262K lanes)
+    wsel = jnp.where(
+        component == 0,
+        weights[..., 0],
+        jnp.where(component == 1, weights[..., 1], weights[..., 2]),
+    )
 
     # build w_i per component
     w_h_local_signed = w_h_spec_local.at[..., 2].multiply(

@@ -59,6 +59,7 @@ from realtimepathtracingresearchframework_tpu.ops.traverse import (
     closest_hit_threaded,
     occluded_threaded,
 )
+from realtimepathtracingresearchframework_tpu.ops.smallgather import select_rows
 from realtimepathtracingresearchframework_tpu.ops import tlas as tlas_mod
 from realtimepathtracingresearchframework_tpu.ops import traverse_pallas
 from realtimepathtracingresearchframework_tpu.ops.texture_atlas import (
@@ -175,15 +176,16 @@ def _normalize(v):
 
 
 def _gather_material(mats: MaterialBuffers, mid) -> GLTFMaterial:
+    base = select_rows(mats.base_color, mid)
     return GLTFMaterial(
-        base_color=mats.base_color[mid],
-        metallic=mats.metallic[mid],
-        specular=mats.specular[mid],
-        roughness=mats.roughness[mid],
-        ior=mats.ior[mid],
-        specular_transmission=mats.specular_transmission[mid],
-        transmission_color=mats.base_color[mid],
-        onesided=(mats.flags[mid] & BASE_MATERIAL_ONESIDED) != 0,
+        base_color=base,
+        metallic=select_rows(mats.metallic, mid),
+        specular=select_rows(mats.specular, mid),
+        roughness=select_rows(mats.roughness, mid),
+        ior=select_rows(mats.ior, mid),
+        specular_transmission=select_rows(mats.specular_transmission, mid),
+        transmission_color=base,
+        onesided=(select_rows(mats.flags, mid) & BASE_MATERIAL_ONESIDED) != 0,
     )
 
 
@@ -557,7 +559,7 @@ def trace_paths(
                     jnp.maximum(footprint_world * density * base_w, 1.0)
                 )
 
-            bc_tid = ds.materials.base_color_tex[mid]
+            bc_tid = select_rows(ds.materials.base_color_tex, mid)
             bc = sample_atlas(ds.atlas, bc_tid, uv, tex_mip(bc_tid))
             mat = mat._replace(
                 base_color=jnp.where(
@@ -566,7 +568,7 @@ def trace_paths(
             )
             mat = mat._replace(transmission_color=mat.base_color)
 
-            sp_tid = ds.materials.specular_tex[mid]
+            sp_tid = select_rows(ds.materials.specular_tex, mid)
             sp = sample_atlas(ds.atlas, sp_tid, uv, tex_mip(sp_tid))
             has_sp = sp_tid >= 0
             mat = mat._replace(
@@ -576,7 +578,7 @@ def trace_paths(
 
             # normal mapping in the uv tangent frame
             # (pt_megakernel.glsl:636-648)
-            nm_tid = ds.materials.normal_tex[mid]
+            nm_tid = select_rows(ds.materials.normal_tex, mid)
             nm = sample_atlas(ds.atlas, nm_tid, uv, tex_mip(nm_tid))
             tn = nm[..., :3] * 2.0 - 1.0
             tn = tn.at[..., 0:2].multiply(fp.bump_scale)
@@ -598,10 +600,9 @@ def trace_paths(
             n_sh = jnp.where(ok_nm[..., None], n_mapped, n_sh)
 
         # ---- emitter hit MIS (shade_base_material.glsl:33-39)
-        emit_radiance = (
-            mat.base_color * ds.materials.emission_intensity[mid][..., None]
-        )
-        has_emit = ds.materials.emission_intensity[mid] > 0.0
+        emit_intensity = select_rows(ds.materials.emission_intensity, mid)
+        emit_radiance = mat.base_color * emit_intensity[..., None]
+        has_emit = emit_intensity > 0.0
         wpdf_light = (1.0 - ds.sky.sun_radiance[3]) * nee_mod.approx_tri_lights_pdf(
             approx_sa, max(cfg.num_lights, 1), num_bins, cfg.use_light_bins
         )

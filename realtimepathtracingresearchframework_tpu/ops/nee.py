@@ -21,6 +21,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from realtimepathtracingresearchframework_tpu.ops.smallgather import select_rows
+
 BIN_MAX_SIZE = 16  # BINNED_LIGHTS_BIN_MAX_SIZE (render_params.glsl.h:18)
 MIN_IRRADIANCE = 6.2e-4 * 0.001  # lights_linear.glsl:40
 
@@ -205,10 +207,10 @@ def sample_tri_lights(
         sel_p = jnp.full(light_id.shape, 1.0 / num_lights)
         mis_den = jnp.float32(num_lights)
 
-    lv0 = lights.v0[light_id]
-    lv1 = lights.v1[light_id]
-    lv2 = lights.v2[light_id]
-    radiance = lights.radiance[light_id]
+    lv0 = select_rows(lights.v0, light_id)
+    lv1 = select_rows(lights.v1, light_id)
+    lv2 = select_rows(lights.v2, light_id)
+    radiance = select_rows(lights.radiance, light_id)
 
     d0 = _normalize(lv0 - hit_p)
     d1 = _normalize(lv1 - hit_p)

@@ -233,20 +233,20 @@ def _hit_alpha_cut(ds: DeviceScene, tri, u, v):
 
 
 def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro, rd,
-                          t_min, t_max):
+                          t_min, t_max, comps=None):
     if cfg.use_pallas:
         return traverse_pallas.closest_hit_pallas(
-            ds.bvh, ro, rd, t_min=t_min, t_max=t_max
+            ds.bvh, ro, rd, t_min=t_min, t_max=t_max, comps=comps
         )
     return closest_hit_threaded(ds.bvh, ro, rd, t_min=t_min, t_max=t_max)
 
 
 def closest_hit_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro, rd,
-                      t_min, t_max):
+                      t_min, t_max, comps=None):
     """Closest hit honoring alpha-cutout textures: re-traces past cut
     texels up to MAX_ALPHA_HOPS (the reference's candidate-hit loop).
     Static no-op unless ``cfg.alpha_test``."""
-    hit = _closest_hit_dispatch(ds, cfg, ro, rd, t_min, t_max)
+    hit = _closest_hit_dispatch(ds, cfg, ro, rd, t_min, t_max, comps=comps)
     if not (cfg.alpha_test and cfg.has_textures):
         return hit
     from realtimepathtracingresearchframework_tpu.ops.traverse import Hit
@@ -478,7 +478,11 @@ def trace_paths(
                 ds.tlas, ro, rd, t_min=t_min, t_max=tmax_eff
             )
         else:
-            hit = closest_hit_alpha(ds, cfg, ro, rd, t_min, tmax_eff)
+            # carry[0:6] are the SoA ray components — feeding them to the
+            # kernel pack avoids (N,3) column-major relayout copies
+            hit = closest_hit_alpha(
+                ds, cfg, ro, rd, t_min, tmax_eff, comps=carry[0:6]
+            )
         was_miss = hit.tri < 0
 
         # ---- miss: sky (pt_megakernel.glsl:480-489)

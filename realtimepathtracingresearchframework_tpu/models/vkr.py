@@ -67,6 +67,143 @@ class VkrMaterial:
     tex_base_color: Optional[texture_mod.Texture] = None
     tex_normal: Optional[texture_mod.Texture] = None
     tex_specular: Optional[texture_mod.Texture] = None
+    # extended materials only (vkr.h:170-175): feature textures + neural
+    # tensors, loaded from <Name>Feature%u.vkt / <Name>Tensor%u.vktensor
+    features: list = field(default_factory=list)
+    tensors: list = field(default_factory=list)
+
+
+# --- .vktensor files (vkr_open_tensor, vkr.c:627-738) ---------------------
+
+TENSOR_MAGIC = 0xFE1FE1
+TENSOR_VERSION = 1
+TENSOR_MAX_DIMENSIONALITY = 4  # VkrTensorMaxDimensionality
+
+TENSOR_FORMAT_HALF_FLOAT = 1
+TENSOR_FORMAT_FLOAT = 2
+TENSOR_FORMAT_INT8 = 8
+
+TENSOR_FLAGS_INPUT_OUTPUT_SPEC = 0x1
+TENSOR_FLAGS_OUTPUT_TRANSPOSED = 0x2
+TENSOR_FLAGS_IMPLICIT_BIASES = 0x4
+TENSOR_FLAGS_CUSTOM_DATA_LAYOUT = 0x8
+
+_TENSOR_DTYPES = {
+    TENSOR_FORMAT_HALF_FLOAT: np.float16,
+    TENSOR_FORMAT_FLOAT: np.float32,
+    TENSOR_FORMAT_INT8: np.int8,
+}
+
+
+@dataclass
+class VkrTensor:
+    """Neural-material tensor (VkrTensor, vkr.h:131-147)."""
+
+    dimensions: tuple = ()
+    format: int = TENSOR_FORMAT_FLOAT
+    flags: int = 0
+    num_inputs: int = 0
+    num_input_layer_blocks: int = 0
+    num_outputs: int = 0
+    num_output_layer_blocks: int = 0
+    storage_descriptor: int = 0
+    components_descriptor: int = 0
+    ratio_descriptor: float = 0.0
+    values: Optional[np.ndarray] = None  # typed view when standard layout
+    data: bytes = b""  # raw payload (authoritative for custom layouts)
+
+    @property
+    def num_values(self) -> int:
+        n = 1
+        for d in self.dimensions:
+            n *= int(d)
+        return n
+
+
+def read_tensor(path: str) -> VkrTensor:
+    """Parse a .vktensor file (header layout per vkr.c:663-676: dims,
+    i32 format/flags, io spec, custom size, descriptors, 7 reserved u64)."""
+    with open(path, "rb") as f:
+        magic, version = struct.unpack("<ii", f.read(8))
+        if magic != TENSOR_MAGIC:
+            raise ValueError(f"{path} is not a .vktensor file")
+        if version != TENSOR_VERSION:
+            raise ValueError(f"unsupported tensor version {version}")
+        (dimensionality,) = struct.unpack("<Q", f.read(8))
+        if dimensionality > TENSOR_MAX_DIMENSIONALITY:
+            raise ValueError(f"tensor dimensionality {dimensionality} > 4")
+        dims = struct.unpack(f"<{dimensionality}Q", f.read(8 * dimensionality))
+        fmt, flags = struct.unpack("<ii", f.read(8))
+        (n_in, n_in_blocks, n_out, n_out_blocks, custom_size,
+         storage, components) = struct.unpack("<7Q", f.read(56))
+        (ratio,) = struct.unpack("<d", f.read(8))
+        f.read(8 * 7)  # reserved
+        if flags & TENSOR_FLAGS_INPUT_OUTPUT_SPEC:
+            if n_in < n_in_blocks or n_out < n_out_blocks:
+                raise ValueError("tensor input/output spec corrupted")
+        elif n_in or n_in_blocks or n_out or n_out_blocks:
+            raise ValueError("io spec without INPUT_OUTPUT_SPEC flag")
+        t = VkrTensor(
+            dimensions=tuple(int(d) for d in dims),
+            format=fmt,
+            flags=flags,
+            num_inputs=n_in,
+            num_input_layer_blocks=n_in_blocks,
+            num_outputs=n_out,
+            num_output_layer_blocks=n_out_blocks,
+            storage_descriptor=storage,
+            components_descriptor=components,
+            ratio_descriptor=ratio,
+        )
+        if flags & TENSOR_FLAGS_CUSTOM_DATA_LAYOUT:
+            size = custom_size
+        else:
+            dt = _TENSOR_DTYPES.get(fmt)
+            if dt is None:
+                raise ValueError(f"invalid tensor format {fmt}")
+            size = np.dtype(dt).itemsize * t.num_values
+        if size == 0:
+            raise ValueError("invalid tensor format")
+        t.data = f.read(size)
+        if len(t.data) != size:
+            raise ValueError("failed to read tensor array")
+        if not (flags & TENSOR_FLAGS_CUSTOM_DATA_LAYOUT):
+            t.values = np.frombuffer(t.data, _TENSOR_DTYPES[fmt]).reshape(
+                t.dimensions
+            )
+        return t
+
+
+def write_tensor(path: str, t: VkrTensor) -> None:
+    """Byte-compatible .vktensor writer (for tooling + roundtrip tests)."""
+    data = t.data
+    if not data and t.values is not None:
+        data = np.ascontiguousarray(
+            t.values, _TENSOR_DTYPES[t.format]
+        ).tobytes()
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", TENSOR_MAGIC, TENSOR_VERSION))
+        f.write(struct.pack("<Q", len(t.dimensions)))
+        f.write(struct.pack(f"<{len(t.dimensions)}Q", *t.dimensions))
+        f.write(struct.pack("<ii", t.format, t.flags))
+        custom = (
+            len(data) if (t.flags & TENSOR_FLAGS_CUSTOM_DATA_LAYOUT) else 0
+        )
+        f.write(
+            struct.pack(
+                "<7Q",
+                t.num_inputs,
+                t.num_input_layer_blocks,
+                t.num_outputs,
+                t.num_output_layer_blocks,
+                custom,
+                t.storage_descriptor,
+                t.components_descriptor,
+            )
+        )
+        f.write(struct.pack("<d", t.ratio_descriptor))
+        f.write(b"\0" * (8 * 7))
+        f.write(data)
 
 
 @dataclass
@@ -209,6 +346,22 @@ def _load_material_params(texture_dir: str, mat: VkrMaterial) -> None:
     mat.tex_base_color = load_tex("BaseColor")
     mat.tex_normal = load_tex("Normal")
     mat.tex_specular = load_tex("Specular")
+
+    # extended materials: feature textures + neural tensors
+    # (vkr_load_material, vkr.c:600-620; stop at the first missing index)
+    if mat.extended_name and mat.extended_name != mat.name:
+        for i in range(4):  # VkrMaterialMaxFeatureTextures
+            tex = load_tex(f"Feature{i}")
+            if tex is None:
+                break
+            mat.features.append(tex)
+        for i in range(3):  # VkrMaterialMaxTensors
+            tp = os.path.join(
+                texture_dir, mat.name + f"Tensor{i}" + ".vktensor"
+            )
+            if not os.path.exists(tp):
+                break
+            mat.tensors.append(read_tensor(tp))
 
 
 def open_scene(path: str, load_textures: bool = True) -> VkrScene:

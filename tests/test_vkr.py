@@ -141,3 +141,42 @@ def test_mip_chain_energy(rng):
     assert len(mips) == 5
     # last mip approximates the mean
     assert abs(float(mips[-1][0, 0, 0]) - float(img[..., 0].mean())) < 4.0
+
+
+def test_vktensor_roundtrip(tmp_path):
+    """.vktensor read/write parity (vkr_open_tensor, vkr.c:627-738)."""
+    import numpy as np
+    from realtimepathtracingresearchframework_tpu.models import vkr
+
+    w = np.arange(64 * 16, dtype=np.float16).reshape(64, 16)
+    t = vkr.VkrTensor(
+        dimensions=(64, 16),
+        format=vkr.TENSOR_FORMAT_HALF_FLOAT,
+        flags=vkr.TENSOR_FLAGS_INPUT_OUTPUT_SPEC,
+        num_inputs=16,
+        num_input_layer_blocks=1,
+        num_outputs=64,
+        num_output_layer_blocks=2,
+        ratio_descriptor=0.5,
+        values=w,
+    )
+    p = str(tmp_path / "netTensor0.vktensor")
+    vkr.write_tensor(p, t)
+    r = vkr.read_tensor(p)
+    assert r.dimensions == (64, 16)
+    assert r.format == vkr.TENSOR_FORMAT_HALF_FLOAT
+    assert r.num_inputs == 16 and r.num_outputs == 64
+    assert r.ratio_descriptor == 0.5
+    np.testing.assert_array_equal(r.values, w)
+    # int8 custom-layout payload
+    t2 = vkr.VkrTensor(
+        dimensions=(8,),
+        format=vkr.TENSOR_FORMAT_INT8,
+        flags=vkr.TENSOR_FLAGS_CUSTOM_DATA_LAYOUT,
+        data=b"\x01\x02\x03\x04",
+    )
+    p2 = str(tmp_path / "cTensor0.vktensor")
+    vkr.write_tensor(p2, t2)
+    r2 = vkr.read_tensor(p2)
+    assert r2.data == b"\x01\x02\x03\x04"
+    assert r2.values is None

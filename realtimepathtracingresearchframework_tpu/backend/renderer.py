@@ -800,11 +800,6 @@ class Renderer:
     def render_aovs(self, config: FrameConfig):
         """First-hit AOV pass (ENABLE_AOV_BUFFERS analogue); caches the
         previous frame's view for motion vectors."""
-        if self._use_two_level:
-            raise NotImplementedError(
-                "AOV pass is not yet wired for use_tlas=True; render with the "
-                "flattened BVH (default) for AOV/reprojection/TAA modes"
-            )
         from realtimepathtracingresearchframework_tpu.ops.aov import render_aovs
 
         params = config.params

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from realtimepathtracingresearchframework_tpu.ops import pointsets
+from realtimepathtracingresearchframework_tpu.ops import tlas as tlas_mod
 from realtimepathtracingresearchframework_tpu.ops import traverse_pallas
 from realtimepathtracingresearchframework_tpu.ops.integrator import (
     DeviceScene,
@@ -63,7 +64,9 @@ def render_aovs(
     state, jitter = pointsets.draw2(cfg.rng_variant, ds.rng, state, jnp.int32(0))
     ro, rd = camera_rays(view, px, py, dims, jitter)
 
-    if cfg.use_pallas:
+    if cfg.two_level:
+        hit = tlas_mod.closest_hit_two_level(ds.tlas, ro, rd)
+    elif cfg.use_pallas:
         hit = traverse_pallas.closest_hit_pallas(ds.bvh, ro, rd)
     else:
         hit = closest_hit_threaded(ds.bvh, ro, rd)
@@ -77,8 +80,14 @@ def render_aovs(
         + ds.shading.n1[tri] * b1[..., None]
         + ds.shading.n2[tri] * b2[..., None]
     )
-    n_sh = n_sh / jnp.maximum(jnp.linalg.norm(n_sh, axis=-1, keepdims=True), 1e-20)
     mid = ds.shading.material_id[tri]
+    if cfg.two_level:
+        # object -> world, per instance (see integrator visit_hit)
+        inst = jnp.maximum(hit.inst, 0)
+        Ait = ds.tlas.inst_inv_t[inst].reshape(-1, 3, 3)
+        n_sh = jnp.einsum("nab,nb->na", Ait, n_sh)
+        mid = mid + ds.tlas.inst_mat_offset[inst]
+    n_sh = n_sh / jnp.maximum(jnp.linalg.norm(n_sh, axis=-1, keepdims=True), 1e-20)
     mat = _gather_material(ds.materials, mid)
 
     albedo = jnp.where(was_hit[..., None], mat.base_color, 0.0)

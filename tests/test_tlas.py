@@ -239,3 +239,32 @@ def test_two_level_tri_ids_are_global_shading_rows(rng):
     assert tri[hit].max() < 12
     np.testing.assert_array_equal(tri[hit] // 4, inst[hit])
     assert len(np.unique(inst[hit])) >= 2  # rays reach several instances
+
+
+def test_two_level_aovs_match_flattened():
+    from realtimepathtracingresearchframework_tpu.backend.params import (
+        RenderParams,
+    )
+    from realtimepathtracingresearchframework_tpu.backend.renderer import (
+        FrameConfig,
+        Renderer,
+    )
+    from realtimepathtracingresearchframework_tpu.models.camera import (
+        OrientedCamera,
+    )
+
+    cam = OrientedCamera.look_at([0, 1.0, 3.2], [0, 1.0, 0.0], fovy=50)
+    cfg = FrameConfig(camera=cam, params=RenderParams(max_path_depth=2))
+    out = {}
+    for use_tlas in (False, True):
+        r = Renderer()
+        r.options = r.options.replace(use_tlas=use_tlas)
+        r.initialize(16, 16)
+        r.set_scene(Scene.from_vkr_scene(procedural.cornell_box()))
+        out[use_tlas] = r.render_aovs(cfg)
+    for f in ("albedo_roughness", "normal_depth", "motion_jitter"):
+        a = np.asarray(getattr(out[False], f))
+        b = np.asarray(getattr(out[True], f))
+        a = np.where(np.isfinite(a), a, 1e30)
+        b = np.where(np.isfinite(b), b, 1e30)
+        np.testing.assert_allclose(a, b, atol=1e-5)

@@ -323,21 +323,29 @@ class Renderer:
         mat_table = scene.material_table()
         self._mat_table = mat_table
 
+        # pallas path: upload attributes in BVH-row order so the kernel's
+        # row id IS the attribute index (saves the ~2ms/visit row->tri
+        # mapping gather; padded rows clamp to tri 0 and can never hit)
+        if self._use_pallas:
+            rt = np.asarray(self._bvh.row_tri)
+            ix = np.clip(rt, 0, shade_flat.num_tris - 1)
+        else:
+            ix = slice(None)
         tris = TriBuffers(
-            v0=jnp.asarray(shade_flat.v0),
-            e1=jnp.asarray(shade_flat.e1),
-            e2=jnp.asarray(shade_flat.e2),
+            v0=jnp.asarray(shade_flat.v0[ix]),
+            e1=jnp.asarray(shade_flat.e1[ix]),
+            e2=jnp.asarray(shade_flat.e2[ix]),
         )
         shading = ShadingBuffers(
-            n0=jnp.asarray(shade_flat.n0),
-            n1=jnp.asarray(shade_flat.n1),
-            n2=jnp.asarray(shade_flat.n2),
-            uv0=jnp.asarray(shade_flat.uv0),
-            uv1=jnp.asarray(shade_flat.uv1),
-            uv2=jnp.asarray(shade_flat.uv2),
-            material_id=jnp.asarray(shade_flat.material_id),
-            texel_density=jnp.asarray(shade_flat.texel_density),
-            tangent=jnp.asarray(shade_flat.tangent),
+            n0=jnp.asarray(shade_flat.n0[ix]),
+            n1=jnp.asarray(shade_flat.n1[ix]),
+            n2=jnp.asarray(shade_flat.n2[ix]),
+            uv0=jnp.asarray(shade_flat.uv0[ix]),
+            uv1=jnp.asarray(shade_flat.uv1[ix]),
+            uv2=jnp.asarray(shade_flat.uv2[ix]),
+            material_id=jnp.asarray(shade_flat.material_id[ix]),
+            texel_density=jnp.asarray(shade_flat.texel_density[ix]),
+            tangent=jnp.asarray(shade_flat.tangent[ix]),
         )
         self._atlas = atlas_mod.build_atlas(scene.textures)
         if self._atlas is None:
@@ -437,6 +445,7 @@ class Renderer:
             alpha_test=bool(getattr(self, "_has_alpha", False))
             and not getattr(self, "_use_two_level", False),
             two_level=bool(getattr(self, "_use_two_level", False)),
+            row_attrs=bool(self._use_pallas),
         )
 
     def _get_render_fn(self, cfg: IntegratorConfig):
@@ -781,13 +790,28 @@ class Renderer:
         self.timers.add(marker, (time.perf_counter() - t0) * 1e3)
 
         self._flat = flat
+        if self._use_pallas:
+            rt = np.asarray(self._bvh.row_tri)
+            ix = np.clip(rt, 0, flat.num_tris - 1)
+        else:
+            ix = slice(None)
         self._tris = TriBuffers(
-            v0=jnp.asarray(flat.v0), e1=jnp.asarray(flat.e1), e2=jnp.asarray(flat.e2)
+            v0=jnp.asarray(flat.v0[ix]),
+            e1=jnp.asarray(flat.e1[ix]),
+            e2=jnp.asarray(flat.e2[ix]),
         )
-        self._shading = self._shading._replace(
-            n0=jnp.asarray(flat.n0),
-            n1=jnp.asarray(flat.n1),
-            n2=jnp.asarray(flat.n2),
+        # a rebuild can change the BVH row order, so re-index EVERY
+        # row-ordered attribute, not just the animated normals
+        self._shading = ShadingBuffers(
+            n0=jnp.asarray(flat.n0[ix]),
+            n1=jnp.asarray(flat.n1[ix]),
+            n2=jnp.asarray(flat.n2[ix]),
+            uv0=jnp.asarray(flat.uv0[ix]),
+            uv1=jnp.asarray(flat.uv1[ix]),
+            uv2=jnp.asarray(flat.uv2[ix]),
+            material_id=jnp.asarray(flat.material_id[ix]),
+            texel_density=jnp.asarray(flat.texel_density[ix]),
+            tangent=jnp.asarray(flat.tangent[ix]),
         )
         self._upload_lights_and_sky(scene_config)
         self.reset_accumulation()

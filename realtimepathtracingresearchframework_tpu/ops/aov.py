@@ -67,7 +67,9 @@ def render_aovs(
     if cfg.two_level:
         hit = tlas_mod.closest_hit_two_level(ds.tlas, ro, rd)
     elif cfg.use_pallas:
-        hit = traverse_pallas.closest_hit_pallas(ds.bvh, ro, rd)
+        hit = traverse_pallas.closest_hit_pallas(
+            ds.bvh, ro, rd, map_tri=not cfg.row_attrs
+        )
     else:
         hit = closest_hit_threaded(ds.bvh, ro, rd)
     was_hit = hit.tri >= 0

@@ -154,6 +154,7 @@ class IntegratorConfig(NamedTuple):
     rng_variant: int = 0  # RNG_VARIANT_* (render_params.glsl.h:34-43)
     alpha_test: bool = False  # any-hit alpha-cutout emulation
     two_level: bool = False  # BLAS/TLAS instanced traversal (ops/tlas.py)
+    row_attrs: bool = False  # attribute tables are BVH-row-ordered (pallas)
 
 
 class FrameParams(NamedTuple):
@@ -236,7 +237,8 @@ def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro, rd,
                           t_min, t_max, comps=None):
     if cfg.use_pallas:
         return traverse_pallas.closest_hit_pallas(
-            ds.bvh, ro, rd, t_min=t_min, t_max=t_max, comps=comps
+            ds.bvh, ro, rd, t_min=t_min, t_max=t_max, comps=comps,
+            map_tri=not cfg.row_attrs,
         )
     return closest_hit_threaded(ds.bvh, ro, rd, t_min=t_min, t_max=t_max)
 

@@ -293,8 +293,12 @@ def _prep_rays(ro, rd, t_min, t_max, block, comps=None):
 
 def closest_hit_pallas(
     bb: PallasBVHBuffers, ro, rd, t_min=0.0, t_max=_INF,
-    block: int = DEFAULT_BLOCK, comps=None,
+    block: int = DEFAULT_BLOCK, comps=None, map_tri: bool = True,
 ):
+    """map_tri=False returns the BVH ROW as the primitive id — for callers
+    whose attribute tables are row-ordered. The row->tri mapping gather
+    stages its index vector through scalar memory (~2ms per 262K rays), so
+    the hot integrator path keeps everything in row space instead."""
     from realtimepathtracingresearchframework_tpu.ops.traverse import Hit
 
     rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps)
@@ -304,8 +308,11 @@ def closest_hit_pallas(
     )
     t = out[0, :n]
     row = jax.lax.bitcast_convert_type(out[1, :n], jnp.int32)
-    miss = row < 0
-    tri = jnp.where(miss, -1, bb.row_tri[jnp.maximum(row, 0)])
+    if map_tri:
+        miss = row < 0
+        tri = jnp.where(miss, -1, bb.row_tri[jnp.maximum(row, 0)])
+    else:
+        tri = row
     return Hit(t=t, tri=tri, u=out[2, :n], v=out[3, :n])
 
 

@@ -565,7 +565,10 @@ class Renderer:
         jax.block_until_ready(self.framebuffer)
         dt_ms = (time.perf_counter() - t0) * 1e3
 
-        self._last_rays = int(rays) * 1  # device scalar -> host
+        # keep the ray counter as a device scalar: int() here would block
+        # the host on frame completion, serializing next-frame dispatch
+        # with device execution (the reference keeps frames in flight)
+        self._last_rays = rays
         self._last_render_ms = dt_ms
         self.timers.add(ProfilingMarker.RENDERING, dt_ms)
         self.timers.end_frame()
@@ -672,14 +675,20 @@ class Renderer:
         )
 
     def stats(self) -> RenderStats:
-        mem = 0
+        """MemoryStatistics analogue (vulkan_utils.h:94-104,
+        render_vulkan.cpp:2229-2243): current/peak/total device bytes from
+        the runtime allocator where the platform exposes them."""
+        mem = peak = total = 0
         try:
             stats = self.device.memory_stats()
-            mem = stats.get("bytes_in_use", 0) if stats else 0
+            if stats:
+                mem = stats.get("bytes_in_use", 0)
+                peak = stats.get("peak_bytes_in_use", mem)
+                total = stats.get("bytes_limit", 0)
         except Exception:
             pass
         rps = (
-            self._last_rays / (self._last_render_ms * 1e-3)
+            int(self._last_rays) / (self._last_render_ms * 1e-3)
             if self._last_render_ms > 0
             else -1.0
         )
@@ -688,6 +697,8 @@ class Renderer:
             spp=self.frame_id,
             rays_per_second=rps,
             device_bytes_currently_allocated=mem,
+            max_device_bytes_allocated=peak,
+            total_device_bytes=total,
         )
 
     # ------------------------------------------------------------------

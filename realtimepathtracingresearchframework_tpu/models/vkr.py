@@ -821,9 +821,51 @@ def main(argv=None) -> int:
             f"aabb [{lo[0]:.3g} {lo[1]:.3g} {lo[2]:.3g}]..[{hi[0]:.3g} {hi[1]:.3g} {hi[2]:.3g}]"
         )
     for i, m in enumerate(s.materials):
-        print(f"  material[{i}] '{m.name}'")
+        extra = ""
+        if m.tensors:
+            dims = ",".join(str(t.dimensions) for t in m.tensors)
+            extra += f" tensors[{len(m.tensors)}]: {dims}"
+        if m.features:
+            extra += f" features[{len(m.features)}]"
+        print(f"  material[{i}] '{m.name}'{extra}")
     return 0
 
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def optimize_mesh(mesh: "VkrMesh") -> "VkrMesh":
+    """Spatial-locality triangle reorder — the vkr_optimize_mesh analogue
+    (vkr.h:433-437, meshoptimizer). The reference optimizes for GPU vertex
+    caches; with implicit-index triangle soup on TPU the equivalent lever
+    is BVH leaf coherence, so triangles are Morton-ordered by centroid
+    (segment boundaries and material ids move with their triangles)."""
+    from realtimepathtracingresearchframework_tpu.models.quantization import (
+        dequantize_vertices,
+    )
+    from realtimepathtracingresearchframework_tpu.ops.bvh import morton3d
+
+    p = dequantize_vertices(
+        mesh.vertices_q, mesh.vertex_scale, mesh.vertex_offset
+    ).reshape(-1, 3, 3)
+    c = p.mean(axis=1)
+    lo = c.min(axis=0)
+    ext = np.maximum(c.max(axis=0) - lo, 1e-12)
+    q = np.clip(((c - lo) / ext) * 1024.0, 0, 1023).astype(np.uint32)
+    order = np.argsort(
+        morton3d(q[:, 0], q[:, 1], q[:, 2]), kind="stable"
+    ).astype(np.int64)
+    vq = mesh.vertices_q.reshape(-1, 3)[order].reshape(-1)
+    nq = mesh.normal_uv_q.reshape(-1, 3)[order].reshape(-1)
+    import dataclasses
+
+    return dataclasses.replace(
+        mesh,
+        vertices_q=vq,
+        normal_uv_q=nq,
+        material_ids=np.asarray(mesh.material_ids)[order],
+        segment_num_triangles=[mesh.num_triangles],
+        segment_material_base_offsets=[0],
+        indices=None,
+    )

@@ -43,6 +43,9 @@ except Exception:  # pragma: no cover
 
 PALLAS_LEAF_SIZE = 128
 DEFAULT_BLOCK = 512
+# (Rp,16) triangle tables pad the minor dim to 128 lanes in VMEM (8x);
+# beyond this many rows switch to the compact (16,Rp) lane-major layout
+WIDE_MAX_ROWS = 8192
 _INF = 2.0e32
 
 
@@ -71,8 +74,12 @@ def pack_for_pallas(tb: ThreadedBVH) -> PallasBVHBuffers:
 
     r = len(tb.tri_rows)
     rp = r + ((-r) % 128)
-    tris_s = np.zeros((rp, 16), np.float32)
-    tris_s[:r, 0:9] = tb.tri_rows[:, 0:9]
+    if rp <= WIDE_MAX_ROWS:
+        tris_s = np.zeros((rp, 16), np.float32)
+        tris_s[:r, 0:9] = tb.tri_rows[:, 0:9]
+    else:
+        tris_s = np.zeros((16, rp), np.float32)
+        tris_s[0:9, :r] = tb.tri_rows[:, 0:9].T
     row_tri = np.zeros(rp, np.int32)
     row_tri[:r] = tb.row_tri
     assert nodes.shape[0] == m
@@ -237,29 +244,199 @@ def _kernel(nodes_ref, tris_ref, rays_ref,
     out_ref[3:4, :] = best_v
 
 
+def _kernel_lane(nodes_ref, tris_ref, rays_ref,
+                 out_ref, *, num_nodes: int, any_hit: bool, block: int):
+    """Large-scene variant: triangles lane-major (16, Rp) — the compact
+    VMEM layout (a (Rp,16) table pads its 16-wide minor dim to 128 lanes
+    in VMEM: 8x waste, OOM beyond ~8k rows). Rays arrive SUBLANE-major
+    (B, 8) so the whole kernel runs in (B, *) orientation with zero
+    on-core transposes; the Moller-Trumbore broadcast is (B rays, 128
+    tris)."""
+    b = block
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, PALLAS_LEAF_SIZE), 1)
+
+    rox = rays_ref[:, 0:1]
+    roy = rays_ref[:, 1:2]
+    roz = rays_ref[:, 2:3]
+    rdx = rays_ref[:, 3:4]
+    rdy = rays_ref[:, 4:5]
+    rdz = rays_ref[:, 5:6]
+    tmin = rays_ref[:, 6:7]
+    tmax = rays_ref[:, 7:8]
+
+    tiny = 1e-20
+
+    def inv(d):
+        return jnp.where(d >= 0.0, 1.0, -1.0) / jnp.maximum(jnp.abs(d), tiny)
+
+    ix, iy, iz = inv(rdx), inv(rdy), inv(rdz)
+
+    def cond(c):
+        cur = c[0]
+        if any_hit:
+            return (cur < num_nodes) & (c[5] < b)
+        return cur < num_nodes
+
+    def body(c):
+        cur, t_best, best_row, best_u, best_v, nhit, cap = c
+
+        bminx = nodes_ref[cur, 0]
+        bminy = nodes_ref[cur, 1]
+        bminz = nodes_ref[cur, 2]
+        bmaxx = nodes_ref[cur, 3]
+        bmaxy = nodes_ref[cur, 4]
+        bmaxz = nodes_ref[cur, 5]
+        skip = nodes_ref[cur, 6].astype(jnp.int32)
+        leaf_row = nodes_ref[cur, 7].astype(jnp.int32)
+
+        tx0 = (bminx - rox) * ix
+        tx1 = (bmaxx - rox) * ix
+        ty0 = (bminy - roy) * iy
+        ty1 = (bmaxy - roy) * iy
+        tz0 = (bminz - roz) * iz
+        tz1 = (bmaxz - roz) * iz
+        tenter = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.maximum(jnp.minimum(tz0, tz1), tmin),
+        )
+        texit = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.minimum(jnp.maximum(tz0, tz1), jnp.minimum(tmax, cap)),
+        )
+        any_live = jnp.any(tenter <= texit)
+        is_leaf = leaf_row >= 0
+
+        def leaf_fn(carry):
+            t_best, best_row, best_u, best_v = carry
+            col = pl.multiple_of(jnp.maximum(leaf_row, 0), PALLAS_LEAF_SIZE)
+            tile = tris_ref[:, pl.ds(col, PALLAS_LEAF_SIZE)]  # (16, 128)
+            v0x = tile[0:1, :]
+            v0y = tile[1:2, :]
+            v0z = tile[2:3, :]
+            e1x = tile[3:4, :]
+            e1y = tile[4:5, :]
+            e1z = tile[5:6, :]
+            e2x = tile[6:7, :]
+            e2y = tile[7:8, :]
+            e2z = tile[8:9, :]
+            # (B,1) x (1,128) -> (B rays, 128 tris)
+            px = rdy * e2z - rdz * e2y
+            py = rdz * e2x - rdx * e2z
+            pz = rdx * e2y - rdy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            tvx = rox - v0x
+            tvy = roy - v0y
+            tvz = roz - v0z
+            uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            vv = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            hit = (
+                (jnp.abs(det) > 1e-12)
+                & (uu >= 0.0)
+                & (vv >= 0.0)
+                & (uu + vv <= 1.0)
+                & (tt > tmin)
+                & (tt < jnp.minimum(t_best, tmax))
+            )
+            tt = jnp.where(hit, tt, _INF)
+            tmin_row = jnp.min(tt, axis=1, keepdims=True)  # (B, 1)
+            improved = tmin_row < t_best
+            is_best = (tt <= tmin_row) & hit
+            lane_of_best = jnp.min(
+                jnp.where(is_best, lane_iota, PALLAS_LEAF_SIZE),
+                axis=1,
+                keepdims=True,
+            )
+            pick = lane_iota == lane_of_best
+            u_pick = jnp.sum(jnp.where(pick, uu, 0.0), axis=1, keepdims=True)
+            v_pick = jnp.sum(jnp.where(pick, vv, 0.0), axis=1, keepdims=True)
+            t_best = jnp.where(improved, tmin_row, t_best)
+            best_row = jnp.where(
+                improved, leaf_row + lane_of_best.astype(jnp.int32), best_row
+            )
+            best_u = jnp.where(improved, u_pick, best_u)
+            best_v = jnp.where(improved, v_pick, best_v)
+            return t_best, best_row, best_u, best_v
+
+        do_leaf = is_leaf & any_live
+        t_best, best_row, best_u, best_v = jax.lax.cond(
+            do_leaf, leaf_fn, lambda carry: carry,
+            (t_best, best_row, best_u, best_v),
+        )
+        cap = jnp.max(jnp.minimum(t_best, tmax))
+        if any_hit:
+            nhit = jnp.sum((best_row >= 0).astype(jnp.int32))
+
+        nxt = jnp.where(any_live & ~is_leaf, cur + 1, skip)
+        return (nxt, t_best, best_row, best_u, best_v, nhit, cap)
+
+    init = (
+        jnp.int32(0),
+        tmax,
+        jnp.full((b, 1), -1, jnp.int32),
+        jnp.zeros((b, 1), jnp.float32),
+        jnp.zeros((b, 1), jnp.float32),
+        jnp.int32(0),
+        jnp.max(tmax),
+    )
+    _, t_best, best_row, best_u, best_v, _, _ = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    out_ref[:, 0:1] = jnp.where(best_row < 0, jnp.float32(_INF), t_best)
+    out_ref[:, 1:2] = jax.lax.bitcast_convert_type(best_row, jnp.float32)
+    out_ref[:, 2:3] = best_u
+    out_ref[:, 3:4] = best_v
+
+
 @functools.partial(jax.jit, static_argnames=("num_nodes", "block", "any_hit"))
 def _traverse_pallas(nodes, tris_s, rays,
                      num_nodes: int, block: int, any_hit: bool):
-    n = rays.shape[1]  # rays is a single (8, Np) packed operand
+    wide = tris_s.shape[1] == 16  # (Rp,16) small-scene vs (16,Rp) compact
+    if wide:
+        n = rays.shape[1]  # (8, Np) lane-major rows
+        grid = (n // block,)
+        kernel = functools.partial(
+            _kernel, num_nodes=num_nodes, any_hit=any_hit, block=block
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(nodes.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(tris_s.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (4, block), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        )(nodes, tris_s, rays)
+    n = rays.shape[0]  # (Np, 8) sublane-major
     grid = (n // block,)
     kernel = functools.partial(
-        _kernel, num_nodes=num_nodes, any_hit=any_hit, block=block
+        _kernel_lane, num_nodes=num_nodes, any_hit=any_hit, block=block
     )
-    out_shape = jax.ShapeDtypeStruct((4, n), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=out_shape,
+        out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
         in_specs=[
             pl.BlockSpec(nodes.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(tris_s.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (block, 4), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
     )(nodes, tris_s, rays)
 
 
-def _prep_rays(ro, rd, t_min, t_max, block, comps=None):
+def _prep_rays(ro, rd, t_min, t_max, block, comps=None, wide=True):
     n = (comps[0] if comps is not None else ro).shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -286,9 +463,12 @@ def _prep_rays(ro, rd, t_min, t_max, block, comps=None):
             padv(rd[:, 0], 1.0), padv(rd[:, 1], 0.0), padv(rd[:, 2], 0.0),
             padv(t_min, 0.0), padv(t_max, 0.0),
         ]
-    # single packed (8, Np) operand: one producer fusion materializes all
-    # ray data (separate operands each re-ran their producer chain)
-    return jnp.stack(cols, axis=0), n
+    # single packed operand: one producer fusion materializes all ray data
+    # (separate operands each re-ran their producer chain). Lane-major
+    # (8,N) rows for the wide kernel; sublane-major (N,8) for the compact
+    # large-scene kernel.
+    axis = 0 if wide else 1
+    return jnp.stack(cols, axis=axis), n
 
 
 def closest_hit_pallas(
@@ -301,28 +481,34 @@ def closest_hit_pallas(
     the hot integrator path keeps everything in row space instead."""
     from realtimepathtracingresearchframework_tpu.ops.traverse import Hit
 
-    rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps)
+    wide = bb.tris_s.shape[1] == 16
+    rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=wide)
     out = _traverse_pallas(
         bb.nodes, bb.tris_s, rays,
         num_nodes=bb.num_nodes, block=block, any_hit=False,
     )
-    t = out[0, :n]
-    row = jax.lax.bitcast_convert_type(out[1, :n], jnp.int32)
+    if wide:
+        t, rowbits, u, v = out[0, :n], out[1, :n], out[2, :n], out[3, :n]
+    else:
+        t, rowbits, u, v = out[:n, 0], out[:n, 1], out[:n, 2], out[:n, 3]
+    row = jax.lax.bitcast_convert_type(rowbits, jnp.int32)
     if map_tri:
         miss = row < 0
         tri = jnp.where(miss, -1, bb.row_tri[jnp.maximum(row, 0)])
     else:
         tri = row
-    return Hit(t=t, tri=tri, u=out[2, :n], v=out[3, :n])
+    return Hit(t=t, tri=tri, u=u, v=v)
 
 
 def occluded_pallas(
     bb: PallasBVHBuffers, ro, rd, t_min=0.0, t_max=_INF,
     block: int = DEFAULT_BLOCK, comps=None,
 ):
-    rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps)
+    wide = bb.tris_s.shape[1] == 16
+    rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=wide)
     out = _traverse_pallas(
         bb.nodes, bb.tris_s, rays,
         num_nodes=bb.num_nodes, block=block, any_hit=True,
     )
-    return jax.lax.bitcast_convert_type(out[1, :n], jnp.int32) >= 0
+    rowbits = out[1, :n] if wide else out[:n, 1]
+    return jax.lax.bitcast_convert_type(rowbits, jnp.int32) >= 0

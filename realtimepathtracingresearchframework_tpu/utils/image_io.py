@@ -14,11 +14,20 @@ Conventions match the reference:
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from typing import Dict, Tuple
 
 import numpy as np
+
+
+def _open_out(path) -> "object":
+    """Open for binary write, creating parent directories as needed."""
+    parent = os.path.dirname(str(path))
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    return open(path, "wb")
 
 
 # ---------------------------------------------------------------------------
@@ -35,7 +44,7 @@ def write_pfm(path: str, pixels: np.ndarray) -> None:
         raise ValueError("write_pfm expects (H, W, >=3)")
     h, w = pixels.shape[:2]
     rgb = pixels[::-1, :, :3].astype("<f4")  # bottom-up scanlines
-    with open(path, "wb") as f:
+    with _open_out(path) as f:
         f.write(b"PF\n%d %d\n-1.0\n" % (w, h))
         f.write(rgb.tobytes())
 
@@ -154,7 +163,7 @@ def write_exr(
         blocks.append((y, packed))
         y += ny
 
-    with open(path, "wb") as f:
+    with _open_out(path) as f:
         f.write(struct.pack("<ii", _EXR_MAGIC, 2))
         f.write(header)
         offset_table_pos = f.tell()
@@ -273,7 +282,7 @@ def write_png(path: str, pixels: np.ndarray) -> None:
     h, w, c = px.shape
     color_type = {1: 0, 3: 2, 4: 6}[c]
     raw = b"".join(b"\0" + px[y].tobytes() for y in range(h))
-    with open(path, "wb") as f:
+    with _open_out(path) as f:
         f.write(b"\x89PNG\r\n\x1a\n")
         f.write(_png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)))
         f.write(_png_chunk(b"IDAT", zlib.compress(raw, 6)))

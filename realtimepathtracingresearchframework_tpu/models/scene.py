@@ -273,15 +273,27 @@ class Scene:
             self.materials.append(mat)
             self.material_names.append(vm.name)
 
-        # meshes
+        # meshes. Material assignment follows scene.cpp:665-676: the
+        # per-triangle material-id buffer is honored only for single-segment
+        # meshes with more than one material in range; otherwise each
+        # segment's triangles take segmentMaterialBaseOffsets[seg] and the
+        # id buffer is ignored.
         for vm in vs.meshes:
+            if vm.num_segments == 1 and vm.num_materials_in_range > 1:
+                tri_mat_ids = np.asarray(vm.material_ids, np.int32) + np.int32(
+                    vm.material_id_buffer_base
+                )
+            else:
+                tri_mat_ids = np.repeat(
+                    np.asarray(vm.segment_material_base_offsets, np.int32),
+                    np.asarray(vm.segment_num_triangles, np.int64),
+                )
             geom = Geometry(
                 vertices_q=vm.vertices_q,
                 normal_uv_q=vm.normal_uv_q,
                 scale=vm.vertex_scale,
                 offset=vm.vertex_offset,
-                material_ids=np.asarray(vm.material_ids)
-                + np.int32(vm.material_id_buffer_base),
+                material_ids=tri_mat_ids,
                 indices=vm.indices,
             )
             self.meshes.append(

@@ -7,10 +7,11 @@ Re-implements the on-disk format parsed by ``ext/libvkr/src/vkr.c``:
   buffers laid out sequentially after the material names
   (vkr.c:1108-1143),
 - material names in-file; material parameters + textures in the sibling
-  ``<scene>_textures/`` directory (``vkr_load_material``, vkr.c:521-627):
-  ``<Name>EmissionIntensity.txt`` (1 or 4 floats),
-  ``<Name>SpecularTransmission.txt`` (4 floats: transmission, eta, k,
-  translucency), ``<Name>{BaseColor,Normal,Specular}.vkt`` textures,
+  ``<scene>_textures/`` directory (``vkr_load_material``, vkr.c:505-627);
+  filenames are ``<Name>_<Param>.<ext>`` (strcat5 with "_", vkr.c:459/478/494):
+  ``<Name>_EmissionIntensity.txt`` (1 or 4 floats, one per line),
+  ``<Name>_SpecularTransmission.txt`` (4 floats: transmission, eta, k,
+  translucency), ``<Name>_{BaseColor,Normal,Specular}.vkt`` textures,
 - animation: a table of 24-byte quantized transforms at ``animationOffset``
   — ``numStaticTransforms`` once + ``numAnimatedTransforms`` x ``numFrames``
   (vkr.c:199-209, scene.cpp:713-729),
@@ -300,11 +301,12 @@ def _read_string(mm: np.memmap, pos: int):
 
 
 def _load_material_params(texture_dir: str, mat: VkrMaterial) -> None:
-    """Loads <Name>EmissionIntensity.txt / <Name>SpecularTransmission.txt /
-    standard textures, per vkr_load_material (vkr.c:521-627)."""
+    """Loads <Name>_EmissionIntensity.txt / <Name>_SpecularTransmission.txt /
+    standard textures, per vkr_load_material (vkr.c:505-627). Filenames are
+    ``<Name>_<Param>.<ext>`` (strcat5 with "_", vkr.c:459/478/494)."""
 
     def read_floats(suffix):
-        path = os.path.join(texture_dir, mat.name + suffix + ".txt")
+        path = os.path.join(texture_dir, mat.name + "_" + suffix + ".txt")
         try:
             with open(path) as f:
                 return [float(x) for x in f.read().split()]
@@ -338,7 +340,7 @@ def _load_material_params(texture_dir: str, mat: VkrMaterial) -> None:
         mat.base_color = np.array(bc[:3], np.float32)
 
     def load_tex(suffix):
-        path = os.path.join(texture_dir, mat.name + suffix + ".vkt")
+        path = os.path.join(texture_dir, mat.name + "_" + suffix + ".vkt")
         if os.path.exists(path):
             return texture_mod.read_vkt(path)
         return None
@@ -348,8 +350,15 @@ def _load_material_params(texture_dir: str, mat: VkrMaterial) -> None:
     mat.tex_specular = load_tex("Specular")
 
     # extended materials: feature textures + neural tensors
-    # (vkr_load_material, vkr.c:600-620; stop at the first missing index)
-    if mat.extended_name and mat.extended_name != mat.name:
+    # (vkr_load_material, vkr.c:536-620; stop at the first missing index).
+    # Extended = renamed via _Ex.txt, or name contains "_SHADER"/"_EX"
+    # (vkr.c:538-539).
+    is_extended = (
+        (mat.extended_name and mat.extended_name != mat.name)
+        or "_SHADER" in mat.name
+        or "_EX" in mat.name
+    )
+    if is_extended:
         for i in range(4):  # VkrMaterialMaxFeatureTextures
             tex = load_tex(f"Feature{i}")
             if tex is None:
@@ -357,7 +366,7 @@ def _load_material_params(texture_dir: str, mat: VkrMaterial) -> None:
             mat.features.append(tex)
         for i in range(3):  # VkrMaterialMaxTensors
             tp = os.path.join(
-                texture_dir, mat.name + f"Tensor{i}" + ".vktensor"
+                texture_dir, mat.name + f"_Tensor{i}" + ".vktensor"
             )
             if not os.path.exists(tp):
                 break
@@ -770,24 +779,27 @@ def write_scene(path: str, scene: VkrScene) -> None:
         if not needs_dir:
             continue
         os.makedirs(tex_dir, exist_ok=True)
+
+        # Param files are <Name>_<Param>.txt with exactly one float per line
+        # (vkr_parse_material_param_file rejects any other delimiter,
+        # vkr.c:395-452; filenames via strcat5 with "_", vkr.c:459).
+        def write_param(param_name, values):
+            p = os.path.join(tex_dir, mat.name + "_" + param_name + ".txt")
+            with open(p, "w") as f:
+                f.write("\n".join(repr(float(v)) for v in values) + "\n")
+
         if mat.emission_intensity != 0.0:
-            with open(
-                os.path.join(tex_dir, mat.name + "EmissionIntensity.txt"), "w"
-            ) as f:
-                c = mat.emitter_base_color
-                f.write(f"{mat.emission_intensity} {c[0]} {c[1]} {c[2]}\n")
+            c = mat.emitter_base_color
+            write_param(
+                "EmissionIntensity", [mat.emission_intensity, c[0], c[1], c[2]]
+            )
         if mat.base_color is not None:
-            with open(os.path.join(tex_dir, mat.name + "BaseColor.txt"), "w") as f:
-                c = mat.base_color
-                f.write(f"{c[0]} {c[1]} {c[2]}\n")
+            write_param("BaseColor", list(mat.base_color[:3]))
         if mat.specular_transmission != 0.0 or mat.translucency != 0.0 or mat.ior_eta != 1.5:
-            with open(
-                os.path.join(tex_dir, mat.name + "SpecularTransmission.txt"), "w"
-            ) as f:
-                f.write(
-                    f"{mat.specular_transmission} {mat.ior_eta} {mat.ior_k} "
-                    f"{mat.translucency}\n"
-                )
+            write_param(
+                "SpecularTransmission",
+                [mat.specular_transmission, mat.ior_eta, mat.ior_k, mat.translucency],
+            )
 
 
 # ---------------------------------------------------------------------------

@@ -180,3 +180,64 @@ def test_vktensor_roundtrip(tmp_path):
     r2 = vkr.read_tensor(p2)
     assert r2.data == b"\x01\x02\x03\x04"
     assert r2.values is None
+
+
+def test_material_param_files_use_reference_convention(tmp_path):
+    """Param/texture filenames are <Name>_<Param>.<ext> with one float per
+    line, matching vkr.c:395-459 exactly (the reference toolchain rejects
+    any other delimiter or naming)."""
+    scene = procedural.cornell_box()
+    p = str(tmp_path / "cornell.vks")
+    vkr.write_scene(p, scene)
+    tex_dir = tmp_path / "cornell_textures"
+    em = tex_dir / "Light_EmissionIntensity.txt"
+    assert em.exists(), sorted(x.name for x in tex_dir.iterdir())
+    lines = em.read_text().strip().split("\n")
+    assert len(lines) == 4
+    # each line parses as exactly one float (reference fscanf contract)
+    vals = [float(l) for l in lines]
+    assert vals[0] == pytest.approx(12.0)
+    assert vals[1:] == pytest.approx([1.0, 0.9, 0.75])
+    # loader reads the same convention back
+    back = vkr.open_scene(p)
+    assert back.materials[3].emission_intensity == pytest.approx(12.0)
+
+
+def test_extended_material_name_keywords(tmp_path):
+    """Materials whose names contain _SHADER or _EX are extended even
+    without an _Ex.txt rename (vkr.c:538-539): their Feature textures
+    load."""
+    scene = procedural.single_triangle()
+    scene.materials[0].name = "Glass_EX"
+    p = str(tmp_path / "t.vks")
+    vkr.write_scene(p, scene)
+    tex_dir = tmp_path / "t_textures"
+    tex_dir.mkdir(exist_ok=True)
+    texture.write_vkt(
+        str(tex_dir / "Glass_EX_Feature0.vkt"), np.full((4, 4, 4), 128, np.uint8)
+    )
+    back = vkr.open_scene(p)
+    assert len(back.materials[0].features) == 1
+
+
+def test_multi_segment_material_assignment(tmp_path):
+    """Multi-segment meshes take materials from segmentMaterialBaseOffsets,
+    not the per-triangle id buffer (scene.cpp:665-676)."""
+    from realtimepathtracingresearchframework_tpu.models.scene import Scene
+
+    vs = procedural.single_triangle()
+    m = vs.meshes[0]
+    # duplicate the triangle into a second segment with a different material
+    m.vertices_q = np.concatenate([m.vertices_q, m.vertices_q])
+    m.normal_uv_q = np.concatenate([m.normal_uv_q, m.normal_uv_q])
+    m.num_triangles = 2
+    m.segment_num_triangles = [1, 1]
+    m.segment_material_base_offsets = [0, 1]
+    # a stale per-triangle buffer that must be IGNORED for multi-segment
+    m.material_ids = np.zeros(2, np.uint8)
+    m.num_materials_in_range = 2
+    vs.materials.append(vkr.VkrMaterial(name="Second"))
+    s = Scene()
+    s.append_vkr_scene(vs)
+    ids = s.meshes[0].geometries[0].material_ids
+    np.testing.assert_array_equal(np.asarray(ids), [0, 1])

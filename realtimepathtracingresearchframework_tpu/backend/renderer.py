@@ -408,6 +408,11 @@ class Renderer:
             if self._use_pallas
             else threaded_to_device(self._bvh)
         )
+        from realtimepathtracingresearchframework_tpu.ops.integrator import (
+            pack_attr_table,
+            pack_material_table,
+        )
+
         self.device_scene = DeviceScene(
             bvh=bvh_buffers,
             tris=self._tris,
@@ -418,6 +423,8 @@ class Renderer:
             atlas=self._atlas,
             rng=pointsets.build_rng_buffers(self.options.rng_variant),
             tlas=self._tlas_buffers if getattr(self, "_use_two_level", False) else None,
+            attr_packed=pack_attr_table(self._tris, self._shading),
+            mat_packed=pack_material_table(self._materials),
         )
         self._device_scene_revision += 1
         self._render_fns.clear()

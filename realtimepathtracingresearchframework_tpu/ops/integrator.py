@@ -127,6 +127,90 @@ class DeviceScene(NamedTuple):
     atlas: TextureAtlas  # dummy 1-texel atlas when cfg.has_textures is False
     rng: pointsets.RngBuffers  # pointset tables (dummy for the LCG variant)
     tlas: object = None  # TwoLevelBuffers when cfg.two_level (else None)
+    attr_packed: object = None  # (T, ATTR_W) f32 fused per-tri attribute rows
+    mat_packed: object = None  # (M, MAT_W) f32 fused material rows
+
+
+# ---------------------------------------------------------------------------
+# Packed attribute/material rows. On TPU each distinct gather index vector
+# costs ~2ms/262K lanes at the scalar-memory staging boundary regardless of
+# table size, so the per-bounce attribute fetch (edges, normals, uvs,
+# tangent, material id + 11 material fields) is fused into ONE (T, 32) row
+# gather + one (M, 16) material row fetch: measured 4.1ms -> ~1.2ms per
+# bounce per 262K rays. Integer columns are bitcast into the f32 rows.
+# ---------------------------------------------------------------------------
+
+ATTR_W = 32
+_A_E1, _A_E2 = 0, 3
+_A_N0, _A_N1, _A_N2 = 6, 9, 12
+_A_UV0, _A_UV1, _A_UV2 = 15, 17, 19
+_A_TAN = 21  # 4 wide (xyz + handedness)
+_A_DENS = 25
+_A_MID = 26  # material id, i32 bitcast
+
+MAT_W = 16
+_M_BASE = 0  # 3 wide
+_M_ROUGH, _M_SPEC, _M_METAL, _M_IOR = 3, 4, 5, 6
+_M_STRANS, _M_EMIT = 7, 8
+_M_FLAGS, _M_BCTEX, _M_SPTEX, _M_NMTEX = 9, 10, 11, 12  # i32 bitcast
+
+
+def pack_attr_table(tris: TriBuffers, shading: ShadingBuffers) -> jnp.ndarray:
+    """Fuse the per-triangle shading attributes into (T, ATTR_W) f32 rows."""
+    t = shading.n0.shape[0]
+    cols = [
+        tris.e1, tris.e2, shading.n0, shading.n1, shading.n2,
+        shading.uv0, shading.uv1, shading.uv2, shading.tangent,
+        shading.texel_density[:, None],
+        jax.lax.bitcast_convert_type(
+            jnp.asarray(shading.material_id, jnp.int32), jnp.float32
+        )[:, None],
+    ]
+    packed = jnp.concatenate([jnp.asarray(c, jnp.float32) for c in cols], axis=1)
+    pad = ATTR_W - packed.shape[1]
+    return jnp.pad(packed, ((0, 0), (0, pad)))
+
+
+def pack_material_table(mats: MaterialBuffers) -> jnp.ndarray:
+    """Fuse the material fields into (M, MAT_W) f32 rows."""
+
+    def as_f32_bits(a):
+        return jax.lax.bitcast_convert_type(
+            jnp.asarray(a, jnp.int32), jnp.float32
+        )[:, None]
+
+    cols = [
+        jnp.asarray(mats.base_color, jnp.float32),
+        jnp.asarray(mats.roughness, jnp.float32)[:, None],
+        jnp.asarray(mats.specular, jnp.float32)[:, None],
+        jnp.asarray(mats.metallic, jnp.float32)[:, None],
+        jnp.asarray(mats.ior, jnp.float32)[:, None],
+        jnp.asarray(mats.specular_transmission, jnp.float32)[:, None],
+        jnp.asarray(mats.emission_intensity, jnp.float32)[:, None],
+        as_f32_bits(mats.flags),
+        as_f32_bits(mats.base_color_tex),
+        as_f32_bits(mats.specular_tex),
+        as_f32_bits(mats.normal_tex),
+    ]
+    packed = jnp.concatenate(cols, axis=1)
+    pad = MAT_W - packed.shape[1]
+    return jnp.pad(packed, ((0, 0), (0, pad)))
+
+
+def _material_from_rows(mrow) -> GLTFMaterial:
+    """Unpack a gathered (N, MAT_W) material-row batch."""
+    base = mrow[:, _M_BASE:_M_BASE + 3]
+    flags = jax.lax.bitcast_convert_type(mrow[:, _M_FLAGS], jnp.int32)
+    return GLTFMaterial(
+        base_color=base,
+        metallic=mrow[:, _M_METAL],
+        specular=mrow[:, _M_SPEC],
+        roughness=mrow[:, _M_ROUGH],
+        ior=mrow[:, _M_IOR],
+        specular_transmission=mrow[:, _M_STRANS],
+        transmission_color=base,
+        onesided=(flags & BASE_MATERIAL_ONESIDED) != 0,
+    )
 
 
 class ViewBuffers(NamedTuple):
@@ -218,18 +302,19 @@ def _hit_alpha_cut(ds: DeviceScene, tri, u, v):
     emulation of ``generate_candidate_hit`` (pt_megakernel.glsl:153-211,
     any_hit.glsl). Samples mip 0 of the base-color texture."""
     t = jnp.maximum(tri, 0)
+    row = ds.attr_packed[t]
     b0 = 1.0 - u - v
     uv = (
-        ds.shading.uv0[t] * b0[..., None]
-        + ds.shading.uv1[t] * u[..., None]
-        + ds.shading.uv2[t] * v[..., None]
+        row[..., _A_UV0:_A_UV0 + 2] * b0[..., None]
+        + row[..., _A_UV1:_A_UV1 + 2] * u[..., None]
+        + row[..., _A_UV2:_A_UV2 + 2] * v[..., None]
     )
-    mid = ds.shading.material_id[t]
-    bc_tid = ds.materials.base_color_tex[mid]
+    mid = jax.lax.bitcast_convert_type(row[..., _A_MID], jnp.int32)
+    mrow = select_rows(ds.mat_packed, mid)
+    bc_tid = jax.lax.bitcast_convert_type(mrow[..., _M_BCTEX], jnp.int32)
+    flags = jax.lax.bitcast_convert_type(mrow[..., _M_FLAGS], jnp.int32)
     a = sample_atlas(ds.atlas, bc_tid, uv, jnp.zeros_like(u))[..., 3]
-    can_cut = (bc_tid >= 0) & (
-        (ds.materials.flags[mid] & BASE_MATERIAL_NOALPHA) == 0
-    )
+    can_cut = (bc_tid >= 0) & ((flags & BASE_MATERIAL_NOALPHA) == 0)
     return (tri >= 0) & can_cut & (a < ALPHA_CUTOFF)
 
 
@@ -495,15 +580,18 @@ def trace_paths(
         active = active & ~was_miss
 
         # ---- hit attributes (rt/hit.glsl:63-92, pt_megakernel.glsl:576-580)
+        # one fused (T, ATTR_W) row gather replaces 7 split gathers (see
+        # pack_attr_table): gather index staging dominates on TPU
         tri = jnp.maximum(hit.tri, 0)
-        e1 = ds.tris.e1[tri]
-        e2 = ds.tris.e2[tri]
+        row = ds.attr_packed[tri]
+        e1 = row[:, _A_E1:_A_E1 + 3]
+        e2 = row[:, _A_E2:_A_E2 + 3]
         b1, b2 = hit.u, hit.v
         b0 = 1.0 - b1 - b2
         n_sh = (
-            ds.shading.n0[tri] * b0[..., None]
-            + ds.shading.n1[tri] * b1[..., None]
-            + ds.shading.n2[tri] * b2[..., None]
+            row[:, _A_N0:_A_N0 + 3] * b0[..., None]
+            + row[:, _A_N1:_A_N1 + 3] * b1[..., None]
+            + row[:, _A_N2:_A_N2 + 3] * b2[..., None]
         )
         if cfg.two_level:
             # object -> world: edges by the instance linear A, normals by
@@ -527,10 +615,11 @@ def trace_paths(
         )
         n_sh = _normalize(n_sh)
 
-        mid = ds.shading.material_id[tri]
+        mid = jax.lax.bitcast_convert_type(row[:, _A_MID], jnp.int32)
         if cfg.two_level:
             mid = mid + ds.tlas.inst_mat_offset[inst]
-        mat = _gather_material(ds.materials, mid)
+        mrow = select_rows(ds.mat_packed, mid)
+        mat = _material_from_rows(mrow)
 
         p = ro + hit.t[..., None] * rd
         w_o = -rd
@@ -547,11 +636,11 @@ def trace_paths(
         # isotropic footprint-cone approximation of rt/footprint.glsl)
         if cfg.has_textures:
             uv = (
-                ds.shading.uv0[tri] * b0[..., None]
-                + ds.shading.uv1[tri] * b1[..., None]
-                + ds.shading.uv2[tri] * b2[..., None]
+                row[:, _A_UV0:_A_UV0 + 2] * b0[..., None]
+                + row[:, _A_UV1:_A_UV1 + 2] * b1[..., None]
+                + row[:, _A_UV2:_A_UV2 + 2] * b2[..., None]
             )
-            density = ds.shading.texel_density[tri]
+            density = row[:, _A_DENS]
             if cfg.two_level:
                 # object-space density scales by 1/|s| in world units
                 density = density / jnp.maximum(ds.tlas.inst_scale[inst], 1e-8)
@@ -565,7 +654,7 @@ def trace_paths(
                     jnp.maximum(footprint_world * density * base_w, 1.0)
                 )
 
-            bc_tid = select_rows(ds.materials.base_color_tex, mid)
+            bc_tid = jax.lax.bitcast_convert_type(mrow[:, _M_BCTEX], jnp.int32)
             bc = sample_atlas(ds.atlas, bc_tid, uv, tex_mip(bc_tid))
             mat = mat._replace(
                 base_color=jnp.where(
@@ -574,7 +663,7 @@ def trace_paths(
             )
             mat = mat._replace(transmission_color=mat.base_color)
 
-            sp_tid = select_rows(ds.materials.specular_tex, mid)
+            sp_tid = jax.lax.bitcast_convert_type(mrow[:, _M_SPTEX], jnp.int32)
             sp = sample_atlas(ds.atlas, sp_tid, uv, tex_mip(sp_tid))
             has_sp = sp_tid >= 0
             mat = mat._replace(
@@ -584,11 +673,11 @@ def trace_paths(
 
             # normal mapping in the uv tangent frame
             # (pt_megakernel.glsl:636-648)
-            nm_tid = select_rows(ds.materials.normal_tex, mid)
+            nm_tid = jax.lax.bitcast_convert_type(mrow[:, _M_NMTEX], jnp.int32)
             nm = sample_atlas(ds.atlas, nm_tid, uv, tex_mip(nm_tid))
             tn = nm[..., :3] * 2.0 - 1.0
             tn = tn.at[..., 0:2].multiply(fp.bump_scale)
-            tang4 = ds.shading.tangent[tri]
+            tang4 = row[:, _A_TAN:_A_TAN + 4]
             tang = tang4[..., :3]
             if cfg.two_level:
                 tang = jnp.einsum("nab,nb->na", A, tang)
@@ -606,7 +695,7 @@ def trace_paths(
             n_sh = jnp.where(ok_nm[..., None], n_mapped, n_sh)
 
         # ---- emitter hit MIS (shade_base_material.glsl:33-39)
-        emit_intensity = select_rows(ds.materials.emission_intensity, mid)
+        emit_intensity = mrow[:, _M_EMIT]
         emit_radiance = mat.base_color * emit_intensity[..., None]
         has_emit = emit_intensity > 0.0
         wpdf_light = (1.0 - ds.sky.sun_radiance[3]) * nee_mod.approx_tri_lights_pdf(

@@ -231,6 +231,55 @@ def sun_visible_radiance(params: SkyParams, d):
     )
 
 
+def _sky_radiance_analytic_v(params: SkyParams, d):
+    """SoA analytic sky: ``d`` is a vec3.Vec3; returns Vec3. Same math as
+    _sky_radiance_analytic with the xyY->XYZ->sRGB matrix written out as
+    scalar dot products (full VPU lane width, see ops/vec3.py)."""
+    from realtimepathtracingresearchframework_tpu.ops.vec3 import Vec3
+
+    y = d.y
+    ocean = jnp.where(y <= 0.0, 0.7 * jnp.maximum(1.0 - jnp.abs(y), 0.0) ** 5, 1.0)
+    ay = jnp.abs(y)
+    inv = 1.0 / jnp.sqrt(jnp.maximum(d.x * d.x + ay * ay + d.z * d.z, 1e-40))
+    mx, my, mz = d.x * inv, ay * inv, d.z * inv
+
+    cos_theta = jnp.clip(my, 0.0, 1.0)
+    sd = params.sun_dir
+    cos_gamma = jnp.clip(mx * sd[0] + my * sd[1] + mz * sd[2], -1.0, 1.0)
+    gamma = jnp.arccos(cos_gamma)
+    theta_s = jnp.arccos(jnp.clip(sd[1], 0.0, 1.0))
+    cos_theta_s = jnp.cos(theta_s)
+
+    def ratio(i):
+        f = _perez(params.perez[i], cos_theta, gamma, cos_gamma)
+        f0 = _perez(params.perez[i], 1.0, theta_s, cos_theta_s)
+        return params.zenith[i] * f / jnp.maximum(f0, 1e-9)
+
+    lum = ratio(0)  # kcd/m^2
+    x = ratio(1)
+    yc = jnp.maximum(ratio(2), 1e-6)
+
+    # xyY -> XYZ -> sRGB, written per channel
+    X = x / yc * lum
+    Z = (1.0 - x - yc) / yc * lum
+    m = _XYZ_TO_SRGB.astype(np.float32)
+    s = params.scale * ocean
+    r = jnp.maximum(float(m[0, 0]) * X + float(m[0, 1]) * lum + float(m[0, 2]) * Z, 0.0) * s
+    g = jnp.maximum(float(m[1, 0]) * X + float(m[1, 1]) * lum + float(m[1, 2]) * Z, 0.0) * s
+    b = jnp.maximum(float(m[2, 0]) * X + float(m[2, 1]) * lum + float(m[2, 2]) * Z, 0.0) * s
+    return Vec3(r, g, b)
+
+
+def sky_radiance_v(params: SkyParams, d):
+    """SoA runtime sky lookup (Vec3 in/out). The baked-map path falls back
+    to the array implementation (opt-in feature; 12 extra gathers)."""
+    from realtimepathtracingresearchframework_tpu.ops import vec3 as v3
+
+    if params.sky_img.shape[0] <= 1:
+        return _sky_radiance_analytic_v(params, d)
+    return v3.from_array(sky_radiance(params, v3.to_array(d)))
+
+
 def sky_radiance(params: SkyParams, d):
     """Runtime sky lookup: samples the baked equirect map (4 gathers)
     when present, else evaluates the analytic model."""

@@ -24,12 +24,14 @@ import numpy as np
 from realtimepathtracingresearchframework_tpu.ops import pointsets
 from realtimepathtracingresearchframework_tpu.ops import tlas as tlas_mod
 from realtimepathtracingresearchframework_tpu.ops import traverse_pallas
+from realtimepathtracingresearchframework_tpu.ops.bsdf_gltf import (
+    material_from_table,
+)
 from realtimepathtracingresearchframework_tpu.ops.integrator import (
     DeviceScene,
     FrameParams,
     IntegratorConfig,
     ViewBuffers,
-    _gather_material,
     camera_rays,
 )
 from realtimepathtracingresearchframework_tpu.ops.intersect import T_MAX
@@ -90,7 +92,7 @@ def render_aovs(
         n_sh = jnp.einsum("nab,nb->na", Ait, n_sh)
         mid = mid + ds.tlas.inst_mat_offset[inst]
     n_sh = n_sh / jnp.maximum(jnp.linalg.norm(n_sh, axis=-1, keepdims=True), 1e-20)
-    mat = _gather_material(ds.materials, mid)
+    mat = material_from_table(ds.materials, mid)
 
     albedo = jnp.where(was_hit[..., None], mat.base_color, 0.0)
     rough = jnp.where(was_hit, mat.roughness, 1.0)

@@ -41,16 +41,18 @@ from realtimepathtracingresearchframework_tpu.models.material import (
 )
 from realtimepathtracingresearchframework_tpu.models.sky import (
     SkyParams,
-    sky_radiance,
+    sky_radiance_v,
 )
 from realtimepathtracingresearchframework_tpu.ops import nee as nee_mod
 from realtimepathtracingresearchframework_tpu.ops import pointsets
 from realtimepathtracingresearchframework_tpu.ops import rng as rng_mod
+from realtimepathtracingresearchframework_tpu.ops import vec3 as v3
+from realtimepathtracingresearchframework_tpu.ops.vec3 import Vec3
 from realtimepathtracingresearchframework_tpu.ops.bsdf_gltf import (
     GLTFMaterial,
-    gltf_bsdf,
-    gltf_wpdf,
-    sample_gltf_brdf,
+    gltf_bsdf_v,
+    gltf_wpdf_v,
+    sample_gltf_brdf_v,
 )
 from realtimepathtracingresearchframework_tpu.ops.intersect import T_MAX
 from realtimepathtracingresearchframework_tpu.ops.traverse import (
@@ -132,82 +134,108 @@ class DeviceScene(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
-# Packed attribute/material rows. On TPU each distinct gather index vector
-# costs ~2ms/262K lanes at the scalar-memory staging boundary regardless of
-# table size, so the per-bounce attribute fetch (edges, normals, uvs,
-# tangent, material id + 11 material fields) is fused into ONE (T, 32) row
-# gather + one (M, 16) material row fetch: measured 4.1ms -> ~1.2ms per
-# bounce per 262K rays. Integer columns are bitcast into the f32 rows.
+# Packed attribute/material tables, stored TRANSPOSED as (W, T) f32. On TPU
+# each distinct gather index vector pays a scalar-memory staging cost in
+# situ (~0.5-1ms/262K lanes PER GATHER, even with a shared index), so the
+# per-bounce attribute fetch (edges, normals, uvs, tangent, material id +
+# 11 material fields) is fused into one table fetch producing (W, N) with
+# rays on the 128-lane axis — every column is then a contiguous 1-D array
+# (the SoA layout the shading math wants, ops/vec3.py). Integer columns
+# are stored as float VALUES (exact below 2^24), never bitcast (bitcast
+# patterns are denormals that the MXU flushes to zero on the one-hot
+# path). Fetch strategy is size-adaptive (_fetch_cols).
 # ---------------------------------------------------------------------------
 
 ATTR_W = 32
+ATTR_SOA_MAX = 256  # one-hot operand cap: T x 262K x 4B = 256MB at 256
 _A_E1, _A_E2 = 0, 3
 _A_N0, _A_N1, _A_N2 = 6, 9, 12
 _A_UV0, _A_UV1, _A_UV2 = 15, 17, 19
 _A_TAN = 21  # 4 wide (xyz + handedness)
 _A_DENS = 25
-_A_MID = 26  # material id, i32 bitcast
+_A_MID = 26  # material id as float value
 
 MAT_W = 16
 _M_BASE = 0  # 3 wide
 _M_ROUGH, _M_SPEC, _M_METAL, _M_IOR = 3, 4, 5, 6
 _M_STRANS, _M_EMIT = 7, 8
-_M_FLAGS, _M_BCTEX, _M_SPTEX, _M_NMTEX = 9, 10, 11, 12  # i32 bitcast
+_M_FLAGS, _M_BCTEX, _M_SPTEX, _M_NMTEX = 9, 10, 11, 12  # float values
 
 
 def pack_attr_table(tris: TriBuffers, shading: ShadingBuffers) -> jnp.ndarray:
-    """Fuse the per-triangle shading attributes into (T, ATTR_W) f32 rows."""
-    t = shading.n0.shape[0]
+    """Fuse the per-triangle shading attributes into an (ATTR_W, T) f32
+    column table (transposed storage: row k holds attribute k for all
+    triangles). Integer columns (material id) are stored as float VALUES
+    (exact below 2^24), never bitcast: bitcast patterns are denormals that
+    the MXU flushes to zero on the one-hot fetch path."""
     cols = [
         tris.e1, tris.e2, shading.n0, shading.n1, shading.n2,
         shading.uv0, shading.uv1, shading.uv2, shading.tangent,
         shading.texel_density[:, None],
-        jax.lax.bitcast_convert_type(
-            jnp.asarray(shading.material_id, jnp.int32), jnp.float32
-        )[:, None],
+        jnp.asarray(shading.material_id, jnp.float32)[:, None],
     ]
     packed = jnp.concatenate([jnp.asarray(c, jnp.float32) for c in cols], axis=1)
     pad = ATTR_W - packed.shape[1]
-    return jnp.pad(packed, ((0, 0), (0, pad)))
+    return jnp.pad(packed, ((0, 0), (0, pad))).T
 
 
 def pack_material_table(mats: MaterialBuffers) -> jnp.ndarray:
-    """Fuse the material fields into (M, MAT_W) f32 rows."""
+    """Fuse the material fields into an (MAT_W, M) f32 column table.
+    Integer columns stored as float values (see pack_attr_table)."""
 
-    def as_f32_bits(a):
-        return jax.lax.bitcast_convert_type(
-            jnp.asarray(a, jnp.int32), jnp.float32
-        )[:, None]
+    def as_f32(a):
+        return jnp.asarray(a, jnp.float32)[:, None]
 
     cols = [
         jnp.asarray(mats.base_color, jnp.float32),
-        jnp.asarray(mats.roughness, jnp.float32)[:, None],
-        jnp.asarray(mats.specular, jnp.float32)[:, None],
-        jnp.asarray(mats.metallic, jnp.float32)[:, None],
-        jnp.asarray(mats.ior, jnp.float32)[:, None],
-        jnp.asarray(mats.specular_transmission, jnp.float32)[:, None],
-        jnp.asarray(mats.emission_intensity, jnp.float32)[:, None],
-        as_f32_bits(mats.flags),
-        as_f32_bits(mats.base_color_tex),
-        as_f32_bits(mats.specular_tex),
-        as_f32_bits(mats.normal_tex),
+        as_f32(mats.roughness),
+        as_f32(mats.specular),
+        as_f32(mats.metallic),
+        as_f32(mats.ior),
+        as_f32(mats.specular_transmission),
+        as_f32(mats.emission_intensity),
+        as_f32(mats.flags),
+        as_f32(mats.base_color_tex),
+        as_f32(mats.specular_tex),
+        as_f32(mats.normal_tex),
     ]
     packed = jnp.concatenate(cols, axis=1)
     pad = MAT_W - packed.shape[1]
-    return jnp.pad(packed, ((0, 0), (0, pad)))
+    return jnp.pad(packed, ((0, 0), (0, pad))).T
 
 
-def _material_from_rows(mrow) -> GLTFMaterial:
-    """Unpack a gathered (N, MAT_W) material-row batch."""
-    base = mrow[:, _M_BASE:_M_BASE + 3]
-    flags = jax.lax.bitcast_convert_type(mrow[:, _M_FLAGS], jnp.int32)
+def _fetch_cols(tbl_t, idx):
+    """(W, T) column table + (N,) index -> tuple of W (N,) columns.
+
+    Small tables fetch via a one-hot matmul on the MXU:
+    (W, T) @ one_hot(idx).T -> (W, N). Each one-hot row selects exactly one
+    table entry, and Precision.HIGHEST (bf16x3 decomposition) reconstructs
+    f32 values exactly, so this is a bit-exact select — at matrix-unit
+    speed, with the result laid out rays-on-lanes (the SoA layout the
+    shading math wants). Separate 1-D gathers measured ~0.5-1ms EACH in
+    situ (index staging); the matmul replaces ~30 of them per bounce.
+    Large tables use one trailing-axis gather producing (W, N)."""
+    w, t = tbl_t.shape
+    if t <= ATTR_SOA_MAX:
+        oh = jax.nn.one_hot(idx, t, axis=0, dtype=jnp.float32)  # (T, N)
+        g = jnp.matmul(tbl_t, oh, precision=jax.lax.Precision.HIGHEST)
+        return tuple(g[k] for k in range(w))
+    g = jnp.take(tbl_t, idx, axis=1)
+    return tuple(g[k] for k in range(w))
+
+
+def _material_from_cols(c) -> GLTFMaterial:
+    """Unpack fetched material columns (tuple of (N,) arrays) into a SoA
+    GLTFMaterial (Vec3 colors)."""
+    base = Vec3(c[_M_BASE], c[_M_BASE + 1], c[_M_BASE + 2])
+    flags = c[_M_FLAGS].astype(jnp.int32)
     return GLTFMaterial(
         base_color=base,
-        metallic=mrow[:, _M_METAL],
-        specular=mrow[:, _M_SPEC],
-        roughness=mrow[:, _M_ROUGH],
-        ior=mrow[:, _M_IOR],
-        specular_transmission=mrow[:, _M_STRANS],
+        metallic=c[_M_METAL],
+        specular=c[_M_SPEC],
+        roughness=c[_M_ROUGH],
+        ior=c[_M_IOR],
+        specular_transmission=c[_M_STRANS],
         transmission_color=base,
         onesided=(flags & BASE_MATERIAL_ONESIDED) != 0,
     )
@@ -260,37 +288,25 @@ def _normalize(v):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
 
 
-def _gather_material(mats: MaterialBuffers, mid) -> GLTFMaterial:
-    base = select_rows(mats.base_color, mid)
-    return GLTFMaterial(
-        base_color=base,
-        metallic=select_rows(mats.metallic, mid),
-        specular=select_rows(mats.specular, mid),
-        roughness=select_rows(mats.roughness, mid),
-        ior=select_rows(mats.ior, mid),
-        specular_transmission=select_rows(mats.specular_transmission, mid),
-        transmission_color=base,
-        onesided=(select_rows(mats.flags, mid) & BASE_MATERIAL_ONESIDED) != 0,
-    )
-
-
-def _sky_illum(ds: DeviceScene, ro, rd, prev_pdf, cfg: IntegratorConfig):
-    """compute_sky_illum (pt_megakernel.glsl:113-149)."""
+def _sky_illum(ds: DeviceScene, rd: Vec3, prev_pdf, cfg: IntegratorConfig) -> Vec3:
+    """compute_sky_illum (pt_megakernel.glsl:113-149). SoA."""
+    zero = v3.splat(jnp.zeros_like(rd.x))
     if not cfg.enable_sun_sky:
-        return jnp.zeros(ro.shape[:-1] + (3,), jnp.float32)
-    atm = jnp.abs(sky_radiance(ds.sky, rd))
+        return zero
+    atm = v3.vabs(sky_radiance_v(ds.sky, rd))
     # sun disk with MIS vs NEE sun sampling
-    y = rd[..., 1]
+    y = rd.y
     ocean = jnp.where(y <= 0.0, 0.7 * jnp.maximum(1.0 - jnp.abs(y), 0.0) ** 5, 1.0)
-    dm = jnp.stack([rd[..., 0], jnp.abs(y), rd[..., 2]], axis=-1)
-    dm = _normalize(dm)
-    in_cap = _dot(dm, ds.sky.sun_dir) >= ds.sky.sun_cos_angle
-    sun = jnp.where(
-        in_cap[..., None], ds.sky.sun_radiance[:3] * ocean[..., None], 0.0
+    dm = v3.normalize(Vec3(rd.x, jnp.abs(y), rd.z))
+    sd = ds.sky.sun_dir
+    in_cap = (dm.x * sd[0] + dm.y * sd[1] + dm.z * sd[2]) >= ds.sky.sun_cos_angle
+    sr = ds.sky.sun_radiance
+    sun = v3.where(
+        in_cap, Vec3(sr[0] * ocean, sr[1] * ocean, sr[2] * ocean), zero
     )
-    light_pdf = ds.sky.sun_radiance[3] * nee_mod.sun_dir_pdf(ds.sky.sun_cos_angle)
+    light_pdf = sr[3] * nee_mod.sun_dir_pdf(ds.sky.sun_cos_angle)
     w = nee_mod.nee_mis_heuristic(1.0, prev_pdf, 1.0, light_pdf)
-    return atm + w[..., None] * jnp.abs(sun)
+    return atm + v3.vabs(sun) * w
 
 
 MAX_ALPHA_HOPS = 4  # candidate-hit re-trace budget (generate_candidate_hit)
@@ -302,38 +318,42 @@ def _hit_alpha_cut(ds: DeviceScene, tri, u, v):
     emulation of ``generate_candidate_hit`` (pt_megakernel.glsl:153-211,
     any_hit.glsl). Samples mip 0 of the base-color texture."""
     t = jnp.maximum(tri, 0)
-    row = ds.attr_packed[t]
+    c = _fetch_cols(ds.attr_packed, t)
     b0 = 1.0 - u - v
-    uv = (
-        row[..., _A_UV0:_A_UV0 + 2] * b0[..., None]
-        + row[..., _A_UV1:_A_UV1 + 2] * u[..., None]
-        + row[..., _A_UV2:_A_UV2 + 2] * v[..., None]
+    uv = jnp.stack(
+        [
+            c[_A_UV0] * b0 + c[_A_UV1] * u + c[_A_UV2] * v,
+            c[_A_UV0 + 1] * b0 + c[_A_UV1 + 1] * u + c[_A_UV2 + 1] * v,
+        ],
+        axis=-1,
     )
-    mid = jax.lax.bitcast_convert_type(row[..., _A_MID], jnp.int32)
-    mrow = select_rows(ds.mat_packed, mid)
-    bc_tid = jax.lax.bitcast_convert_type(mrow[..., _M_BCTEX], jnp.int32)
-    flags = jax.lax.bitcast_convert_type(mrow[..., _M_FLAGS], jnp.int32)
+    mid = c[_A_MID].astype(jnp.int32)
+    mc = _fetch_cols(ds.mat_packed, mid)
+    bc_tid = mc[_M_BCTEX].astype(jnp.int32)
+    flags = mc[_M_FLAGS].astype(jnp.int32)
     a = sample_atlas(ds.atlas, bc_tid, uv, jnp.zeros_like(u))[..., 3]
     can_cut = (bc_tid >= 0) & ((flags & BASE_MATERIAL_NOALPHA) == 0)
     return (tri >= 0) & can_cut & (a < ALPHA_CUTOFF)
 
 
-def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro, rd,
-                          t_min, t_max, comps=None):
+def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
+                          rd: Vec3, t_min, t_max):
     if cfg.use_pallas:
         return traverse_pallas.closest_hit_pallas(
-            ds.bvh, ro, rd, t_min=t_min, t_max=t_max, comps=comps,
+            ds.bvh, None, None, t_min=t_min, t_max=t_max, comps=(*ro, *rd),
             map_tri=not cfg.row_attrs,
         )
-    return closest_hit_threaded(ds.bvh, ro, rd, t_min=t_min, t_max=t_max)
+    return closest_hit_threaded(
+        ds.bvh, v3.to_array(ro), v3.to_array(rd), t_min=t_min, t_max=t_max
+    )
 
 
-def closest_hit_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro, rd,
-                      t_min, t_max, comps=None):
+def closest_hit_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
+                      rd: Vec3, t_min, t_max):
     """Closest hit honoring alpha-cutout textures: re-traces past cut
     texels up to MAX_ALPHA_HOPS (the reference's candidate-hit loop).
     Static no-op unless ``cfg.alpha_test``."""
-    hit = _closest_hit_dispatch(ds, cfg, ro, rd, t_min, t_max, comps=comps)
+    hit = _closest_hit_dispatch(ds, cfg, ro, rd, t_min, t_max)
     if not (cfg.alpha_test and cfg.has_textures):
         return hit
     from realtimepathtracingresearchframework_tpu.ops.traverse import Hit
@@ -364,19 +384,23 @@ def closest_hit_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro, rd,
     return Hit(t=t, tri=tri, u=u, v=v)
 
 
-def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro, rd,
+def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3, rd: Vec3,
                    t_min, t_max):
     """Shadow-ray visibility honoring alpha cutouts (any_hit.rahit): walks
     candidate hits until a solid blocker or segment end."""
     if cfg.two_level:
         # alpha cutouts are resolved in the flattened path only for now
-        return tlas_mod.occluded_two_level(ds.tlas, ro, rd, t_min, t_max)
+        return tlas_mod.occluded_two_level(
+            ds.tlas, v3.to_array(ro), v3.to_array(rd), t_min, t_max
+        )
     if not (cfg.alpha_test and cfg.has_textures):
         if cfg.use_pallas:
             return traverse_pallas.occluded_pallas(
-                ds.bvh, ro, rd, t_min=t_min, t_max=t_max
+                ds.bvh, None, None, t_min=t_min, t_max=t_max, comps=(*ro, *rd)
             )
-        return occluded_threaded(ds.bvh, ro, rd, t_min=t_min, t_max=t_max)
+        return occluded_threaded(
+            ds.bvh, v3.to_array(ro), v3.to_array(rd), t_min=t_min, t_max=t_max
+        )
 
     hit = _closest_hit_dispatch(ds, cfg, ro, rd, t_min, t_max)
     in_seg = (hit.tri >= 0) & (hit.t < t_max)
@@ -411,41 +435,41 @@ def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro, rd,
 def _sample_direct_light(
     ds: DeviceScene,
     cfg: IntegratorConfig,
-    hit_p,
-    hit_n,
-    hit_gn,
+    hit_p: Vec3,
+    hit_n: Vec3,
+    hit_gn: Vec3,
     mat: GLTFMaterial,
-    w_o,
+    w_o: Vec3,
     dir_sample,
     sel_sample,
     total_t,
-):
-    """sample_direct_light (mc/nee.glsl:32-90) + visibility ray."""
+) -> Vec3:
+    """sample_direct_light (mc/nee.glsl:32-90) + visibility ray. SoA:
+    positions/normals are Vec3, samples are (u0, u1) tuples."""
     sun_w = ds.sky.sun_radiance[3]
 
     # --- sun branch
-    sun_sel = sel_sample[..., 0] <= sun_w
-    sun_dir = nee_mod.sample_sun_dir(
-        ds.sky.sun_dir, ds.sky.sun_cos_angle, dir_sample
+    sun_sel = sel_sample[0] <= sun_w
+    sun_dir = nee_mod.sample_sun_dir_v(
+        ds.sky.sun_dir, ds.sky.sun_cos_angle, dir_sample[0], dir_sample[1]
     )
     sun_pdf = nee_mod.sun_dir_pdf(ds.sky.sun_cos_angle)
-    sun_illum = (ds.sky.sun_radiance[:3] / jnp.maximum(sun_w, 1e-9)) / sun_pdf
+    sr = ds.sky.sun_radiance
+    sun_scale = 1.0 / (jnp.maximum(sun_w, 1e-9) * sun_pdf)
+    sun_illum = Vec3(sr[0] * sun_scale, sr[1] * sun_scale, sr[2] * sun_scale)
     sun_light_pdf = sun_pdf * sun_w
 
     if cfg.num_lights > 0:
         # --- area branch (renormalized selector)
-        sel2 = jnp.stack(
-            [
-                jnp.clip(
-                    (sel_sample[..., 0] - sun_w) / jnp.maximum(1.0 - sun_w, 1e-9),
-                    0.0,
-                    1.0,
-                ),
-                sel_sample[..., 1],
-            ],
-            axis=-1,
+        sel2 = (
+            jnp.clip(
+                (sel_sample[0] - sun_w) / jnp.maximum(1.0 - sun_w, 1e-9),
+                0.0,
+                1.0,
+            ),
+            sel_sample[1],
         )
-        ls = nee_mod.sample_tri_lights(
+        ls = nee_mod.sample_tri_lights_v(
             ds.lights,
             hit_p,
             hit_n,
@@ -454,28 +478,30 @@ def _sample_direct_light(
             cfg.light_bin_size,
             cfg.use_light_bins,
         )
-        tri_illum = ls.illum / jnp.maximum(1.0 - sun_w, 1e-9)
+        inv_area_w = 1.0 / jnp.maximum(1.0 - sun_w, 1e-9)
+        tri_illum = ls.illum * inv_area_w
         tri_light_pdf = ls.pdf * (1.0 - sun_w)
         tri_mis_pdf = ls.mis_wpdf * (1.0 - sun_w)
 
-        illum = jnp.where(sun_sel[..., None], sun_illum, tri_illum)
-        light_dir = jnp.where(sun_sel[..., None], sun_dir, ls.dir)
+        illum = v3.where(sun_sel, sun_illum, tri_illum)
+        light_dir = v3.where(sun_sel, sun_dir, ls.dir)
         light_dist = jnp.where(sun_sel, 2.0e16, ls.dist)
         light_pdf = jnp.where(sun_sel, sun_light_pdf, tri_light_pdf)
         mis_pdf = jnp.where(sun_sel, sun_light_pdf, tri_mis_pdf)
     else:
-        illum = sun_illum * jnp.ones_like(hit_p)
+        zero = jnp.zeros_like(hit_p.x)
+        illum = sun_illum + v3.splat(zero)
         light_dir = sun_dir
-        light_dist = jnp.full(hit_p.shape[:-1], 2.0e16, jnp.float32)
-        light_pdf = jnp.full(hit_p.shape[:-1], sun_light_pdf, jnp.float32)
+        light_dist = zero + 2.0e16
+        light_pdf = zero + sun_light_pdf
         mis_pdf = light_pdf
 
     # strict normals (nee.glsl:73-75)
-    strict = _dot(light_dir, hit_gn) * _dot(light_dir, hit_n) > 0.0
+    strict = v3.dot(light_dir, hit_gn) * v3.dot(light_dir, hit_n) > 0.0
     candidate = (light_pdf > 0.0) & strict
 
     # visibility segment with epsilon (pt_megakernel.glsl:216-224)
-    eps = (jnp.linalg.norm(hit_p, axis=-1) + total_t) * RAY_EPSILON
+    eps = (v3.length(hit_p) + total_t) * RAY_EPSILON
     seg_ok = light_dist - 2.0 * eps > 0.0
     shadow_tmax = jnp.maximum(light_dist - eps, eps)
     shadow_tmax_eff = jnp.where(candidate & seg_ok, shadow_tmax, eps)
@@ -484,49 +510,12 @@ def _sample_direct_light(
     )
     visible = candidate & (~blocked | ~seg_ok)
 
-    bsdf_pdf = gltf_wpdf(mat, hit_n, w_o, light_dir)
-    f = gltf_bsdf(mat, hit_n, w_o, light_dir)
+    bsdf_pdf = gltf_wpdf_v(mat, hit_n, w_o, light_dir)
+    f = gltf_bsdf_v(mat, hit_n, w_o, light_dir)
     w = nee_mod.nee_mis_heuristic(1.0, mis_pdf, 1.0, bsdf_pdf)
-    contrib = (
-        illum
-        * (w * jnp.abs(_dot(light_dir, hit_n)))[..., None]
-        * f
-    )
+    contrib = illum * f * (w * jnp.abs(v3.dot(light_dir, hit_n)))
     ok = visible & (bsdf_pdf >= 0.0)
-    return jnp.where(ok[..., None], contrib, 0.0)
-
-
-
-def _split3(v):
-    """(N,3) -> three (N,) components. Per-ray state is carried through the
-    bounce loop as 1-D components: multi-column carries let XLA choose
-    column-major layouts that fight the gathers/custom-calls and insert
-    ~30ms transposing relayout copies per iteration."""
-    return v[..., 0], v[..., 1], v[..., 2]
-
-
-def _join3(x, y, z):
-    return jnp.stack([x, y, z], axis=-1)
-
-
-def _pack_carry(ro, rd, t_min, illum, throughput, active, prev_pdf,
-                bounce_count, total_t, rng_state, rays):
-    return (
-        *_split3(ro), *_split3(rd), t_min, *_split3(illum),
-        *_split3(throughput), active, prev_pdf, bounce_count, total_t,
-        rng_state, rays,
-    )
-
-
-def _unpack_carry(c):
-    ro = _join3(c[0], c[1], c[2])
-    rd = _join3(c[3], c[4], c[5])
-    t_min = c[6]
-    illum = _join3(c[7], c[8], c[9])
-    throughput = _join3(c[10], c[11], c[12])
-    active, prev_pdf, bounce_count, total_t, rng_state, rays = c[13:19]
-    return (ro, rd, t_min, illum, throughput, active, prev_pdf,
-            bounce_count, total_t, rng_state, rays)
+    return v3.where(ok, contrib, v3.splat(jnp.zeros_like(w)))
 
 
 def trace_paths(
@@ -538,7 +527,12 @@ def trace_paths(
     rng_state,
     lane_mask=None,
 ):
-    """Trace a batch of paths; returns (rgb (N,3), alpha (N,), rays (N,)).
+    """Trace a batch of paths; returns (rgb Vec3, alpha (N,), rays (N,)).
+
+    ``ro``/``rd`` are Vec3 SoA triples (ops/vec3.py): every per-ray vector
+    lives as three 1-D arrays, keeping the shading math on the full VPU
+    lane width and feeding the traversal kernel's packed operand without
+    relayout copies.
 
     ``rays`` is the per-lane traced-ray count (closest + shadow) — the
     REPORT_RAY_STATS per-pixel image (render_vulkan.h:87-91); sum it for
@@ -550,48 +544,46 @@ def trace_paths(
     is an epilogue doing only traverse + emitter/sky — NEE/BSDF work is cut
     there (shade_base_material.glsl:56-57).
     """
-    n = ro.shape[0]
+    n = ro.x.shape[0]
     num_bins = max(cfg.num_lights // max(cfg.light_bin_size, 1), 1)
+    # carry layout: 0 ro, 1 rd, 2 t_min, 3 illum, 4 throughput, 5 active,
+    # 6 prev_pdf, 7 bounce_count, 8 total_t, 9 rng_state, 10 rays
+    _ACTIVE = 5
 
     def visit_hit(carry):
         """Traverse + hit attributes + emitter MIS; shared by body/epilogue.
         Returns (carry w/ miss handled, hit shading context)."""
         (ro, rd, t_min, illum, throughput, active, prev_pdf, bounce_count,
-         total_t, rng_state, rays) = _unpack_carry(carry)
+         total_t, rng_state, rays) = carry
         rays = rays + active.astype(rays.dtype)  # per-lane ray counter
         tmax_eff = jnp.where(active, T_MAX, 0.0)
         if cfg.two_level:
             hit = tlas_mod.closest_hit_two_level(
-                ds.tlas, ro, rd, t_min=t_min, t_max=tmax_eff
+                ds.tlas, v3.to_array(ro), v3.to_array(rd),
+                t_min=t_min, t_max=tmax_eff,
             )
         else:
-            # carry[0:6] are the SoA ray components — feeding them to the
-            # kernel pack avoids (N,3) column-major relayout copies
-            hit = closest_hit_alpha(
-                ds, cfg, ro, rd, t_min, tmax_eff, comps=carry[0:6]
-            )
+            hit = closest_hit_alpha(ds, cfg, ro, rd, t_min, tmax_eff)
         was_miss = hit.tri < 0
 
         # ---- miss: sky (pt_megakernel.glsl:480-489)
-        sky = _sky_illum(ds, ro, rd, prev_pdf, cfg)
-        illum = jnp.where(
-            (active & was_miss)[..., None], illum + throughput * sky, illum
-        )
+        sky = _sky_illum(ds, rd, prev_pdf, cfg)
+        illum = v3.where(active & was_miss, illum + throughput * sky, illum)
         active = active & ~was_miss
 
         # ---- hit attributes (rt/hit.glsl:63-92, pt_megakernel.glsl:576-580)
-        # one fused (T, ATTR_W) row gather replaces 7 split gathers (see
+        # one fused column-table fetch replaces 7 split gathers (see
         # pack_attr_table): gather index staging dominates on TPU
         tri = jnp.maximum(hit.tri, 0)
-        row = ds.attr_packed[tri]
-        e1 = row[:, _A_E1:_A_E1 + 3]
-        e2 = row[:, _A_E2:_A_E2 + 3]
+        c = _fetch_cols(ds.attr_packed, tri)
+        e1 = Vec3(c[_A_E1], c[_A_E1 + 1], c[_A_E1 + 2])
+        e2 = Vec3(c[_A_E2], c[_A_E2 + 1], c[_A_E2 + 2])
         b1, b2 = hit.u, hit.v
         b0 = 1.0 - b1 - b2
-        n_sh = (
-            row[:, _A_N0:_A_N0 + 3] * b0[..., None]
-            + row[:, _A_N1:_A_N1 + 3] * b1[..., None]
-            + row[:, _A_N2:_A_N2 + 3] * b2[..., None]
+        n_sh = Vec3(
+            c[_A_N0] * b0 + c[_A_N1] * b1 + c[_A_N2] * b2,
+            c[_A_N0 + 1] * b0 + c[_A_N1 + 1] * b1 + c[_A_N2 + 1] * b2,
+            c[_A_N0 + 2] * b0 + c[_A_N1 + 2] * b1 + c[_A_N2 + 2] * b2,
         )
         if cfg.two_level:
             # object -> world: edges by the instance linear A, normals by
@@ -600,47 +592,51 @@ def trace_paths(
             inst = jnp.maximum(hit.inst, 0)
             A = ds.tlas.inst_linear[inst].reshape(-1, 3, 3)
             Ait = ds.tlas.inst_inv_t[inst].reshape(-1, 3, 3)
-            e1 = jnp.einsum("nab,nb->na", A, e1)
-            e2 = jnp.einsum("nab,nb->na", A, e2)
-            n_sh = jnp.einsum("nab,nb->na", Ait, n_sh)
-        gn_raw = jnp.cross(e1, e2)
-        gn_raw = jnp.where((_dot(n_sh, gn_raw) < 0.0)[..., None], -gn_raw, gn_raw)
-        gn_len = jnp.linalg.norm(gn_raw, axis=-1)  # 2*area
-        gn = gn_raw / jnp.maximum(gn_len, 1e-20)[..., None]
+            e1 = v3.from_array(jnp.einsum("nab,nb->na", A, v3.to_array(e1)))
+            e2 = v3.from_array(jnp.einsum("nab,nb->na", A, v3.to_array(e2)))
+            n_sh = v3.from_array(
+                jnp.einsum("nab,nb->na", Ait, v3.to_array(n_sh))
+            )
+        gn_raw = v3.cross(e1, e2)
+        gn_raw = v3.where(v3.dot(n_sh, gn_raw) < 0.0, -gn_raw, gn_raw)
+        gn_len = v3.length(gn_raw)  # 2*area
+        gn = gn_raw * (1.0 / jnp.maximum(gn_len, 1e-20))
         # approx solid angle of the hit triangle as seen from the origin
         approx_sa = (
             (0.5 * gn_len)
-            * jnp.abs(_dot(gn, rd))
+            * jnp.abs(v3.dot(gn, rd))
             / jnp.maximum(hit.t * hit.t, 1e-20)
         )
-        n_sh = _normalize(n_sh)
+        n_sh = v3.normalize(n_sh)
 
-        mid = jax.lax.bitcast_convert_type(row[:, _A_MID], jnp.int32)
+        mid = c[_A_MID].astype(jnp.int32)
         if cfg.two_level:
             mid = mid + ds.tlas.inst_mat_offset[inst]
-        mrow = select_rows(ds.mat_packed, mid)
-        mat = _material_from_rows(mrow)
+        mc = _fetch_cols(ds.mat_packed, mid)
+        mat = _material_from_cols(mc)
 
-        p = ro + hit.t[..., None] * rd
+        p = ro + rd * hit.t
         w_o = -rd
 
         # two-sided flip (pt_megakernel.glsl:622-634)
-        backface = _dot(w_o, gn) < 0.0
-        flip = backface & ((mat.onesided == False))  # noqa: E712
-        n_sh = jnp.where(flip[..., None], -n_sh, n_sh)
-        gn = jnp.where(flip[..., None], -gn, gn)
+        backface = v3.dot(w_o, gn) < 0.0
+        flip = backface & (mat.onesided == False)  # noqa: E712
+        n_sh = v3.where(flip, -n_sh, n_sh)
+        gn = v3.where(flip, -gn, gn)
 
         total_t = jnp.where(active, total_t + hit.t, total_t)
 
         # ---- texture lookups (rt/material_textures.glsl; mip from an
         # isotropic footprint-cone approximation of rt/footprint.glsl)
         if cfg.has_textures:
-            uv = (
-                row[:, _A_UV0:_A_UV0 + 2] * b0[..., None]
-                + row[:, _A_UV1:_A_UV1 + 2] * b1[..., None]
-                + row[:, _A_UV2:_A_UV2 + 2] * b2[..., None]
+            uv = jnp.stack(
+                [
+                    c[_A_UV0] * b0 + c[_A_UV1] * b1 + c[_A_UV2] * b2,
+                    c[_A_UV0 + 1] * b0 + c[_A_UV1 + 1] * b1 + c[_A_UV2 + 1] * b2,
+                ],
+                axis=-1,
             )
-            density = row[:, _A_DENS]
+            density = c[_A_DENS]
             if cfg.two_level:
                 # object-space density scales by 1/|s| in world units
                 density = density / jnp.maximum(ds.tlas.inst_scale[inst], 1e-8)
@@ -654,16 +650,14 @@ def trace_paths(
                     jnp.maximum(footprint_world * density * base_w, 1.0)
                 )
 
-            bc_tid = jax.lax.bitcast_convert_type(mrow[:, _M_BCTEX], jnp.int32)
+            bc_tid = mc[_M_BCTEX].astype(jnp.int32)
             bc = sample_atlas(ds.atlas, bc_tid, uv, tex_mip(bc_tid))
-            mat = mat._replace(
-                base_color=jnp.where(
-                    (bc_tid >= 0)[..., None], bc[..., :3], mat.base_color
-                ),
+            base = v3.where(
+                bc_tid >= 0, v3.from_array(bc[..., :3]), mat.base_color
             )
-            mat = mat._replace(transmission_color=mat.base_color)
+            mat = mat._replace(base_color=base, transmission_color=base)
 
-            sp_tid = jax.lax.bitcast_convert_type(mrow[:, _M_SPTEX], jnp.int32)
+            sp_tid = mc[_M_SPTEX].astype(jnp.int32)
             sp = sample_atlas(ds.atlas, sp_tid, uv, tex_mip(sp_tid))
             has_sp = sp_tid >= 0
             mat = mat._replace(
@@ -673,45 +667,45 @@ def trace_paths(
 
             # normal mapping in the uv tangent frame
             # (pt_megakernel.glsl:636-648)
-            nm_tid = jax.lax.bitcast_convert_type(mrow[:, _M_NMTEX], jnp.int32)
+            nm_tid = mc[_M_NMTEX].astype(jnp.int32)
             nm = sample_atlas(ds.atlas, nm_tid, uv, tex_mip(nm_tid))
-            tn = nm[..., :3] * 2.0 - 1.0
-            tn = tn.at[..., 0:2].multiply(fp.bump_scale)
-            tang4 = row[:, _A_TAN:_A_TAN + 4]
-            tang = tang4[..., :3]
-            if cfg.two_level:
-                tang = jnp.einsum("nab,nb->na", A, tang)
-            tang = _normalize(
-                tang - n_sh * _dot(tang, n_sh)[..., None]
+            tn = Vec3(
+                (nm[..., 0] * 2.0 - 1.0) * fp.bump_scale,
+                (nm[..., 1] * 2.0 - 1.0) * fp.bump_scale,
+                nm[..., 2] * 2.0 - 1.0,
             )
-            hand = tang4[..., 3:4]
+            tang = Vec3(c[_A_TAN], c[_A_TAN + 1], c[_A_TAN + 2])
             if cfg.two_level:
-                hand = hand * ds.tlas.inst_sign[inst][..., None]
-            bitan = jnp.cross(n_sh, tang) * hand
-            n_mapped = _normalize(
-                tn[..., 0:1] * tang + tn[..., 1:2] * bitan + tn[..., 2:3] * n_sh
-            )
-            ok_nm = (nm_tid >= 0) & (jnp.linalg.norm(tn, axis=-1) > 1e-4)
-            n_sh = jnp.where(ok_nm[..., None], n_mapped, n_sh)
+                tang = v3.from_array(
+                    jnp.einsum("nab,nb->na", A, v3.to_array(tang))
+                )
+            tang = v3.normalize(tang - n_sh * v3.dot(tang, n_sh))
+            hand = c[_A_TAN + 3]
+            if cfg.two_level:
+                hand = hand * ds.tlas.inst_sign[inst]
+            bitan = v3.cross(n_sh, tang) * hand
+            n_mapped = v3.normalize(tang * tn.x + bitan * tn.y + n_sh * tn.z)
+            ok_nm = (nm_tid >= 0) & (v3.length(tn) > 1e-4)
+            n_sh = v3.where(ok_nm, n_mapped, n_sh)
 
         # ---- emitter hit MIS (shade_base_material.glsl:33-39)
-        emit_intensity = mrow[:, _M_EMIT]
-        emit_radiance = mat.base_color * emit_intensity[..., None]
+        emit_intensity = mc[_M_EMIT]
+        emit_radiance = mat.base_color * emit_intensity
         has_emit = emit_intensity > 0.0
         wpdf_light = (1.0 - ds.sky.sun_radiance[3]) * nee_mod.approx_tri_lights_pdf(
             approx_sa, max(cfg.num_lights, 1), num_bins, cfg.use_light_bins
         )
         w_emit = nee_mod.nee_mis_heuristic(1.0, prev_pdf, 1.0, wpdf_light)
-        illum = jnp.where(
-            (active & has_emit)[..., None],
-            illum + w_emit[..., None] * throughput * emit_radiance,
+        illum = v3.where(
+            active & has_emit,
+            illum + throughput * emit_radiance * w_emit,
             illum,
         )
 
         bounce_count = jnp.where(active, bounce_count + 1, bounce_count)
 
-        carry = _pack_carry(ro, rd, t_min, illum, throughput, active,
-                            prev_pdf, bounce_count, total_t, rng_state, rays)
+        carry = (ro, rd, t_min, illum, throughput, active, prev_pdf,
+                 bounce_count, total_t, rng_state, rays)
         ctx = (p, n_sh, gn, mat, w_o)
         return carry, ctx
 
@@ -719,7 +713,7 @@ def trace_paths(
         """NEE + BSDF sample + RR — skipped on the final bounce."""
         carry, ctx, bounce_i = args
         (ro, rd, t_min, illum, throughput, active, prev_pdf, bounce_count,
-         total_t, rng_state, rays) = _unpack_carry(carry)
+         total_t, rng_state, rays) = carry
         p, n_sh, gn, mat, w_o = ctx
 
         # ---- RNG draws in reference order (shade_base_material.glsl:60-84)
@@ -728,19 +722,17 @@ def trace_paths(
         # RR reusing the free-path slot {+7}
         dim_base = jnp.int32(2) + jnp.int32(8) * bounce_i
         rv = cfg.rng_variant
-        rng_state, pos_sample = pointsets.draw2(rv, ds.rng, rng_state, dim_base + 2)
-        rng_state, sel_sample = pointsets.draw2(rv, ds.rng, rng_state, dim_base + 0)
-        rng_state, lobe_sample = pointsets.draw2(rv, ds.rng, rng_state, dim_base + 6)
-        rng_state, dir_sample = pointsets.draw2(rv, ds.rng, rng_state, dim_base + 4)
+        rng_state, pos_sample = pointsets.draw2t(rv, ds.rng, rng_state, dim_base + 2)
+        rng_state, sel_sample = pointsets.draw2t(rv, ds.rng, rng_state, dim_base + 0)
+        rng_state, lobe_sample = pointsets.draw2t(rv, ds.rng, rng_state, dim_base + 6)
+        rng_state, dir_sample = pointsets.draw2t(rv, ds.rng, rng_state, dim_base + 4)
 
         # ---- NEE (one shadow ray per active lane)
         rays = rays + active.astype(rays.dtype)
         nee_contrib = _sample_direct_light(
             ds, cfg, p, n_sh, gn, mat, w_o, pos_sample, sel_sample, total_t
         )
-        illum = jnp.where(
-            active[..., None], illum + throughput * nee_contrib, illum
-        )
+        illum = v3.where(active, illum + throughput * nee_contrib, illum)
 
         # glossy-only debug mode (shade_base_material.glsl:69-70)
         glossy_cut = (fp.glossy_only_mode != 0) & ~(
@@ -749,41 +741,41 @@ def trace_paths(
         active = active & ~glossy_cut
 
         # ---- BSDF sample
-        vx, vy = nee_mod.ortho_frame(n_sh)
-        weight, w_i, spdf, mis_wpdf = sample_gltf_brdf(
+        vx, vy = nee_mod.ortho_frame_v(n_sh)
+        weight, w_i, spdf, mis_wpdf = sample_gltf_brdf_v(
             mat, n_sh, w_o, vx, vy, dir_sample, lobe_sample
         )
-        valid_dir = _dot(w_i, n_sh) * _dot(w_i, gn) > 0.0
-        terminate = (mis_wpdf == 0.0) | jnp.all(weight == 0.0, axis=-1) | ~valid_dir
-        throughput = jnp.where(
-            (active & ~terminate)[..., None], throughput * weight, throughput
-        )
-        prev_pdf = jnp.where(active & ~terminate, mis_wpdf, prev_pdf)
-        active = active & ~terminate
+        valid_dir = v3.dot(w_i, n_sh) * v3.dot(w_i, gn) > 0.0
+        weight_zero = (weight.x == 0.0) & (weight.y == 0.0) & (weight.z == 0.0)
+        terminate = (mis_wpdf == 0.0) | weight_zero | ~valid_dir
+        keep = active & ~terminate
+        throughput = v3.where(keep, throughput * weight, throughput)
+        prev_pdf = jnp.where(keep, mis_wpdf, prev_pdf)
+        active = keep
 
-        rd = jnp.where(active[..., None], w_i, rd)
-        ro = jnp.where(active[..., None], p, ro)
-        t_min = (jnp.linalg.norm(ro, axis=-1) + total_t) * RAY_EPSILON
+        rd = v3.where(active, w_i, rd)
+        ro = v3.where(active, p, ro)
+        t_min = (v3.length(ro) + total_t) * RAY_EPSILON
 
         # ---- Russian roulette (pt_megakernel.glsl:713-730)
         rng_state, rr_sample = pointsets.draw1(
             cfg.rng_variant, ds.rng, rng_state, dim_base + 7
         )
-        prefix = jnp.max(throughput, axis=-1)
+        prefix = v3.max_component(throughput)
         rr_prob = jnp.where(
             bounce_count > 6, jnp.minimum(0.95, prefix), jnp.minimum(1.0, prefix)
         )
         do_rr = active & (bounce_count >= fp.rr_path_depth)
         survive = rr_sample < rr_prob
-        throughput = jnp.where(
-            (do_rr & survive)[..., None],
-            throughput / jnp.maximum(rr_prob, 1e-9)[..., None],
+        throughput = v3.where(
+            do_rr & survive,
+            throughput * (1.0 / jnp.maximum(rr_prob, 1e-9)),
             throughput,
         )
         active = active & (~do_rr | survive)
 
-        return _pack_carry(ro, rd, t_min, illum, throughput, active,
-                           prev_pdf, bounce_count, total_t, rng_state, rays)
+        return (ro, rd, t_min, illum, throughput, active, prev_pdf,
+                bounce_count, total_t, rng_state, rays)
 
     def compact(carry, slot):
         """Wavefront queue compaction: stable-partition live rays to the
@@ -791,9 +783,9 @@ def trace_paths(
         packet traversal skips in one step). This is the stream compaction
         of the north-star wavefront design; a permutation, so per-ray
         results are bit-identical to the megakernel ordering."""
-        active = carry[13]
+        active = carry[_ACTIVE]
         perm = jnp.argsort(~active, stable=True)
-        carry = tuple(jax.tree.map(lambda a: a[perm], c) for c in carry)
+        carry = jax.tree.map(lambda a: a[perm], carry)
         return carry, slot[perm]
 
     def bounce_body(i, carry_slot):
@@ -822,22 +814,26 @@ def trace_paths(
         # the remaining bounces are skipped in one scalar branch — the
         # fixed-shape analogue of the reference's per-thread loop break
         # (pt_megakernel.glsl:445-449)
-        carry = jax.lax.cond(jnp.any(carry[13]), live_body, lambda c: c, carry)
+        carry = jax.lax.cond(
+            jnp.any(carry[_ACTIVE]), live_body, lambda c: c, carry
+        )
         return carry, slot
 
     active0 = (
         jnp.ones((n,), bool) if lane_mask is None else jnp.asarray(lane_mask)
     )
-    carry = _pack_carry(
+    zero = jnp.zeros((n,), jnp.float32)
+    one = jnp.ones((n,), jnp.float32)
+    carry = (
         ro,
         rd,
-        jnp.zeros((n,), jnp.float32),  # t_min
-        jnp.zeros((n, 3), jnp.float32),  # illum
-        jnp.ones((n, 3), jnp.float32),  # throughput
+        zero,  # t_min
+        Vec3(zero, zero, zero),  # illum
+        Vec3(one, one, one),  # throughput
         active0,  # active (padded/invalid lanes start dead)
         jnp.full((n,), 2.0e16, jnp.float32),  # prev_pdf (shading_interface:21)
         jnp.zeros((n,), jnp.int32),  # bounce_count
-        jnp.zeros((n,), jnp.float32),  # total_t
+        zero,  # total_t
         rng_state,
         jnp.zeros((n,), jnp.int32),  # per-lane rays traced
     )
@@ -853,29 +849,45 @@ def trace_paths(
             0, cfg.max_path_depth, bounce_body, (carry, slot0)
         )
 
-    (_, _, _, illum, _, _, _, bounce_count, _, _, rays_traced) = _unpack_carry(carry)
+    illum = carry[3]
+    bounce_count = carry[7]
+    rays_traced = carry[10]
     alpha = jnp.where(bounce_count == 0, 0.0, 1.0)
     if cfg.wavefront:
         # un-permute back to ray order
         inv = jnp.zeros((n,), jnp.int32).at[slot].set(jnp.arange(n, dtype=jnp.int32))
-        illum = illum[inv]
+        illum = jax.tree.map(lambda a: a[inv], illum)
         alpha = alpha[inv]
         rays_traced = rays_traced[inv]
     return illum, alpha, rays_traced
 
 
-def camera_rays(view: ViewBuffers, px, py, dims, jitter):
-    """Primary rays (pt_megakernel.glsl:315-323). px/py int arrays, jitter
-    (...,2) in [0,1)."""
-    point_x = (px.astype(jnp.float32) + 0.5 + (jitter[..., 0] - 0.5)) / dims[0]
-    point_y = (py.astype(jnp.float32) + 0.5 + (jitter[..., 1] - 0.5)) / dims[1]
-    rd = _normalize(
-        point_x[..., None] * view.cam_du
-        + point_y[..., None] * view.cam_dv
-        + view.cam_dir_top_left
+def camera_rays_v(view: ViewBuffers, px, py, dims, j0, j1):
+    """Primary rays (pt_megakernel.glsl:315-323), SoA: px/py int arrays,
+    (j0, j1) jitter components in [0,1). Returns (ro, rd) Vec3."""
+    point_x = (px.astype(jnp.float32) + 0.5 + (j0 - 0.5)) / dims[0]
+    point_y = (py.astype(jnp.float32) + 0.5 + (j1 - 0.5)) / dims[1]
+    du, dv, tl = view.cam_du, view.cam_dv, view.cam_dir_top_left
+    rd = v3.normalize(
+        Vec3(
+            point_x * du[0] + point_y * dv[0] + tl[0],
+            point_x * du[1] + point_y * dv[1] + tl[1],
+            point_x * du[2] + point_y * dv[2] + tl[2],
+        )
     )
-    ro = jnp.broadcast_to(view.cam_pos, rd.shape)
+    shape = px.shape
+    ro = Vec3(
+        jnp.broadcast_to(view.cam_pos[0], shape),
+        jnp.broadcast_to(view.cam_pos[1], shape),
+        jnp.broadcast_to(view.cam_pos[2], shape),
+    )
     return ro, rd
+
+
+def camera_rays(view: ViewBuffers, px, py, dims, jitter):
+    """Array wrapper: jitter (...,2); returns (..., 3) arrays."""
+    ro, rd = camera_rays_v(view, px, py, dims, jitter[..., 0], jitter[..., 1])
+    return v3.to_array(ro), v3.to_array(rd)
 
 
 def render_tile(
@@ -961,12 +973,12 @@ def render_tile(
         state = pointsets.make_state(
             cfg.rng_variant, sample_index, fp.shot_offset, px, py, width
         )
-        state, jitter = pointsets.draw2(
+        state, (j0, j1) = pointsets.draw2t(
             cfg.rng_variant, ds.rng, state, jnp.int32(0)
         )
-        ro, rd = camera_rays(view, px, py, dims, jitter)
+        ro, rd = camera_rays_v(view, px, py, dims, j0, j1)
         rgb, alpha, nrays = trace_paths(ds, cfg, fp, ro, rd, state, lane_mask=valid)
-        sample = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+        sample = jnp.stack([rgb.x, rgb.y, rgb.z, alpha], axis=-1)
         sample = jnp.where(valid[:, None], sample, 0.0)
         nrays = nrays.sum()
         start = c * chunk
@@ -1057,14 +1069,14 @@ def make_pass_fn(ds: DeviceScene, cfg: IntegratorConfig, width: int, height: int
         state = pointsets.make_state(
             cfg.rng_variant, sample_index, fp.shot_offset, px, py, width
         )
-        state, jitter = pointsets.draw2(
+        state, (j0, j1) = pointsets.draw2t(
             cfg.rng_variant, ds.rng, state, jnp.int32(0)
         )
-        ro, rd = camera_rays(view, px, py, dims, jitter)
+        ro, rd = camera_rays_v(view, px, py, dims, j0, j1)
         rgb, alpha, nrays = trace_paths(
             ds, cfg, fp, ro, rd, state, lane_mask=valid
         )
-        sample = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+        sample = jnp.stack([rgb.x, rgb.y, rgb.z, alpha], axis=-1)
         sample = jnp.where(valid[:, None], sample, 0.0)
         return acc + sample, nrays.sum()
 
@@ -1081,10 +1093,10 @@ def make_ray_stats_fn(ds: DeviceScene, cfg: IntegratorConfig, width: int, height
         state = pointsets.make_state(
             cfg.rng_variant, sample_index, fp.shot_offset, px, py, width
         )
-        state, jitter = pointsets.draw2(
+        state, (j0, j1) = pointsets.draw2t(
             cfg.rng_variant, ds.rng, state, jnp.int32(0)
         )
-        ro, rd = camera_rays(view, px, py, dims, jitter)
+        ro, rd = camera_rays_v(view, px, py, dims, j0, j1)
         _, _, nrays = trace_paths(ds, cfg, fp, ro, rd, state, lane_mask=valid)
         return jnp.where(valid, nrays, 0)
 

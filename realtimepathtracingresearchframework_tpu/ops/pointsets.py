@@ -180,13 +180,21 @@ def draw1(variant: int, bufs: RngBuffers, state: RngState, dim):
     return state, x
 
 
-def draw2(variant: int, bufs: RngBuffers, state: RngState, dim):
-    """Two floats at (dim, dim+1) -> (state, (N,2))."""
+def draw2t(variant: int, bufs: RngBuffers, state: RngState, dim):
+    """Two floats at (dim, dim+1) -> (state, (x, y)) as a TUPLE of 1-D
+    arrays — the SoA fast path (no stack/slice round-trip, ops/vec3.py)."""
     if variant == RNG_VARIANT_UNIFORM:
-        s0, xy = lcg.lcg_float2(state.s0)
-        return RngState(s0=s0, s1=state.s1), xy
+        s0, x = lcg.lcg_float(state.s0)
+        s0, y = lcg.lcg_float(s0)
+        return RngState(s0=s0, s1=state.s1), (x, y)
     state, x = draw1(variant, bufs, state, dim)
     state, y = draw1(variant, bufs, state, jnp.asarray(dim, jnp.int32) + 1)
+    return state, (x, y)
+
+
+def draw2(variant: int, bufs: RngBuffers, state: RngState, dim):
+    """Two floats at (dim, dim+1) -> (state, (N,2))."""
+    state, (x, y) = draw2t(variant, bufs, state, dim)
     return state, jnp.stack([x, y], axis=-1)
 
 

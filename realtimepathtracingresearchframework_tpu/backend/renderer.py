@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Dict, List, Optional
 
 import jax
@@ -49,7 +50,10 @@ from realtimepathtracingresearchframework_tpu.ops.integrator import (
     MaterialBuffers,
     ShadingBuffers,
     ViewBuffers,
+    _swizzle_tables,
+    image_to_planes,
     make_pass_fn,
+    planes_to_image,
     render_tile,
     render_tile_host,
 )
@@ -98,6 +102,11 @@ _MEGAKERNEL_ALIASES = (
 )
 
 
+@partial(jax.jit, static_argnames=("tonemap_mode",))
+def _resolve_planar(acc, exposure, tonemap_mode: int):
+    return resolve_mod.resolve_channels(acc, exposure, tonemap_mode)
+
+
 @dataclass
 class RenderStats:
     """librender/render_backend.h:15-24."""
@@ -131,8 +140,19 @@ class Renderer:
         self.device_scene: Optional[DeviceScene] = None
         self._bvh = None
         self._num_lights = 0
-        self.accum: Optional[jnp.ndarray] = None
-        self.framebuffer: Optional[jnp.ndarray] = None
+        # accumulation/framebuffer state lives in ONE of two forms:
+        # - per-chunk channel buffers in swizzle order (the fast path: the
+        #   pass programs accumulate into them IN PLACE, the frame loop is
+        #   nothing but pass dispatches; join/resolve/reorder happen
+        #   lazily at readback — the swapchain-blit point), or
+        # - (H, W, 4) images (TAA / reprojection / upscale / debug paths).
+        # The public .accum/.framebuffer properties always present images.
+        self._planar = False
+        self._acc_chunks = None  # list of per-chunk 4-tuples of buffers
+        self._fb_planes = None  # lazily resolved display channels
+        self._resolve_args = (jnp.float32(0.0), -1)
+        self._accum_img: Optional[jnp.ndarray] = None
+        self._fb_img: Optional[jnp.ndarray] = None
         self.frame_id = 0  # accumulated samples (render_vulkan.cpp:2152)
         self.shot_offset = 0
         self.timers = DeviceTimers()
@@ -192,8 +212,63 @@ class Renderer:
         self.fb_width = int(fb_width)
         self.fb_height = int(fb_height)
         self.accum = jnp.zeros((self.fb_height, self.fb_width, 4), jnp.float32)
-        self.framebuffer = jnp.zeros_like(self.accum)
+        self.framebuffer = jnp.zeros_like(self._accum_img)
         self.frame_id = 0
+
+    # -- accumulation/framebuffer state (planar fast path vs image) -------
+
+    def _planes_np(self, planes) -> np.ndarray:
+        """Channel tuple -> host (4, n_pad) array (readback + interleave)."""
+        jax.block_until_ready(planes)
+        return np.stack([np.asarray(p) for p in planes])
+
+    def _materialize(self, planes) -> jnp.ndarray:
+        """Device channel tuple -> (H, W, 4) image (host blit)."""
+        img = planes_to_image(
+            self._planes_np(planes), self.fb_width, self.fb_height
+        )
+        return jnp.asarray(img)
+
+    def _acc_planes_lazy(self):
+        """Join the per-chunk accumulators into whole-frame channel planes
+        (readback-time program, off the frame loop)."""
+        from realtimepathtracingresearchframework_tpu.ops.integrator import (
+            join_chunk_planes,
+        )
+
+        return join_chunk_planes(self._acc_chunks)
+
+    @property
+    def accum(self) -> Optional[jnp.ndarray]:
+        if self._planar:
+            return self._materialize(self._acc_planes_lazy())
+        return self._accum_img
+
+    @accum.setter
+    def accum(self, value) -> None:
+        self._accum_img = value
+        self._planar = False
+
+    def _fb_planes_lazy(self):
+        """Resolve the display channels on demand (blit-time resolve)."""
+        if self._fb_planes is None:
+            exposure, tonemap = self._resolve_args
+            self._fb_planes = _resolve_planar(
+                self._acc_planes_lazy(), exposure, tonemap
+            )
+        return self._fb_planes
+
+    @property
+    def framebuffer(self) -> Optional[jnp.ndarray]:
+        if self._planar:
+            return self._materialize(self._fb_planes_lazy())
+        return self._fb_img
+
+    @framebuffer.setter
+    def framebuffer(self, value) -> None:
+        # image-domain paths set .accum first (which leaves planar mode);
+        # the planar fast path writes chunk buffers directly instead
+        self._fb_img = value
 
     def _validate_options(self, options: RenderBackendOptions):
         """Returns (ok, adjusted) — the auto-adjust strategy of the
@@ -512,10 +587,82 @@ class Renderer:
                 self.device_scene, cfg, self.fb_width, self.fb_height
             )
             self._pass_fns[pkey] = pass_fn
+
+        fast = (
+            params.reprojection_mode != REPROJECTION_MODE_ACCUMULATE
+            and not self.options.enable_taa
+            and int(params.render_upscale_factor) == 1
+        )
+        if fast:
+            # chunk-resident fast path: the pass programs accumulate the
+            # progressive average IN PLACE (donated buffers), so the whole
+            # frame is nothing but pass dispatches — every extra device
+            # program pays ~1.3ms per input/output buffer on the axon
+            # relay. Join/resolve/unswizzle run lazily at readback.
+            px_c, py_c, valid_c, _inv, nc, chunk = _swizzle_tables(
+                self.fb_width, self.fb_height
+            )
+            chunks_ok = (
+                self._planar
+                and self._acc_chunks is not None
+                and len(self._acc_chunks) == nc
+                and self._acc_chunks[0][0].shape == (chunk,)
+            )
+            if not chunks_ok:
+                if self.frame_id > 0 and self._accum_img is not None:
+                    # resume from an image-form history (checkpoint load /
+                    # mode switch): re-swizzle on the host, then split
+                    pl = image_to_planes(
+                        np.asarray(self._accum_img),
+                        self.fb_width,
+                        self.fb_height,
+                    )
+                    self._acc_chunks = [
+                        tuple(
+                            jnp.asarray(pl[k, c * chunk:(c + 1) * chunk])
+                            for k in range(4)
+                        )
+                        for c in range(nc)
+                    ]
+                else:
+                    self._acc_chunks = [
+                        tuple(
+                            jnp.zeros((chunk,), jnp.float32) for _ in range(4)
+                        )
+                        for c in range(nc)
+                    ]
+            rays_l = []
+            for s in range(spp):
+                for c in range(nc):
+                    self._acc_chunks[c], nr = pass_fn(
+                        fp, view, self._acc_chunks[c],
+                        px_c[c], py_c[c], valid_c[c],
+                        fp.sample_offset + jnp.uint32(s),
+                        jnp.uint32(self.frame_id + s),
+                    )
+                    rays_l.append(nr)
+            self._fb_planes = None  # display resolve deferred to readback
+            self._resolve_args = (
+                jnp.float32(params.exposure),
+                int(params.early_tone_mapping_mode),
+            )
+            self._planar = True
+            jax.block_until_ready(self._acc_chunks[-1])
+            dt_ms = (time.perf_counter() - t0) * 1e3
+            self._last_rays = jnp.stack(rays_l).sum()
+            self._last_render_ms = dt_ms
+            self.timers.add(ProfilingMarker.RENDERING, dt_ms)
+            self.timers.end_frame()
+            self.frame_id += spp
+            return self.stats()
+
         new_accum, rays = render_tile_host(
             self.device_scene, cfg, fp, view, self.fb_width, self.fb_height,
             spp, pass_fn=pass_fn,
         )
+        if self._planar:
+            # leaving the planar fast path: image-domain history
+            self.accum = self._materialize(self._acc_planes_lazy())
 
         if params.reprojection_mode == REPROJECTION_MODE_ACCUMULATE:
             # realtime resolve: reproject linear history by the motion AOV
@@ -588,12 +735,26 @@ class Renderer:
     # ------------------------------------------------------------------
 
     def readback_framebuffer(self) -> np.ndarray:
-        """Display framebuffer: sRGB-encoded (H*u, W*u, 4) float."""
+        """Display framebuffer: sRGB-encoded (H*u, W*u, 4) float. On the
+        planar fast path this is the host blit (swizzle reorder during
+        readback, the display_native analogue)."""
+        if self._planar:
+            return planes_to_image(
+                self._planes_np(self._fb_planes_lazy()),
+                self.fb_width,
+                self.fb_height,
+            )
         return np.asarray(jax.block_until_ready(self.framebuffer))
 
     def readback_accumulation(self) -> np.ndarray:
         """Linear HDR accumulation buffer (H, W, 4) float — what validation
         mode saves (app_state.cpp:341-462 save paths use the linear image)."""
+        if self._planar:
+            return planes_to_image(
+                self._planes_np(self._acc_planes_lazy()),
+                self.fb_width,
+                self.fb_height,
+            )
         return np.asarray(jax.block_until_ready(self.accum))
 
     def _render_debug_variant(self, config: FrameConfig) -> RenderStats:

@@ -963,6 +963,8 @@ def render_tile(
     inv = jnp.asarray(inv_np)
 
     def one_pass(i, carry):
+        # SoA accumulators: one buffer per channel — producing an (N, 4)
+        # sample inside the pass costs a ~9ms/262K relayout stack on TPU
         acc_sw, rays = carry
         s = (i // num_chunks).astype(jnp.uint32)
         c = i % num_chunks
@@ -978,19 +980,26 @@ def render_tile(
         )
         ro, rd = camera_rays_v(view, px, py, dims, j0, j1)
         rgb, alpha, nrays = trace_paths(ds, cfg, fp, ro, rd, state, lane_mask=valid)
-        sample = jnp.stack([rgb.x, rgb.y, rgb.z, alpha], axis=-1)
-        sample = jnp.where(valid[:, None], sample, 0.0)
+        sample = (rgb.x, rgb.y, rgb.z, alpha)
         nrays = nrays.sum()
         start = c * chunk
-        cur = jax.lax.dynamic_slice(acc_sw, (start, 0), (chunk, 4))
-        acc_sw = jax.lax.dynamic_update_slice(acc_sw, cur + sample, (start, 0))
+        acc_sw = tuple(
+            jax.lax.dynamic_update_slice(
+                a,
+                jax.lax.dynamic_slice(a, (start,), (chunk,))
+                + jnp.where(valid, smp, 0.0),
+                (start,),
+            )
+            for a, smp in zip(acc_sw, sample)
+        )
         return acc_sw, rays + nrays
 
-    acc_sw = jnp.zeros((n_pad, 4), jnp.float32)
+    acc_sw = tuple(jnp.zeros((n_pad,), jnp.float32) for _ in range(4))
     rays0 = jnp.zeros((), jnp.int32)
     acc_sw, rays = jax.lax.fori_loop(0, spp * num_chunks, one_pass, (acc_sw, rays0))
-    acc = acc_sw[inv]
-    acc = acc / jnp.maximum(spp, 1).astype(jnp.float32)
+    inv_spp = 1.0 / jnp.maximum(spp, 1).astype(jnp.float32)
+    # one (N, 4) materialization per frame, at the very end
+    acc = jnp.stack([a[inv] * inv_spp for a in acc_sw], axis=-1)
     return acc.reshape(tile_h, width, 4), rays
 
 
@@ -999,6 +1008,63 @@ def render_tile(
 # ---------------------------------------------------------------------------
 
 _TABLE_CACHE: dict = {}
+_MAP_CACHE: dict = {}
+
+
+def swizzle_maps(width: int, tile_h: int):
+    """Host-side swizzle maps for (width, tile_h): (inv_np, lin_np, n_pad).
+
+    ``inv_np[pixel]`` = the pixel's slot in the swizzle-ordered planar
+    buffer; ``lin_np[slot]`` = the slot's linear pixel index (== tile_h *
+    width for padding slots). Used by the host blit that reorders the
+    device's planar-swizzled framebuffer into an (H, W, 4) image at
+    readback, and by the inverse re-swizzle on checkpoint resume."""
+    key = (width, tile_h)
+    hit = _MAP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    ts = 16
+    bw = -(-width // ts)
+    bh = -(-tile_h // ts)
+    n_rays = bw * bh * ts * ts
+    idx = np.arange(n_rays)
+    block = idx // (ts * ts)
+    within = idx % (ts * ts)
+    px_np = (block % bw) * ts + within % ts
+    py_np = (block // bw) * ts + within // ts
+    valid_np = (px_np < width) & (py_np < tile_h)
+    lin_np = np.where(
+        valid_np,
+        np.minimum(py_np, tile_h - 1) * width + np.minimum(px_np, width - 1),
+        tile_h * width,
+    ).astype(np.int32)
+    chunk = min(n_rays, RAYS_PER_PASS)
+    n_pad = n_rays + ((-n_rays) % chunk)
+    if n_pad > n_rays:
+        lin_np = np.concatenate(
+            [lin_np, np.full(n_pad - n_rays, tile_h * width, np.int32)]
+        )
+        valid_np = np.concatenate([valid_np, np.zeros(n_pad - n_rays, bool)])
+    inv_np = np.zeros(tile_h * width, np.int32)
+    inv_np[lin_np[valid_np]] = np.nonzero(valid_np)[0].astype(np.int32)
+    out = (inv_np, lin_np, n_pad)
+    _MAP_CACHE[key] = out
+    return out
+
+
+def planes_to_image(planes_np: np.ndarray, width: int, tile_h: int) -> np.ndarray:
+    """Host blit: planar-swizzled (4, n_pad) -> (tile_h, width, 4)."""
+    inv_np, _, _ = swizzle_maps(width, tile_h)
+    return np.ascontiguousarray(planes_np[:, inv_np].T).reshape(tile_h, width, 4)
+
+
+def image_to_planes(img: np.ndarray, width: int, tile_h: int) -> np.ndarray:
+    """Host re-swizzle: (tile_h, width, 4) -> planar-swizzled (4, n_pad)."""
+    _, lin_np, n_pad = swizzle_maps(width, tile_h)
+    flat = np.concatenate(
+        [img.reshape(-1, 4), np.zeros((1, 4), img.dtype)], axis=0
+    )
+    return np.ascontiguousarray(flat[lin_np].T)
 
 
 def _swizzle_tables(width: int, tile_h: int):
@@ -1065,7 +1131,19 @@ def make_pass_fn(ds: DeviceScene, cfg: IntegratorConfig, width: int, height: int
     dims = jnp.array([width, height], jnp.float32)
 
     @partial(jax.jit, donate_argnames=("acc",))
-    def pass_fn(fp, view, acc, px, py, valid, sample_index):
+    def pass_fn(fp, view, acc, px, py, valid, sample_index, blend_k):
+        """One sample batch over one chunk, accumulated IN PLACE.
+
+        ``acc`` is a 4-tuple of (chunk,) channel buffers (SoA — a packed
+        (N, 4) costs a ~9ms/262K relayout stack on TPU), donated and
+        blended with the progressive average
+        ``acc += (x - acc) / (blend_k + 1)`` (process_samples.comp:116-131,
+        applied per sample instead of per batch — same mean). Keeping the
+        accumulate inside the pass makes the whole frame loop N pass
+        dispatches with zero extra device programs: every extra program
+        pays ~1.3ms per input/output buffer on the axon relay.
+        ``sample_index`` seeds the RNG; ``blend_k`` is the number of
+        samples already in ``acc`` (they differ on checkpoint resume)."""
         state = pointsets.make_state(
             cfg.rng_variant, sample_index, fp.shot_offset, px, py, width
         )
@@ -1076,9 +1154,17 @@ def make_pass_fn(ds: DeviceScene, cfg: IntegratorConfig, width: int, height: int
         rgb, alpha, nrays = trace_paths(
             ds, cfg, fp, ro, rd, state, lane_mask=valid
         )
-        sample = jnp.stack([rgb.x, rgb.y, rgb.z, alpha], axis=-1)
-        sample = jnp.where(valid[:, None], sample, 0.0)
-        return acc + sample, nrays.sum()
+        w = 1.0 / (blend_k.astype(jnp.float32) + 1.0)
+        fresh = blend_k == 0  # exact overwrite: a+(x-a)/1 rounds
+        acc = tuple(
+            jnp.where(
+                fresh,
+                jnp.where(valid, smp, 0.0),
+                a + (jnp.where(valid, smp, a) - a) * w,
+            )
+            for a, smp in zip(acc, (rgb.x, rgb.y, rgb.z, alpha))
+        )
+        return acc, nrays.sum()
 
     return pass_fn
 
@@ -1124,11 +1210,24 @@ def render_ray_stats_host(
     return img
 
 
-@partial(jax.jit, static_argnames=("spp", "width", "tile_h"))
-def _assemble_frame(chunks, rays, inv, spp: int, width: int, tile_h: int):
-    acc = jnp.concatenate(chunks, axis=0)[inv]
-    acc = acc / jnp.float32(max(spp, 1))
+@partial(jax.jit, static_argnames=("width", "tile_h"))
+def _assemble_frame(chunks, rays, inv, width: int, tile_h: int):
+    """chunks: list of per-chunk 4-tuples of (chunk,) channel MEANS (the
+    pass accumulates in place). Unswizzles per channel and packs the
+    (H, W, 4) image once per frame."""
+    planes = [jnp.concatenate([c[k] for c in chunks])[inv] for k in range(4)]
+    acc = jnp.stack(planes, axis=-1)
     return acc.reshape(tile_h, width, 4), jnp.stack(rays).sum()
+
+
+@jax.jit
+def join_chunk_planes(chunks):
+    """Per-chunk channel buffers -> 4-tuple of (n_pad,) channel planes.
+    Channels stay separate 1-D arrays: (4, N)/(N, 4) packing forces
+    degenerate TPU tiling (~300ms/frame at 2M pixels, measured). This is
+    a readback-time program (every program boundary costs ~1.3ms per
+    buffer on the axon relay — keep it off the frame loop)."""
+    return tuple(jnp.concatenate([c[k] for c in chunks]) for k in range(4))
 
 
 def render_tile_host(
@@ -1142,24 +1241,36 @@ def render_tile_host(
     y0: int = 0,
     tile_h: Optional[int] = None,
     pass_fn=None,
+    assemble: bool = True,
 ):
     """Host-driven equivalent of render_tile: one async device dispatch per
     (sample, chunk) pass. Bit-identical results; ~3x faster frames than the
     single-module loop (see make_pass_fn). Host-side only — use render_tile
     under jit/shard_map. Callers rendering repeatedly should build
-    ``pass_fn`` once via make_pass_fn and pass it in (rebuilding retraces)."""
+    ``pass_fn`` once via make_pass_fn and pass it in (rebuilding retraces).
+
+    ``assemble=False`` returns the frame as planar-swizzled (4, n_pad)
+    channel planes instead of an (H, W, 4) image — the renderer's fast
+    path keeps the whole accumulate/resolve chain planar and lets the
+    host blit reorder at readback (see ops/resolve.py resolve_planes)."""
     tile_h = tile_h if tile_h is not None else height
     if pass_fn is None:
         pass_fn = make_pass_fn(ds, cfg, width, height)
     px_c, py_c, valid_c, inv, nc, chunk = _swizzle_tables(width, tile_h)
-    accs = [jnp.zeros((chunk, 4), jnp.float32) for _ in range(nc)]
+    accs = [
+        tuple(jnp.zeros((chunk,), jnp.float32) for _ in range(4))
+        for _ in range(nc)
+    ]
     rays = []
     for s in range(spp):
         for c in range(nc):
             py = py_c[c] if y0 == 0 else py_c[c] + jnp.int32(y0)
             sample_index = fp.sample_offset + jnp.uint32(s)
             accs[c], nr = pass_fn(
-                fp, view, accs[c], px_c[c], py, valid_c[c], sample_index
+                fp, view, accs[c], px_c[c], py, valid_c[c], sample_index,
+                jnp.uint32(s),
             )
             rays.append(nr)
-    return _assemble_frame(accs, rays, inv, spp, width, tile_h)
+    if not assemble:
+        return accs, rays
+    return _assemble_frame(accs, rays, inv, width, tile_h)

@@ -33,6 +33,28 @@ def accumulate_history(history, new_accum, sample_base_index, batch_size):
     return jnp.where(sample_base_index > 0, blended, new_accum)
 
 
+def resolve_channels(channels, exposure, tonemap_mode: int = -1):
+    """Channel-separate resolve: ``channels`` = (r, g, b, a) 1-D linear
+    accumulation buffers -> (r, g, b, a) sRGB display buffers. Same math
+    as resolve_framebuffer minus the upscale (the host blit replicates
+    pixels when upscaling). Channels stay separate 1-D arrays: a packed
+    (N, 4) or (4, N) array forces degenerate TPU tiling; the host readback
+    interleaves, like the reference's swapchain blit
+    (vulkan/vkdisplay.cpp display_native)."""
+    scale = jnp.exp2(exposure)
+    r, g, b = channels[0] * scale, channels[1] * scale, channels[2] * scale
+    a = jnp.minimum(channels[3], 1.0)
+    if tonemap_mode == TONEMAP_MODE_NEUTRAL:
+        lum = jnp.maximum(jnp.maximum(r, g), jnp.maximum(b, 1.0))
+        t = 0.1 * jnp.log2(lum)
+        s = (t + (1.0 - t) * 0.8) / lum
+        r, g, b = r * s, g * s, b * s
+    elif tonemap_mode == TONEMAP_MODE_FAST:
+        r, g, b = r / (1.0 + r), g / (1.0 + g), b / (1.0 + b)
+    enc = color_mod.linear_to_srgb
+    return (enc(r), enc(g), enc(b), a)
+
+
 @partial(jax.jit, static_argnames=("tonemap_mode", "upscale"))
 def resolve_framebuffer(
     accum,

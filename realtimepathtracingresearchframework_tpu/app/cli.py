@@ -66,6 +66,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profiling-img", action="store_true")
     p.add_argument("--profiling-frames", type=int, default=120)
     p.add_argument("--data-capture", default=None, metavar="PREFIX")
+    p.add_argument("--data-capture-spp", type=int, default=16)
+    p.add_argument("--data-capture-no-rgba", action="store_true")
+    p.add_argument("--data-capture-no-aovs", action="store_true")
+    p.add_argument("--data-capture-albedo-roughness", action="store_true")
+    p.add_argument("--data-capture-normal-depth", action="store_true")
+    p.add_argument("--data-capture-motion", action="store_true")
+    p.add_argument("--data-capture-viewpoints", type=int, default=0,
+                   help="generate N POI-derived capture viewpoints")
     p.add_argument("--exr", action="store_true")
     p.add_argument("--pfm", action="store_true")
     p.add_argument("--png", action="store_true")
@@ -210,9 +218,21 @@ def main(argv=None) -> int:
         return 0
 
     if args.data_capture:
+        # AOV selection per the reference flags (cmdline.cpp:428-448):
+        # default all on; --data-capture-no-aovs drops them unless
+        # individually re-enabled
+        any_sel = (args.data_capture_albedo_roughness
+                   or args.data_capture_normal_depth
+                   or args.data_capture_motion)
+        base = not (args.data_capture_no_aovs or any_sel)
         modes.run_data_capture(
             renderer, ims, bundle, args.data_capture,
-            target_spp=max(args.validation_spp, 1),
+            target_spp=max(args.data_capture_spp, 1),
+            rgba=not args.data_capture_no_rgba,
+            albedo_roughness=base or args.data_capture_albedo_roughness,
+            normal_depth=base or args.data_capture_normal_depth,
+            motion=base or args.data_capture_motion,
+            viewpoints=args.data_capture_viewpoints,
         )
         return 0
 

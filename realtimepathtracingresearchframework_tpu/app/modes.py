@@ -158,11 +158,18 @@ def run_data_capture(
     albedo_roughness: bool = True,
     normal_depth: bool = True,
     motion: bool = True,
+    viewpoints: int = 0,
+    viewpoint_seed: int = 0,
 ) -> List[str]:
     """Data-capture mode (denoiser training data): per keyframe, accumulate
     to target spp then dump rgba + AOV EXRs named
     <prefix>_%04d_{rgba,albedo_roughness,normal_depth,motion_jitter}
-    (app_state.cpp:499-530)."""
+    (app_state.cpp:499-530).
+
+    ``viewpoints > 0`` additionally generates that many POI-derived camera
+    placements via ray queries (data_capture_state.h:18-86 semantics, see
+    app/datacapture.py) and captures each of them after the keyframe
+    timeline, named <prefix>_vp%02d_*."""
     saved = []
     ims.pad_frames(1)
     kf = 0
@@ -178,28 +185,69 @@ def run_data_capture(
             renderer.render(config, batch_spp=spp)
             accumulated += spp
         renderer.render_aovs(config)
-
-        pf = f"{prefix}_{ims.current_keyframe() + 1:04d}"
-        if rgba:
-            img = renderer.readback_accumulation()
-            image_io.write_exr_rgba(pf + "_rgba.exr", img, half=False,
-                                    compression="none")
-            saved.append(pf + "_rgba.exr")
-        for flag, name, idx in (
-            (albedo_roughness, "albedo_roughness", Renderer.AOV_ALBEDO_ROUGHNESS),
-            (normal_depth, "normal_depth", Renderer.AOV_NORMAL_DEPTH),
-            (motion, "motion_jitter", Renderer.AOV_MOTION_JITTER),
-        ):
-            if flag:
-                aov = renderer.readback_aov(idx)
-                image_io.write_exr_rgba(
-                    f"{pf}_{name}.exr", aov, half=False, compression="none"
-                )
-                saved.append(f"{pf}_{name}.exr")
+        saved += _dump_capture(
+            renderer, f"{prefix}_{ims.current_keyframe() + 1:04d}",
+            rgba, albedo_roughness, normal_depth, motion,
+        )
         if ims.last_keyframe_coming_up(float(kf + 1)):
             break
         kf += 1
+
+    if viewpoints > 0:
+        from realtimepathtracingresearchframework_tpu.app.datacapture import (
+            generate_capture_views,
+        )
+        from realtimepathtracingresearchframework_tpu.models.camera import (
+            OrientedCamera,
+        )
+
+        base = bundle.frame_config()
+        views = generate_capture_views(
+            renderer,
+            [np.asarray(base.camera.pos, np.float32)],
+            num_views=viewpoints,
+            seed=viewpoint_seed,
+        )
+        for vi, v in enumerate(views):
+            cam = OrientedCamera.look_at(
+                v.pos, v.pos + v.dir, fovy=base.camera.fovy
+            )
+            config = bundle.frame_config()
+            config.camera = cam
+            renderer.reset_accumulation()
+            accumulated = 0
+            batch = max(config.params.batch_spp, 1)
+            while accumulated < target_spp:
+                spp = next_frame_spp(accumulated, target_spp, batch)
+                renderer.render(config, batch_spp=spp)
+                accumulated += spp
+            renderer.render_aovs(config)
+            saved += _dump_capture(
+                renderer, f"{prefix}_vp{vi:02d}",
+                rgba, albedo_roughness, normal_depth, motion,
+            )
     info("data capture: wrote %d images", len(saved))
+    return saved
+
+
+def _dump_capture(renderer, pf, rgba, albedo_roughness, normal_depth, motion):
+    saved = []
+    if rgba:
+        img = renderer.readback_accumulation()
+        image_io.write_exr_rgba(pf + "_rgba.exr", img, half=False,
+                                compression="none")
+        saved.append(pf + "_rgba.exr")
+    for flag, name, idx in (
+        (albedo_roughness, "albedo_roughness", Renderer.AOV_ALBEDO_ROUGHNESS),
+        (normal_depth, "normal_depth", Renderer.AOV_NORMAL_DEPTH),
+        (motion, "motion_jitter", Renderer.AOV_MOTION_JITTER),
+    ):
+        if flag:
+            aov = renderer.readback_aov(idx)
+            image_io.write_exr_rgba(
+                f"{pf}_{name}.exr", aov, half=False, compression="none"
+            )
+            saved.append(f"{pf}_{name}.exr")
     return saved
 
 

@@ -32,6 +32,7 @@ import numpy as np
 from realtimepathtracingresearchframework_tpu.backend.params import (
     LIGHT_SAMPLING_VARIANT_RIS,
     REPROJECTION_MODE_ACCUMULATE,
+    REPROJECTION_MODE_DISCARD_HISTORY,
     RenderBackendOptions,
     RenderParams,
     SceneConfig,
@@ -528,6 +529,8 @@ class Renderer:
             and not getattr(self, "_use_two_level", False),
             two_level=bool(getattr(self, "_use_two_level", False)),
             row_attrs=bool(self._use_pallas),
+            enable_dof=bool(self.options.enable_raytraced_dof)
+            and float(params.aperture_radius) > 0.0,
         )
 
     def _get_render_fn(self, cfg: IntegratorConfig):
@@ -569,6 +572,8 @@ class Renderer:
             shot_offset=jnp.uint32(self.shot_offset),
             pixel_spread=jnp.float32(params.pixel_radius * pixel_spread),
             bump_scale=jnp.float32(config.scene_config.bump_scale),
+            aperture_radius=jnp.float32(params.aperture_radius),
+            focus_distance=jnp.float32(params.focus_distance),
         )
         cfg = self._integrator_config(params)
         if self.active_variant == VARIANT_WAVEFRONT:
@@ -631,6 +636,13 @@ class Renderer:
                         )
                         for c in range(nc)
                     ]
+            # DISCARD_HISTORY (postprocess/reprojection.h:11-18): each
+            # frame stands alone — blend as if the accumulator were empty
+            # (k starts at 0), which overwrites the previous frame
+            discard = (
+                params.reprojection_mode == REPROJECTION_MODE_DISCARD_HISTORY
+            )
+            base_k = 0 if discard else self.frame_id
             rays_l = []
             for s in range(spp):
                 for c in range(nc):
@@ -638,7 +650,7 @@ class Renderer:
                         fp, view, self._acc_chunks[c],
                         px_c[c], py_c[c], valid_c[c],
                         fp.sample_offset + jnp.uint32(s),
-                        jnp.uint32(self.frame_id + s),
+                        jnp.uint32(base_k + s),
                     )
                     rays_l.append(nr)
             self._fb_planes = None  # display resolve deferred to readback
@@ -687,6 +699,9 @@ class Renderer:
                     jnp.int32(spp),
                 )
             self._prev_depth = depth
+        elif params.reprojection_mode == REPROJECTION_MODE_DISCARD_HISTORY:
+            # each frame stands alone (postprocess/reprojection.h:11-18)
+            self.accum = new_accum
         else:
             # progressive history average (process_samples.comp:116-131)
             self.accum = resolve_mod.accumulate_history(

@@ -267,6 +267,10 @@ class IntegratorConfig(NamedTuple):
     alpha_test: bool = False  # any-hit alpha-cutout emulation
     two_level: bool = False  # BLAS/TLAS instanced traversal (ops/tlas.py)
     row_attrs: bool = False  # attribute tables are BVH-row-ordered (pallas)
+    enable_dof: bool = False  # thin-lens aperture sampling (RBO
+    # enable_raytraced_dof; perspective.rgen:100-109). Static because it
+    # switches the path-space dim map to the full camera (pathspace.h:
+    # DIM_APERTURE_X/Y=4/5, DIM_CAMERA_END 2 -> 6).
 
 
 class FrameParams(NamedTuple):
@@ -278,6 +282,8 @@ class FrameParams(NamedTuple):
     shot_offset: jnp.ndarray  # frame_offset randomization (uint32)
     pixel_spread: jnp.ndarray = jnp.float32(0.001)  # radians/px, for mip LOD
     bump_scale: jnp.ndarray = jnp.float32(1.0)  # SceneConfig.bump_scale
+    aperture_radius: jnp.ndarray = jnp.float32(0.0)  # thin-lens DoF
+    focus_distance: jnp.ndarray = jnp.float32(1.0)  # (render_params.glsl.h)
 
 
 def _dot(a, b):
@@ -720,7 +726,7 @@ def trace_paths(
         # with pathspace dims (pathspace.h): bounce block = 2 + 8b, light
         # dims first {sel:+0, pos:+2} then vertex dims {dir:+4, lobe:+6},
         # RR reusing the free-path slot {+7}
-        dim_base = jnp.int32(2) + jnp.int32(8) * bounce_i
+        dim_base = jnp.int32(DIM_CAMERA_END(cfg)) + jnp.int32(8) * bounce_i
         rv = cfg.rng_variant
         rng_state, pos_sample = pointsets.draw2t(rv, ds.rng, rng_state, dim_base + 2)
         rng_state, sel_sample = pointsets.draw2t(rv, ds.rng, rng_state, dim_base + 0)
@@ -884,6 +890,43 @@ def camera_rays_v(view: ViewBuffers, px, py, dims, j0, j1):
     return ro, rd
 
 
+def DIM_CAMERA_END(cfg: IntegratorConfig) -> int:
+    """Path-space camera dimension count (pathspace.h): the simplified
+    camera uses dims 0-1; thin-lens DoF switches to the full camera with
+    aperture at dims 4-5 (DIM_APERTURE_X/Y) and bounces from dim 6."""
+    return 6 if cfg.enable_dof else 2
+
+
+def camera_setup(ds: DeviceScene, cfg: IntegratorConfig, fp: FrameParams,
+                 view: ViewBuffers, px, py, dims, state):
+    """Pixel jitter draw + primary ray + optional thin-lens aperture
+    sampling (perspective.rgen:95-109). Returns (state, ro, rd)."""
+    state, (j0, j1) = pointsets.draw2t(
+        cfg.rng_variant, ds.rng, state, jnp.int32(0)
+    )
+    ro, rd = camera_rays_v(view, px, py, dims, j0, j1)
+    if not cfg.enable_dof:
+        return state, ro, rd
+    # thin lens: focus plane at focus_distance along the ray; offset the
+    # origin by a concentric disk sample scaled by aperture_radius in the
+    # normalized (du, dv) screen basis, re-aim at the focus point
+    state, (r0, r1) = pointsets.draw2t(
+        cfg.rng_variant, ds.rng, state, jnp.int32(4)
+    )
+    focus = ro + rd * fp.focus_distance
+    phi = (2.0 * np.pi) * r0
+    r = jnp.sqrt(r1) * fp.aperture_radius
+    lx, ly = jnp.cos(phi) * r, jnp.sin(phi) * r
+    du = view.cam_du / jnp.maximum(jnp.linalg.norm(view.cam_du), 1e-20)
+    dv = view.cam_dv / jnp.maximum(jnp.linalg.norm(view.cam_dv), 1e-20)
+    ro = Vec3(
+        ro.x + lx * du[0] + ly * dv[0],
+        ro.y + lx * du[1] + ly * dv[1],
+        ro.z + lx * du[2] + ly * dv[2],
+    )
+    return state, ro, v3.normalize(focus - ro)
+
+
 def camera_rays(view: ViewBuffers, px, py, dims, jitter):
     """Array wrapper: jitter (...,2); returns (..., 3) arrays."""
     ro, rd = camera_rays_v(view, px, py, dims, jitter[..., 0], jitter[..., 1])
@@ -975,10 +1018,7 @@ def render_tile(
         state = pointsets.make_state(
             cfg.rng_variant, sample_index, fp.shot_offset, px, py, width
         )
-        state, (j0, j1) = pointsets.draw2t(
-            cfg.rng_variant, ds.rng, state, jnp.int32(0)
-        )
-        ro, rd = camera_rays_v(view, px, py, dims, j0, j1)
+        state, ro, rd = camera_setup(ds, cfg, fp, view, px, py, dims, state)
         rgb, alpha, nrays = trace_paths(ds, cfg, fp, ro, rd, state, lane_mask=valid)
         sample = (rgb.x, rgb.y, rgb.z, alpha)
         nrays = nrays.sum()
@@ -1147,10 +1187,7 @@ def make_pass_fn(ds: DeviceScene, cfg: IntegratorConfig, width: int, height: int
         state = pointsets.make_state(
             cfg.rng_variant, sample_index, fp.shot_offset, px, py, width
         )
-        state, (j0, j1) = pointsets.draw2t(
-            cfg.rng_variant, ds.rng, state, jnp.int32(0)
-        )
-        ro, rd = camera_rays_v(view, px, py, dims, j0, j1)
+        state, ro, rd = camera_setup(ds, cfg, fp, view, px, py, dims, state)
         rgb, alpha, nrays = trace_paths(
             ds, cfg, fp, ro, rd, state, lane_mask=valid
         )
@@ -1179,10 +1216,7 @@ def make_ray_stats_fn(ds: DeviceScene, cfg: IntegratorConfig, width: int, height
         state = pointsets.make_state(
             cfg.rng_variant, sample_index, fp.shot_offset, px, py, width
         )
-        state, (j0, j1) = pointsets.draw2t(
-            cfg.rng_variant, ds.rng, state, jnp.int32(0)
-        )
-        ro, rd = camera_rays_v(view, px, py, dims, j0, j1)
+        state, ro, rd = camera_setup(ds, cfg, fp, view, px, py, dims, state)
         _, _, nrays = trace_paths(ds, cfg, fp, ro, rd, state, lane_mask=valid)
         return jnp.where(valid, nrays, 0)
 

@@ -1,22 +1,23 @@
 """Analytic sun + sky light.
 
-Plays the role of the reference's Hosek-Wilkie sky
+The reference's Hosek-Wilkie sky
 (rendering/lights/sky_model_arhosek/, wired in vulkan/render_sky.cpp:25-72
-and evaluated per-miss in vulkan/pt_megakernel.glsl:113-149). The spectral
-Hosek dataset is ~41k lines of fitted tables; this build uses the Preetham
-analytic model (Perez luminance/chromaticity functions) which has the same
-inputs (sun direction, turbidity, albedo) and the same runtime interface:
+and evaluated per-miss in vulkan/pt_megakernel.glsl:113-149):
 
-- host precompute -> small coefficient struct (`SkyParams`),
-- jittable `sky_radiance(params, dir)` for miss shading,
+- host precompute -> coefficient struct (`SkyParams`): Hosek RGB configs
+  + radiances cooked in models/sky_hosek.py (bit-exact vs the reference
+  C, see tests/test_sky_hosek.py) and the spectral solar-disc radiance
+  integration of render_sky.cpp:41-66,
+- jittable `sky_radiance(params, dir)` for miss shading — the
+  sky_model.glsl evaluation, preserved quirks included,
 - sun disk: constant radiance inside cos(0.53 deg / 2) cap
   (render_sky.cpp:33), NEE selection weight ``sun_radiance.w`` = 1 with no
   area lights else 0.5 (render_sky.cpp:67-71),
 - downward rays mirrored with the reference's "ocean" attenuation
   0.7*(1-|y|)^5 (pt_megakernel.glsl:118-122).
 
-Upgrading to a full Hosek port is tracked as a parity TODO; goldens are
-self-produced so images stay consistent either way.
+The Preetham (Perez) model is kept as the ``model="preetham"`` option
+(and as the fallback when the Hosek data file is absent).
 """
 
 from __future__ import annotations
@@ -43,6 +44,11 @@ class SkyParams(NamedTuple):
     # 4 gathers. 256x128 keeps banding below the quantization of 8-bit
     # displays for typical turbidities.
     sky_img: jnp.ndarray = jnp.zeros((1, 1, 3), jnp.float32)
+    # Hosek-Wilkie RGB state (SkyModelParams, gpu_params.glsl): configs[i]
+    # is a per-channel vec3; shape (9, 3) selects the Hosek evaluation
+    # statically, (1, 3) means Preetham
+    hosek_configs: jnp.ndarray = jnp.zeros((1, 3), jnp.float32)
+    hosek_radiances: jnp.ndarray = jnp.zeros((3,), jnp.float32)
 
 
 def _perez_coeffs(t: float) -> np.ndarray:
@@ -116,9 +122,18 @@ def _sun_radiance_rgb(sun_y: float, turbidity: float) -> np.ndarray:
 
 def build_sky(
     sun_dir, turbidity: float = 3.0, albedo=(0.2, 0.2, 0.2), has_area_lights: bool = False,
-    scale: float = 0.025,
+    scale: float = 0.025, model: str = "hosek",
 ) -> SkyParams:
-    """Host precompute (the update_sky_light analogue, render_sky.cpp:25-72)."""
+    """Host precompute (the update_sky_light analogue, render_sky.cpp:25-72).
+
+    ``model``: "hosek" (reference parity, default) or "preetham"."""
+    if model == "hosek":
+        from realtimepathtracingresearchframework_tpu.models import sky_hosek
+
+        if sky_hosek.hosek_data_available():
+            return _build_sky_hosek(
+                sun_dir, turbidity, albedo, has_area_lights, sky_hosek
+            )
     sun_dir = np.asarray(sun_dir, np.float64)
     sun_dir = sun_dir / np.linalg.norm(sun_dir)
     theta_s = np.arccos(np.clip(sun_dir[1], -1.0, 1.0))
@@ -147,6 +162,42 @@ def build_sky(
     # transcendentals) is FASTER than 4 table gathers, so the baked map is
     # opt-in (bake_sky_image) and the default stays analytic
     return params
+
+
+def _build_sky_hosek(sun_dir, turbidity, albedo, has_area_lights, sky_hosek) -> SkyParams:
+    """update_sky_light with the real Hosek-Wilkie model
+    (render_sky.cpp:25-72): RGB config/radiance cook with
+    elevation=sun_dir.y (the reference passes the cosine where the model
+    expects an angle — preserved), albedo averaged, spectral solar disc
+    integration for sun_radiance."""
+    sun_dir = np.asarray(sun_dir, np.float64)
+    sun_dir = sun_dir / np.linalg.norm(sun_dir)
+    alb = float(np.dot(np.asarray(albedo, np.float64), np.full(3, 1.0 / 3.0)))
+    configs, radiances = sky_hosek.rgb_state(
+        float(turbidity), alb, float(sun_dir[1])
+    )
+    sun_rgb = sky_hosek.sun_disc_radiance_rgb(
+        float(sun_dir[1]), float(turbidity), alb
+    )
+    if sun_rgb is not None:
+        w = 0.5 if has_area_lights else 1.0
+        sun_radiance = np.array([*sun_rgb, w], np.float64)
+    else:
+        sun_radiance = np.zeros(4)
+        if not has_area_lights:
+            sun_radiance[3] = 1.0
+    return SkyParams(
+        perez=jnp.zeros((3, 5), jnp.float32),
+        zenith=jnp.zeros((3,), jnp.float32),
+        sun_dir=jnp.asarray(sun_dir, jnp.float32),
+        sun_cos_angle=jnp.float32(
+            np.cos(np.radians(SUN_APPARENT_ANGLE_DEG) / 2.0)
+        ),
+        sun_radiance=jnp.asarray(sun_radiance, jnp.float32),
+        scale=jnp.float32(1.0),
+        hosek_configs=jnp.asarray(configs.T, jnp.float32),  # (9, 3)
+        hosek_radiances=jnp.asarray(radiances, jnp.float32),
+    )
 
 
 def bake_sky_image(params: SkyParams, height: int = 128) -> jnp.ndarray:
@@ -178,12 +229,37 @@ def _perez(coeffs, cos_theta, gamma, cos_gamma):
     )
 
 
+def _hosek_channel(params: SkyParams, ch: int, cos_theta, gamma, cos_gamma):
+    """skymodel_radiance for one sRGB channel (sky_model.glsl:40-61),
+    including its ``gamma = acos(cosTheta)`` in the exp term."""
+    c = [params.hosek_configs[i, ch] for i in range(9)]
+    exp_m = jnp.exp(c[4] * gamma)
+    ray_m = cos_gamma * cos_gamma
+    mie_m = (1.0 + cos_gamma * cos_gamma) / jnp.power(
+        jnp.maximum(1.0 + c[8] * c[8] - 2.0 * c[8] * cos_gamma, 1e-12), 1.5
+    )
+    zenith = jnp.sqrt(cos_theta)
+    coeffs = (1.0 + c[0] * jnp.exp(c[1] / (cos_theta + 0.01))) * (
+        c[2] + c[3] * exp_m + c[5] * ray_m + c[6] * mie_m + c[7] * zenith
+    )
+    return coeffs * params.hosek_radiances[ch] * 0.01
+
+
+def _is_hosek(params: SkyParams) -> bool:
+    return params.hosek_configs.shape[0] == 9
+
+
 def _sky_radiance_analytic(params: SkyParams, d):
     """Atmosphere radiance for direction(s) d (..., 3), linear sRGB.
 
     Downward directions are mirrored with the ocean attenuation
     (pt_megakernel.glsl:118-122). Does NOT include the sun disk.
     """
+    if _is_hosek(params):
+        from realtimepathtracingresearchframework_tpu.ops import vec3 as v3
+
+        rgb = _sky_radiance_analytic_v(params, v3.from_array(d))
+        return v3.to_array(rgb)
     y = d[..., 1]
     ocean = jnp.where(
         y <= 0.0, 0.7 * jnp.maximum(1.0 - jnp.abs(y), 0.0) ** 5, 1.0
@@ -246,6 +322,16 @@ def _sky_radiance_analytic_v(params: SkyParams, d):
     cos_theta = jnp.clip(my, 0.0, 1.0)
     sd = params.sun_dir
     cos_gamma = jnp.clip(mx * sd[0] + my * sd[1] + mz * sd[2], -1.0, 1.0)
+
+    if _is_hosek(params):
+        # sky_model.glsl:46-48: gamma = acos(cosTheta)
+        h_gamma = jnp.arccos(cos_theta)
+        r = _hosek_channel(params, 0, cos_theta, h_gamma, cos_gamma)
+        g = _hosek_channel(params, 1, cos_theta, h_gamma, cos_gamma)
+        b = _hosek_channel(params, 2, cos_theta, h_gamma, cos_gamma)
+        s = params.scale * ocean
+        return Vec3(r * s, g * s, b * s)
+
     gamma = jnp.arccos(cos_gamma)
     theta_s = jnp.arccos(jnp.clip(sd[1], 0.0, 1.0))
     cos_theta_s = jnp.cos(theta_s)

@@ -29,7 +29,9 @@ class CompareResult:
     passed: bool
 
 
-def _load(path: str) -> np.ndarray:
+def _load(path) -> np.ndarray:
+    if isinstance(path, np.ndarray):
+        return path
     if path.endswith(".pfm"):
         return read_pfm(path)
     if path.endswith(".exr"):
@@ -56,7 +58,7 @@ def compare_images(
     rel = np.abs(test - ref) / denom
     failed = rel > threshold
 
-    if write_error_image:
+    if write_error_image and isinstance(test_path, str):
         err_img = np.zeros((*rel.shape[:2], 3), np.float32)
         err_img[..., :nchan] = rel.astype(np.float32)
         base, _ = os.path.splitext(test_path)

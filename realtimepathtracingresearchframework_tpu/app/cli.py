@@ -237,6 +237,21 @@ def main(argv=None) -> int:
         return 0
 
     if args.profiling:
+        # register CSV-source extensions (app.cpp:223-229): the
+        # profiling-tools extension adds 32-frame-window marker columns
+        from realtimepathtracingresearchframework_tpu.app.benchmark import (
+            BenchmarkInfo,
+        )
+        from realtimepathtracingresearchframework_tpu.backend.extensions import (
+            RenderProcessingStep,
+        )
+
+        bi = BenchmarkInfo()
+        prof_ext = renderer.get_processing_step(
+            RenderProcessingStep.PROFILING_TOOLS
+        )
+        if prof_ext is not None:
+            bi.register_source(prof_ext)
         if args.frame or args.config:
             # keyframed replay from the loaded ini timeline (SURVEY 3.4)
             modes.run_profiling_keyframed(
@@ -247,6 +262,7 @@ def main(argv=None) -> int:
                 fps=args.profiling_fps,
                 save_keyframe_images=args.profiling_img,
                 fmt=fmt,
+                benchmark=bi,
             )
             return 0
         # no timeline given: synthesize a small camera orbit
@@ -268,6 +284,7 @@ def main(argv=None) -> int:
             keyframe_times=times,
             save_keyframe_images=args.profiling_img,
             fmt=fmt,
+            benchmark=bi,
         )
         return 0
 

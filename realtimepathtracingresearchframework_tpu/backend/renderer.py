@@ -33,6 +33,7 @@ from realtimepathtracingresearchframework_tpu.backend.params import (
     LIGHT_SAMPLING_VARIANT_RIS,
     REPROJECTION_MODE_ACCUMULATE,
     REPROJECTION_MODE_DISCARD_HISTORY,
+    RNG_VARIANT_UNIFORM,
     RenderBackendOptions,
     RenderParams,
     SceneConfig,
@@ -170,6 +171,60 @@ class Renderer:
         self._use_two_level = False
         self._tlas_buffers = None
         self.active_variant = VARIANT_MEGAKERNEL
+        # RenderExtension framework (librender/render_backend.h:126-154):
+        # pointsets/binned-lights attach by default like run_app's
+        # create_default_extensions call (app.cpp); processing steps
+        # (TAA/profiling-tools/...) are created on demand via the factory.
+        from realtimepathtracingresearchframework_tpu.backend import (
+            extensions as ext_mod,
+        )
+
+        self._ext_mod = ext_mod
+        self.extensions: List = ext_mod.create_default_extensions(self)
+        self._processing_steps: Dict = {}
+        self._aovs = None
+        self._last_config = None
+        self._last_upscale = 1
+        self._frame_id_at_render = 0
+
+    # ------------------------------------------------------------------
+    # RenderExtension framework (render_vulkan_extensions.cpp:16-84)
+    # ------------------------------------------------------------------
+
+    def create_default_extensions(self) -> List:
+        return self._ext_mod.create_default_extensions(self)
+
+    def create_processing_step(self, step):
+        return self._ext_mod.create_processing_step(self, step)
+
+    def get_processing_step(self, step):
+        """Cached processing-step extension (created + initialized once)."""
+        ext = self._processing_steps.get(step)
+        if ext is None:
+            ext = self.create_processing_step(step)
+            if ext is not None:
+                ext.initialize(self.fb_width, self.fb_height)
+            self._processing_steps[step] = ext
+        return ext
+
+    def active_extensions(self) -> List:
+        return [
+            e for e in self.extensions if e.is_active_for(self.options)
+        ]
+
+    # -- state the processing extensions read (render target surround) ---
+
+    def last_aovs(self):
+        """AOVs for the frame just rendered, produced on demand."""
+        if self._aovs is None and self._last_config is not None:
+            self._aovs = self.render_aovs(self._last_config)
+        return self._aovs
+
+    def frame_id_at_last_render(self) -> int:
+        return self._frame_id_at_render
+
+    def last_upscale(self) -> int:
+        return self._last_upscale
 
     # ------------------------------------------------------------------
     # RenderBackend interface
@@ -215,6 +270,12 @@ class Renderer:
         self.accum = jnp.zeros((self.fb_height, self.fb_width, 4), jnp.float32)
         self.framebuffer = jnp.zeros_like(self._accum_img)
         self.frame_id = 0
+        for ext in self.extensions:
+            ext.initialize(self.fb_width, self.fb_height)
+            ext.last_initialized_generation = self._device_scene_revision
+        for ext in self._processing_steps.values():
+            if ext is not None:
+                ext.initialize(self.fb_width, self.fb_height)
 
     # -- accumulation/framebuffer state (planar fast path vs image) -------
 
@@ -294,6 +355,15 @@ class Renderer:
         ok, adjusted = self._validate_options(options)
         if not ok:
             warning("invalid render options; auto-adjusted to supported values")
+        # extension option negotiation (app.cpp:391-396): each active
+        # extension may clamp further before the apply
+        for ext in self.extensions:
+            if ext.is_active_for(adjusted):
+                norm = ext.normalize_options(adjusted)
+                if norm != adjusted:
+                    adjusted, ok = norm, False
+                if not ext.configure_for(adjusted):
+                    return False
         if adjusted != self.options:
             last_good = self.options
             try:
@@ -312,6 +382,9 @@ class Renderer:
         with ProfilingScope("set_scene"):
             self.scene = scene
             self._rebuild_scene(scene_config)
+            # shell.cpp:97-126: extensions observe the scene after upload
+            for ext in self.extensions:
+                ext.update_scene_from_backend(scene)
 
     def _select_traversal(self, num_tris: int) -> bool:
         """Pallas kernel on TPU-like platforms when the scene fits on-core
@@ -455,14 +528,16 @@ class Renderer:
         render_sky.cpp:25-72)."""
         scene = self.scene
         tl = lights_mod.collect_emitters(self._flat, self._mat_table)
-        use_bins = (
-            self.options.light_sampling_variant == LIGHT_SAMPLING_VARIANT_RIS
-            and tl.count > 0
-        )
-        if use_bins:
-            tl = lights_mod.equalize_emitter_bins(
-                tl, self.options.light_sampling_bucket_count
-            )
+
+        # extensions contribute their device arrays here — the XLA
+        # adaptation of the bind-point uploads in render_binned_lights.cpp
+        # :68-87 / render_bn.cpp:77-122 (see backend/extensions.py)
+        payload = {"emitters": tl, "use_bins": False}
+        for ext in self.active_extensions():
+            ext.contribute_scene_payload(payload, scene_config)
+        tl = payload["emitters"]
+        use_bins = bool(payload["use_bins"]) and tl.count > 0
+
         self._num_lights = tl.count
         if tl.count == 0:
             tl = lights_mod.empty_lights()
@@ -497,7 +572,11 @@ class Renderer:
             lights=lights,
             sky=sky,
             atlas=self._atlas,
-            rng=pointsets.build_rng_buffers(self.options.rng_variant),
+            # table-based variants get their buffers from the pointset
+            # extensions; the LCG fallback needs no tables
+            rng=payload.get(
+                "rng", pointsets.build_rng_buffers(RNG_VARIANT_UNIFORM)
+            ),
             tlas=self._tlas_buffers if getattr(self, "_use_two_level", False) else None,
             attr_packed=pack_attr_table(self._tris, self._shading),
             mat_packed=pack_material_table(self._materials),
@@ -578,6 +657,13 @@ class Renderer:
         cfg = self._integrator_config(params)
         if self.active_variant == VARIANT_WAVEFRONT:
             cfg = cfg._replace(wavefront=True)
+
+        self._aovs = None  # per-frame AOV cache for processing extensions
+        self._last_config = config
+        self._last_upscale = int(params.render_upscale_factor)
+        self._frame_id_at_render = self.frame_id
+        for ext in self.active_extensions():
+            ext.preprocess()
 
         t0 = time.perf_counter()
         # host-dispatched chunk passes: each pass runs as its own device
@@ -681,7 +767,7 @@ class Renderer:
             # with a bounded window (postprocess/reprojection.glsl)
             from realtimepathtracingresearchframework_tpu.ops import taa as taa_mod
 
-            aovs = self.render_aovs(config)
+            aovs = self._aovs = self.render_aovs(config)
             prev_accum = self.accum
             prev_depth = getattr(self, "_prev_depth", None)
             depth = aovs.normal_depth[..., 3]
@@ -715,21 +801,15 @@ class Renderer:
         )
 
         if self.options.enable_taa:
-            # TAA post pass (vulkan/processing/process_taa.comp)
-            from realtimepathtracingresearchframework_tpu.ops import taa as taa_mod
+            # TAA post pass via the processing-step extension
+            # (vulkan/processing/process_taa.comp)
+            from realtimepathtracingresearchframework_tpu.backend.extensions import (
+                RenderProcessingStep,
+            )
 
-            aovs = getattr(self, "_aovs", None)
-            if aovs is None or params.reprojection_mode != REPROJECTION_MODE_ACCUMULATE:
-                aovs = self.render_aovs(config)
-            hist = getattr(self, "_taa_history", None)
-            if hist is None or self.frame_id == 0:
-                hist = self.framebuffer
-            up = int(params.render_upscale_factor)
-            motion = aovs.motion_jitter[..., :2]
-            if up > 1:
-                motion = jnp.repeat(jnp.repeat(motion, up, axis=0), up, axis=1)
-            self.framebuffer = taa_mod.taa_resolve(self.framebuffer, hist, motion)
-            self._taa_history = self.framebuffer
+            taa_ext = self.get_processing_step(RenderProcessingStep.TAA)
+            if taa_ext is not None and taa_ext.is_active_for(self.options):
+                taa_ext.process()
 
         jax.block_until_ready(self.framebuffer)
         dt_ms = (time.perf_counter() - t0) * 1e3

@@ -288,7 +288,23 @@ def main(argv=None) -> int:
         )
         return 0
 
-    # default headless single-shot: render batch and save once
+    if not args.disable_ui:
+        # default mode: interactive viewer (main.cpp run_app loop; the
+        # display is a localhost web canvas on headless TPU hosts)
+        from realtimepathtracingresearchframework_tpu.app.viewer import (
+            InteractiveViewer,
+        )
+
+        app_ini = os.path.expanduser("~/.rptr_tpu.ini")
+        viewer = InteractiveViewer(
+            renderer, bundle, ims,
+            port=int(os.environ.get("RPTR_VIEWER_PORT", "8421")),
+            app_ini=app_ini,
+        )
+        viewer.run()
+        return 0
+
+    # --disable-ui headless single-shot: render batch and save once
     stats = renderer.render(config)
     info(
         "rendered %dx%d @ %d spp in %.2f ms (%.2f Mrays/s)",

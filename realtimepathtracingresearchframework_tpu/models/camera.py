@@ -81,3 +81,24 @@ class OrientedCamera:
         d = rot(dirn, up, yaw_rad)
         d = rot(d, right, pitch_rad)
         self.dir = _normalize(d)
+
+    def move_local(self, axis, dt: float, speed: float = 1.0):
+        """camera.move_local(axis, dt) — axis in camera space with -z
+        forward, +x right, +y up (camera_state.h:67-84)."""
+        ax = np.asarray(axis, np.float64)
+        self.move(
+            forward=-ax[2] * dt * speed,
+            right=ax[0] * dt * speed,
+            upward=ax[1] * dt * speed,
+        )
+
+    def pan(self, delta, speed: float = 1.0):
+        """camera.pan(mouse_delta): translate in the view plane
+        (camera_state.h:58)."""
+        dx, dy = float(delta[0]), float(delta[1])
+        self.move(right=-dx * speed, upward=-dy * speed)
+
+    def zoom(self, amount: float, speed: float = 1.0):
+        """camera.zoom(wheel * 0.1) — dolly along the view direction
+        (camera_state.h:62-64)."""
+        self.move(forward=float(amount) * speed)

@@ -74,12 +74,15 @@ def main() -> int:
     t0 = time.perf_counter()
     for _ in range(frames):
         r.render(config)
-        rays.append(r._last_rays)  # device scalar; summed after sync
+        rays.append(r._last_rays)  # device scalars; summed after sync
     hard_sync()
     total_s = time.perf_counter() - t0
 
     p50_ms = total_s / frames * 1000.0
-    total_rays = sum(int(x) for x in rays)
+    total_rays = 0
+    for fr in rays:
+        fr = fr if isinstance(fr, list) else [fr]
+        total_rays += sum(int(x) for x in fr)
     mrays = (total_rays / total_s) / 1e6 if total_s > 0 else 0.0
     fps = 1000.0 / p50_ms if p50_ms > 0 else 0.0
 

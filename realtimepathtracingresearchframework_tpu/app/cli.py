@@ -305,7 +305,8 @@ def main(argv=None) -> int:
         return 0
 
     # --disable-ui headless single-shot: render batch and save once
-    stats = renderer.render(config)
+    renderer.render(config)
+    stats = renderer.stats(force_rays=True)
     info(
         "rendered %dx%d @ %d spp in %.2f ms (%.2f Mrays/s)",
         args.img[0],

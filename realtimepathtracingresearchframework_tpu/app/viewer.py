@@ -251,9 +251,10 @@ class InteractiveViewer:
                 dt, last_t = now - last_t, now
                 if self._apply_input(min(dt, 0.1)):
                     r.reset_accumulation()  # app.cpp:312-336
-                stats = r.render(self.bundle.frame_config())
+                r.render(self.bundle.frame_config())
                 frames += 1
                 fb = r.readback_framebuffer()
+                stats = r.stats(force_rays=True)
                 png = _encode_png(fb[..., :3])
                 with self.state.lock:
                     self.state.frame_png = png

@@ -747,7 +747,7 @@ class Renderer:
             self._planar = True
             jax.block_until_ready(self._acc_chunks[-1])
             dt_ms = (time.perf_counter() - t0) * 1e3
-            self._last_rays = jnp.stack(rays_l).sum()
+            self._last_rays = rays_l  # device scalars; summed lazily
             self._last_render_ms = dt_ms
             self.timers.add(ProfilingMarker.RENDERING, dt_ms)
             self.timers.end_frame()
@@ -937,10 +937,24 @@ class Renderer:
             self.accum, jnp.float32(0.0), tonemap_mode=0, upscale=1
         )
 
-    def stats(self) -> RenderStats:
+    def last_frame_rays(self) -> int:
+        """Total rays traced by the last frame. BLOCKS on the device
+        counter — call only outside the hot frame loop (the counter is
+        kept device-side so frames stay in flight)."""
+        lr = self._last_rays
+        if isinstance(lr, list):
+            return sum(int(x) for x in lr)
+        return int(lr)
+
+    def stats(self, force_rays: bool = False) -> RenderStats:
         """MemoryStatistics analogue (vulkan_utils.h:94-104,
         render_vulkan.cpp:2229-2243): current/peak/total device bytes from
-        the runtime allocator where the platform exposes them."""
+        the runtime allocator where the platform exposes them.
+
+        ``rays_per_second`` is -1 unless ``force_rays`` (matching the
+        reference default, render_vulkan.cpp:2234): converting the
+        device-side ray counter is a blocking readback that would
+        serialize the frame pipeline."""
         mem = peak = total = 0
         try:
             stats = self.device.memory_stats()
@@ -951,8 +965,8 @@ class Renderer:
         except Exception:
             pass
         rps = (
-            int(self._last_rays) / (self._last_render_ms * 1e-3)
-            if self._last_render_ms > 0
+            self.last_frame_rays() / (self._last_render_ms * 1e-3)
+            if force_rays and self._last_render_ms > 0
             else -1.0
         )
         return RenderStats(

@@ -450,7 +450,33 @@ def _sample_direct_light(
     sel_sample,
     total_t,
 ) -> Vec3:
-    """sample_direct_light (mc/nee.glsl:32-90) + visibility ray. SoA:
+    """sample_direct_light (mc/nee.glsl:32-90) + immediate visibility ray
+    (the megakernel resolution of the candidate)."""
+    cand = _nee_candidate(
+        ds, cfg, hit_p, hit_n, hit_gn, mat, w_o, dir_sample, sel_sample,
+        total_t,
+    )
+    blocked = occluded_alpha(
+        ds, cfg, hit_p, cand.dir, t_min=cand.eps, t_max=cand.shadow_tmax
+    )
+    visible = (cand.traced & ~blocked) | cand.uncond
+    zero3 = v3.splat(jnp.zeros_like(cand.eps))
+    return v3.where(visible, cand.contrib, zero3)
+
+
+def _nee_candidate(
+    ds: DeviceScene,
+    cfg: IntegratorConfig,
+    hit_p: Vec3,
+    hit_n: Vec3,
+    hit_gn: Vec3,
+    mat: GLTFMaterial,
+    w_o: Vec3,
+    dir_sample,
+    sel_sample,
+    total_t,
+) -> "NEECandidate":
+    """sample_direct_light minus the visibility trace. SoA:
     positions/normals are Vec3, samples are (u0, u1) tuples."""
     sun_w = ds.sky.sun_radiance[3]
 
@@ -511,17 +537,34 @@ def _sample_direct_light(
     seg_ok = light_dist - 2.0 * eps > 0.0
     shadow_tmax = jnp.maximum(light_dist - eps, eps)
     shadow_tmax_eff = jnp.where(candidate & seg_ok, shadow_tmax, eps)
-    blocked = occluded_alpha(
-        ds, cfg, hit_p, light_dir, t_min=eps, t_max=shadow_tmax_eff
-    )
-    visible = candidate & (~blocked | ~seg_ok)
 
     bsdf_pdf = gltf_wpdf_v(mat, hit_n, w_o, light_dir)
     f = gltf_bsdf_v(mat, hit_n, w_o, light_dir)
     w = nee_mod.nee_mis_heuristic(1.0, mis_pdf, 1.0, bsdf_pdf)
     contrib = illum * f * (w * jnp.abs(v3.dot(light_dir, hit_n)))
-    ok = visible & (bsdf_pdf >= 0.0)
-    return v3.where(ok, contrib, v3.splat(jnp.zeros_like(w)))
+    base_ok = candidate & (bsdf_pdf >= 0.0)
+    zero3 = v3.splat(jnp.zeros_like(w))
+    return NEECandidate(
+        contrib=v3.where(base_ok, contrib, zero3),
+        dir=light_dir,
+        eps=eps,
+        shadow_tmax=shadow_tmax_eff,
+        traced=base_ok & seg_ok,  # apply iff the shadow ray is clear
+        uncond=base_ok & ~seg_ok,  # degenerate segment: always visible
+    )
+
+
+class NEECandidate(NamedTuple):
+    """An unresolved NEE sample: contribution + its occlusion ray. The
+    megakernel resolves it immediately; the wavefront defers the ray to
+    the next bounce's merged intersect dispatch."""
+
+    contrib: Vec3  # MIS-weighted, NOT throughput-scaled
+    dir: Vec3
+    eps: jnp.ndarray  # shadow t_min
+    shadow_tmax: jnp.ndarray
+    traced: jnp.ndarray  # bool: needs the visibility ray
+    uncond: jnp.ndarray  # bool: visible without tracing
 
 
 def trace_paths(
@@ -554,16 +597,69 @@ def trace_paths(
     num_bins = max(cfg.num_lights // max(cfg.light_bin_size, 1), 1)
     # carry layout: 0 ro, 1 rd, 2 t_min, 3 illum, 4 throughput, 5 active,
     # 6 prev_pdf, 7 bounce_count, 8 total_t, 9 rng_state, 10 rays
+    # [+ 11 pending NEE queue in wavefront mode]
     _ACTIVE = 5
+    zero_n = jnp.zeros((n,), jnp.float32)
+    false_n = jnp.zeros((n,), bool)
+    # pending NEE queue (wavefront): only candidates that NEED a
+    # visibility ray are deferred — degenerate-segment (uncond) ones are
+    # applied at scatter time, and the traced flag is folded into the
+    # tmax sign-free encoding (tmax <= tmin means dead). 8 carry arrays.
+    empty_pend = (
+        Vec3(zero_n, zero_n + 1.0, zero_n),  # shadow dir (unit dummy)
+        zero_n,  # shadow t_min (candidate eps)
+        zero_n,  # shadow tmax (0 = dead/no candidate)
+        Vec3(zero_n, zero_n, zero_n),  # throughput-scaled contribution
+        false_n,  # traced: pending visibility ray for this lane
+    )
 
     def visit_hit(carry):
         """Traverse + hit attributes + emitter MIS; shared by body/epilogue.
-        Returns (carry w/ miss handled, hit shading context)."""
-        (ro, rd, t_min, illum, throughput, active, prev_pdf, bounce_count,
-         total_t, rng_state, rays) = carry
+        Returns (carry w/ miss handled, hit shading context).
+
+        Wavefront mode (cfg.wavefront): the bounce's closest-hit queue and
+        the PREVIOUS bounce's NEE occlusion queue go to the device as ONE
+        merged intersect dispatch (closest_and_occluded_pallas) — the
+        stream-compacted two-queue structure of the north-star wavefront
+        design expressed TPU-natively: block-aligned queue halves in a
+        single launch instead of two kernel launches per bounce. The
+        deferred NEE contribution is applied here, before this bounce's
+        sky/emitter terms, preserving the megakernel's accumulation
+        order bit-exactly."""
+        if cfg.wavefront:
+            (ro, rd, t_min, illum, throughput, active, prev_pdf,
+             bounce_count, total_t, rng_state, rays, pend) = carry
+        else:
+            (ro, rd, t_min, illum, throughput, active, prev_pdf,
+             bounce_count, total_t, rng_state, rays) = carry
         rays = rays + active.astype(rays.dtype)  # per-lane ray counter
         tmax_eff = jnp.where(active, T_MAX, 0.0)
-        if cfg.two_level:
+        if cfg.wavefront:
+            nd, ntmin, ntmax, ncontrib, ntraced = pend
+            ntmax_eff = jnp.where(ntraced, ntmax, 0.0)
+            if cfg.use_pallas and not (cfg.alpha_test and cfg.has_textures):
+                hit, blocked = traverse_pallas.closest_and_occluded_pallas(
+                    ds.bvh,
+                    (*ro, *rd), t_min, tmax_eff,
+                    (*ro, *nd), ntmin, ntmax_eff,
+                    map_tri=not cfg.row_attrs,
+                )
+            else:
+                # XLA fallback / alpha-test / two-level paths: same
+                # deferred structure, separate traversals (bit-identical)
+                if cfg.two_level:
+                    hit = tlas_mod.closest_hit_two_level(
+                        ds.tlas, v3.to_array(ro), v3.to_array(rd),
+                        t_min=t_min, t_max=tmax_eff,
+                    )
+                else:
+                    hit = closest_hit_alpha(ds, cfg, ro, rd, t_min, tmax_eff)
+                blocked = occluded_alpha(
+                    ds, cfg, ro, nd, t_min=ntmin, t_max=ntmax_eff
+                )
+            illum = v3.where(ntraced & ~blocked, illum + ncontrib, illum)
+            pend = empty_pend
+        elif cfg.two_level:
             hit = tlas_mod.closest_hit_two_level(
                 ds.tlas, v3.to_array(ro), v3.to_array(rd),
                 t_min=t_min, t_max=tmax_eff,
@@ -712,14 +808,20 @@ def trace_paths(
 
         carry = (ro, rd, t_min, illum, throughput, active, prev_pdf,
                  bounce_count, total_t, rng_state, rays)
+        if cfg.wavefront:
+            carry = carry + (pend,)
         ctx = (p, n_sh, gn, mat, w_o)
         return carry, ctx
 
     def scatter_tail(args):
         """NEE + BSDF sample + RR — skipped on the final bounce."""
         carry, ctx, bounce_i = args
-        (ro, rd, t_min, illum, throughput, active, prev_pdf, bounce_count,
-         total_t, rng_state, rays) = carry
+        if cfg.wavefront:
+            (ro, rd, t_min, illum, throughput, active, prev_pdf,
+             bounce_count, total_t, rng_state, rays, pend) = carry
+        else:
+            (ro, rd, t_min, illum, throughput, active, prev_pdf,
+             bounce_count, total_t, rng_state, rays) = carry
         p, n_sh, gn, mat, w_o = ctx
 
         # ---- RNG draws in reference order (shade_base_material.glsl:60-84)
@@ -735,10 +837,31 @@ def trace_paths(
 
         # ---- NEE (one shadow ray per active lane)
         rays = rays + active.astype(rays.dtype)
-        nee_contrib = _sample_direct_light(
-            ds, cfg, p, n_sh, gn, mat, w_o, pos_sample, sel_sample, total_t
-        )
-        illum = v3.where(active, illum + throughput * nee_contrib, illum)
+        if cfg.wavefront:
+            # wavefront: queue the candidate's occlusion ray for the next
+            # bounce's merged intersect dispatch (resolved in visit_hit);
+            # degenerate-segment candidates are visible without tracing
+            # and apply right here (per-lane it is one or the other, so
+            # the megakernel's accumulation order is preserved)
+            cand = _nee_candidate(
+                ds, cfg, p, n_sh, gn, mat, w_o, pos_sample, sel_sample,
+                total_t,
+            )
+            scaled = throughput * cand.contrib
+            illum = v3.where(cand.uncond & active, illum + scaled, illum)
+            pend = (
+                cand.dir,
+                cand.eps,
+                cand.shadow_tmax,
+                scaled,
+                cand.traced & active,
+            )
+        else:
+            nee_contrib = _sample_direct_light(
+                ds, cfg, p, n_sh, gn, mat, w_o, pos_sample, sel_sample,
+                total_t,
+            )
+            illum = v3.where(active, illum + throughput * nee_contrib, illum)
 
         # glossy-only debug mode (shade_base_material.glsl:69-70)
         glossy_cut = (fp.glossy_only_mode != 0) & ~(
@@ -780,24 +903,14 @@ def trace_paths(
         )
         active = active & (~do_rr | survive)
 
-        return (ro, rd, t_min, illum, throughput, active, prev_pdf,
-                bounce_count, total_t, rng_state, rays)
-
-    def compact(carry, slot):
-        """Wavefront queue compaction: stable-partition live rays to the
-        queue front so terminated lanes form whole dead packets (which the
-        packet traversal skips in one step). This is the stream compaction
-        of the north-star wavefront design; a permutation, so per-ray
-        results are bit-identical to the megakernel ordering."""
-        active = carry[_ACTIVE]
-        perm = jnp.argsort(~active, stable=True)
-        carry = jax.tree.map(lambda a: a[perm], carry)
-        return carry, slot[perm]
+        out = (ro, rd, t_min, illum, throughput, active, prev_pdf,
+               bounce_count, total_t, rng_state, rays)
+        if cfg.wavefront:
+            out = out + (pend,)
+        return out
 
     def bounce_body(i, carry_slot):
         carry, slot = carry_slot
-        if cfg.wavefront:
-            carry, slot = compact(carry, slot)
 
         def live_body(carry):
             carry, ctx = visit_hit(carry)
@@ -817,12 +930,13 @@ def trace_paths(
             return carry
 
         # whole-wave early out: once every lane is dead (RR/absorption/sky)
-        # the remaining bounces are skipped in one scalar branch — the
-        # fixed-shape analogue of the reference's per-thread loop break
-        # (pt_megakernel.glsl:445-449)
-        carry = jax.lax.cond(
-            jnp.any(carry[_ACTIVE]), live_body, lambda c: c, carry
-        )
+        # AND no NEE occlusion rays are pending, the remaining bounces are
+        # skipped in one scalar branch — the fixed-shape analogue of the
+        # reference's per-thread loop break (pt_megakernel.glsl:445-449)
+        live = jnp.any(carry[_ACTIVE])
+        if cfg.wavefront:
+            live = live | jnp.any(carry[11][4])
+        carry = jax.lax.cond(live, live_body, lambda c: c, carry)
         return carry, slot
 
     active0 = (
@@ -843,6 +957,8 @@ def trace_paths(
         rng_state,
         jnp.zeros((n,), jnp.int32),  # per-lane rays traced
     )
+    if cfg.wavefront:
+        carry = carry + (empty_pend,)
     slot0 = jnp.arange(n, dtype=jnp.int32)
 
     if cfg.unroll:
@@ -855,16 +971,30 @@ def trace_paths(
             0, cfg.max_path_depth, bounce_body, (carry, slot0)
         )
 
-    illum = carry[3]
-    bounce_count = carry[7]
-    rays_traced = carry[10]
-    alpha = jnp.where(bounce_count == 0, 0.0, 1.0)
     if cfg.wavefront:
-        # un-permute back to ray order
-        inv = jnp.zeros((n,), jnp.int32).at[slot].set(jnp.arange(n, dtype=jnp.int32))
-        illum = jax.tree.map(lambda a: a[inv], illum)
-        alpha = alpha[inv]
-        rays_traced = rays_traced[inv]
+        # flush: the last bounce may have queued NEE occlusion rays that
+        # no further visit_hit resolved (only reachable when the loop ran
+        # a scatter_tail on its final iteration, i.e. never with the
+        # standard depth schedule, but kept for safety — a scalar cond
+        # skips the dispatch entirely when the queue is empty)
+        (ro_f, rd_f, t_min_f, illum, throughput_f, active_f, prev_pdf_f,
+         bc_f, tt_f, rng_f, rays_traced, pend) = carry
+        nd, ntmin, ntmax, ncontrib, ntraced = pend
+
+        def flush(illum):
+            ntmax_eff = jnp.where(ntraced, ntmax, 0.0)
+            blocked = occluded_alpha(
+                ds, cfg, ro_f, nd, t_min=ntmin, t_max=ntmax_eff
+            )
+            return v3.where(ntraced & ~blocked, illum + ncontrib, illum)
+
+        illum = jax.lax.cond(jnp.any(ntraced), flush, lambda x: x, illum)
+        bounce_count = bc_f
+    else:
+        illum = carry[3]
+        bounce_count = carry[7]
+        rays_traced = carry[10]
+    alpha = jnp.where(bounce_count == 0, 0.0, 1.0)
     return illum, alpha, rays_traced
 
 

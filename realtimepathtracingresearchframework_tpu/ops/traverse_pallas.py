@@ -92,7 +92,7 @@ def pack_for_pallas(tb: ThreadedBVH) -> PallasBVHBuffers:
 
 def _kernel(nodes_ref, tris_ref, rays_ref,
             out_ref, *, num_nodes: int, any_hit: bool,
-            block: int):
+            block: int, shadow_from: int = -1):
     # Rays arrive as ONE (8, B) operand (rows = rox..tmax). A single packed
     # operand means XLA materializes the ray data with a single producer
     # fusion: with eight separate operands, XLA re-ran the (expensive,
@@ -118,10 +118,17 @@ def _kernel(nodes_ref, tris_ref, rays_ref,
 
     ix, iy, iz = inv(rdx), inv(rdy), inv(rdz)
 
+    # merged launch (closest_and_occluded_pallas): grid blocks >=
+    # shadow_from hold occlusion rays, which may stop once every lane has
+    # found SOME hit (the any-hit early exit, per-block in one launch)
+    is_shadow = pl.program_id(0) >= shadow_from if shadow_from >= 0 else None
+
     def cond(c):
         cur = c[0]
         if any_hit:
             return (cur < num_nodes) & (c[5] < b)
+        if is_shadow is not None:
+            return (cur < num_nodes) & (~is_shadow | (c[5] < b))
         return cur < num_nodes
 
     def body(c):
@@ -216,8 +223,12 @@ def _kernel(nodes_ref, tris_ref, rays_ref,
             (t_best, best_row, best_u, best_v),
         )
         cap = jnp.max(jnp.minimum(t_best, tmax))
-        if any_hit:
-            nhit = jnp.sum((best_row >= 0).astype(jnp.int32))
+        if any_hit or shadow_from >= 0:
+            # resolved = hit found OR empty segment (can never hit): the
+            # early exit fires when every lane's outcome is decided
+            nhit = jnp.sum(
+                ((best_row >= 0) | (tmax <= tmin)).astype(jnp.int32)
+            )
 
         nxt = jnp.where(any_live & ~is_leaf, cur + 1, skip)
         return (nxt, t_best, best_row, best_u, best_v, nhit, cap)
@@ -245,7 +256,8 @@ def _kernel(nodes_ref, tris_ref, rays_ref,
 
 
 def _kernel_lane(nodes_ref, tris_ref, rays_ref,
-                 out_ref, *, num_nodes: int, any_hit: bool, block: int):
+                 out_ref, *, num_nodes: int, any_hit: bool, block: int,
+                 shadow_from: int = -1):
     """Large-scene variant: triangles lane-major (16, Rp) — the compact
     VMEM layout (a (Rp,16) table pads its 16-wide minor dim to 128 lanes
     in VMEM: 8x waste, OOM beyond ~8k rows). Rays arrive SUBLANE-major
@@ -271,10 +283,14 @@ def _kernel_lane(nodes_ref, tris_ref, rays_ref,
 
     ix, iy, iz = inv(rdx), inv(rdy), inv(rdz)
 
+    is_shadow = pl.program_id(0) >= shadow_from if shadow_from >= 0 else None
+
     def cond(c):
         cur = c[0]
         if any_hit:
             return (cur < num_nodes) & (c[5] < b)
+        if is_shadow is not None:
+            return (cur < num_nodes) & (~is_shadow | (c[5] < b))
         return cur < num_nodes
 
     def body(c):
@@ -368,8 +384,12 @@ def _kernel_lane(nodes_ref, tris_ref, rays_ref,
             (t_best, best_row, best_u, best_v),
         )
         cap = jnp.max(jnp.minimum(t_best, tmax))
-        if any_hit:
-            nhit = jnp.sum((best_row >= 0).astype(jnp.int32))
+        if any_hit or shadow_from >= 0:
+            # resolved = hit found OR empty segment (can never hit): the
+            # early exit fires when every lane's outcome is decided
+            nhit = jnp.sum(
+                ((best_row >= 0) | (tmax <= tmin)).astype(jnp.int32)
+            )
 
         nxt = jnp.where(any_live & ~is_leaf, cur + 1, skip)
         return (nxt, t_best, best_row, best_u, best_v, nhit, cap)
@@ -393,15 +413,19 @@ def _kernel_lane(nodes_ref, tris_ref, rays_ref,
     out_ref[:, 3:4] = best_v
 
 
-@functools.partial(jax.jit, static_argnames=("num_nodes", "block", "any_hit"))
+@functools.partial(
+    jax.jit, static_argnames=("num_nodes", "block", "any_hit", "shadow_from")
+)
 def _traverse_pallas(nodes, tris_s, rays,
-                     num_nodes: int, block: int, any_hit: bool):
+                     num_nodes: int, block: int, any_hit: bool,
+                     shadow_from: int = -1):
     wide = tris_s.shape[1] == 16  # (Rp,16) small-scene vs (16,Rp) compact
     if wide:
         n = rays.shape[1]  # (8, Np) lane-major rows
         grid = (n // block,)
         kernel = functools.partial(
-            _kernel, num_nodes=num_nodes, any_hit=any_hit, block=block
+            _kernel, num_nodes=num_nodes, any_hit=any_hit, block=block,
+            shadow_from=shadow_from,
         )
         return pl.pallas_call(
             kernel,
@@ -419,7 +443,8 @@ def _traverse_pallas(nodes, tris_s, rays,
     n = rays.shape[0]  # (Np, 8) sublane-major
     grid = (n // block,)
     kernel = functools.partial(
-        _kernel_lane, num_nodes=num_nodes, any_hit=any_hit, block=block
+        _kernel_lane, num_nodes=num_nodes, any_hit=any_hit, block=block,
+        shadow_from=shadow_from,
     )
     return pl.pallas_call(
         kernel,
@@ -498,6 +523,55 @@ def closest_hit_pallas(
     else:
         tri = row
     return Hit(t=t, tri=tri, u=u, v=v)
+
+
+def closest_and_occluded_pallas(
+    bb: PallasBVHBuffers,
+    comps_c, t_min_c, t_max_c,
+    comps_s, t_min_s, t_max_s,
+    block: int = DEFAULT_BLOCK, map_tri: bool = True,
+):
+    """ONE launch for the wavefront's two per-bounce ray queues: the
+    extension (next-bounce closest-hit) rays and the NEE occlusion rays,
+    laid out as block-aligned halves of a single operand. Occlusion
+    blocks take the any-hit early exit via the per-block ``shadow_from``
+    predicate; closest blocks run to completion. Saves one kernel launch
+    + one producer/epilogue fusion pair per bounce versus separate
+    dispatches (~1-2 ms/bounce on the axon relay).
+
+    Returns (Hit for the closest half, blocked bool for the occlusion
+    half)."""
+    from realtimepathtracingresearchframework_tpu.ops.traverse import Hit
+
+    wide = bb.tris_s.shape[1] == 16
+    rays_c, n = _prep_rays(None, None, t_min_c, t_max_c, block,
+                           comps=comps_c, wide=wide)
+    rays_s, n2 = _prep_rays(None, None, t_min_s, t_max_s, block,
+                            comps=comps_s, wide=wide)
+    axis = 1 if wide else 0
+    rays = jnp.concatenate([rays_c, rays_s], axis=axis)
+    shadow_from = rays_c.shape[axis] // block
+    out = _traverse_pallas(
+        bb.nodes, bb.tris_s, rays,
+        num_nodes=bb.num_nodes, block=block, any_hit=False,
+        shadow_from=shadow_from,
+    )
+    np_c = rays_c.shape[axis]
+    if wide:
+        t, rowbits = out[0, :n], out[1, :n]
+        u, v = out[2, :n], out[3, :n]
+        srowbits = out[1, np_c:np_c + n2]
+    else:
+        t, rowbits = out[:n, 0], out[:n, 1]
+        u, v = out[:n, 2], out[:n, 3]
+        srowbits = out[np_c:np_c + n2, 1]
+    row = jax.lax.bitcast_convert_type(rowbits, jnp.int32)
+    if map_tri:
+        tri = jnp.where(row < 0, -1, bb.row_tri[jnp.maximum(row, 0)])
+    else:
+        tri = row
+    blocked = jax.lax.bitcast_convert_type(srowbits, jnp.int32) >= 0
+    return Hit(t=t, tri=tri, u=u, v=v), blocked
 
 
 def occluded_pallas(

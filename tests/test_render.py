@@ -40,7 +40,10 @@ def test_render_cornell_basic(cornell_renderer):
     assert img[..., :3].mean() > 0.02  # light reaches the film
     assert img[..., 3].mean() > 0.9  # nearly every primary ray hits the box
     assert stats.spp == 4
-    assert stats.rays_per_second > 0
+    # render() keeps the ray counter device-side (rays_per_second = -1,
+    # the reference default); forcing it blocks and reports the rate
+    assert stats.rays_per_second == -1.0
+    assert r.stats(force_rays=True).rays_per_second > 0
 
 
 def test_render_deterministic(cornell_renderer):
@@ -144,11 +147,18 @@ def test_sun_sky_outdoor():
 
 
 def test_wavefront_matches_megakernel(cornell_renderer):
-    """The wavefront variant is a queue permutation of the megakernel —
-    images must be bit-identical (BASELINE config 3 correctness gate)."""
+    """The wavefront restructures each bounce into a merged two-queue
+    intersect dispatch + deferred NEE resolution; same samples and
+    accumulation order, but XLA's FMA fusion differs across the two
+    graphs, so the gate is the reference's own image-parity bar:
+    per-channel relative error <= 1e-6 (compare_exr.cpp:75-97, BASELINE
+    config 3 correctness gate)."""
     from realtimepathtracingresearchframework_tpu.backend.renderer import (
         VARIANT_MEGAKERNEL,
         VARIANT_WAVEFRONT,
+    )
+    from realtimepathtracingresearchframework_tpu.utils.compare import (
+        compare_images,
     )
 
     r = cornell_renderer
@@ -164,4 +174,10 @@ def test_wavefront_matches_megakernel(cornell_renderer):
     wave = r.readback_accumulation()
     r.active_variant = VARIANT_MEGAKERNEL
 
-    np.testing.assert_array_equal(mega, wave)
+    result = compare_images(
+        wave[..., :3].astype(np.float32), mega[..., :3].astype(np.float32),
+        threshold=1e-6,
+    )
+    assert result.passed, f"max rel err {result.max_rel_error:.3e}"
+    # alpha is untouched by NEE restructuring: exact
+    np.testing.assert_array_equal(mega[..., 3], wave[..., 3])

@@ -59,8 +59,16 @@ def main() -> int:
 
     def hard_sync():
         # on the axon relay, block_until_ready returns at enqueue time; a
-        # 1-element readback is the only true device-completion barrier
-        _ = np.asarray(r.framebuffer.ravel()[0:1])
+        # 1-element readback is the only true device-completion barrier.
+        # Sync on the LAST accumulator chunk (written by the final pass) —
+        # touching r.framebuffer would materialize the whole display
+        # resolve + host blit, which is swapchain-present work the
+        # reference's render_time_ms marker excludes too
+        # (render_vulkan.cpp:2229-2236).
+        if r._planar:
+            _ = np.asarray(r._acc_chunks[-1][0].ravel()[0:1])
+        else:
+            _ = np.asarray(r.framebuffer.ravel()[0:1])
 
     # warmup / compile
     t0 = time.perf_counter()

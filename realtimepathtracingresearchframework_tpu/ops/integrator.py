@@ -70,7 +70,10 @@ from realtimepathtracingresearchframework_tpu.ops.texture_atlas import (
 )
 
 RAY_EPSILON = 5.0e-6  # vulkan/gpu_params.glsl:28
-RAYS_PER_PASS = 262144  # HBM working-set bound for one integrator pass
+RAYS_PER_PASS = 524288  # HBM working-set bound for one integrator pass
+# (sweep on v5e at 1080p depth 9: 8x262144 = 157 ms, 4x524288 = 148 ms,
+#  2x1048576 = 175 ms, 1x2097152 = 198 ms — 4 passes balances per-pass
+#  dispatch against XLA scheduling quality of the bigger program)
 
 
 class MaterialBuffers(NamedTuple):

@@ -61,7 +61,8 @@ def render_aovs(
     dims = jnp.array([width, height], jnp.float32)
 
     state = pointsets.make_state(
-        cfg.rng_variant, fp.sample_offset, fp.shot_offset, px, py, width
+        cfg.rng_variant, fp.sample_offset, fp.shot_offset, px, py, width,
+        bufs=ds.rng,
     )
     state, jitter = pointsets.draw2(cfg.rng_variant, ds.rng, state, jnp.int32(0))
     ro, rd = camera_rays(view, px, py, dims, jitter)

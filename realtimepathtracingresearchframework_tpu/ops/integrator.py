@@ -1149,7 +1149,8 @@ def render_tile(
         valid = valid_c[c]
         sample_index = fp.sample_offset + s
         state = pointsets.make_state(
-            cfg.rng_variant, sample_index, fp.shot_offset, px, py, width
+            cfg.rng_variant, sample_index, fp.shot_offset, px, py, width,
+            bufs=ds.rng,
         )
         state, ro, rd = camera_setup(ds, cfg, fp, view, px, py, dims, state)
         rgb, alpha, nrays = trace_paths(ds, cfg, fp, ro, rd, state, lane_mask=valid)
@@ -1318,7 +1319,8 @@ def make_pass_fn(ds: DeviceScene, cfg: IntegratorConfig, width: int, height: int
         ``sample_index`` seeds the RNG; ``blend_k`` is the number of
         samples already in ``acc`` (they differ on checkpoint resume)."""
         state = pointsets.make_state(
-            cfg.rng_variant, sample_index, fp.shot_offset, px, py, width
+            cfg.rng_variant, sample_index, fp.shot_offset, px, py, width,
+            bufs=ds.rng,
         )
         state, ro, rd = camera_setup(ds, cfg, fp, view, px, py, dims, state)
         rgb, alpha, nrays = trace_paths(
@@ -1347,7 +1349,8 @@ def make_ray_stats_fn(ds: DeviceScene, cfg: IntegratorConfig, width: int, height
     @jax.jit
     def stats_fn(fp, view, px, py, valid, sample_index):
         state = pointsets.make_state(
-            cfg.rng_variant, sample_index, fp.shot_offset, px, py, width
+            cfg.rng_variant, sample_index, fp.shot_offset, px, py, width,
+            bufs=ds.rng,
         )
         state, ro, rd = camera_setup(ds, cfg, fp, view, px, py, dims, state)
         _, _, nrays = trace_paths(ds, cfg, fp, ro, rd, state, lane_mask=valid)

@@ -42,10 +42,23 @@ _U = jnp.uint32
 
 class RngBuffers(NamedTuple):
     """Constant tables needed by the active pointset (pytree member of
-    DeviceScene-adjacent state; dummy-sized for the LCG variant)."""
+    DeviceScene-adjacent state; dummy-sized for the LCG variant).
+
+    When the REFERENCE tables are loaded (tools/convert_pointset_tables),
+    ``sobol_invert`` is (256, 256) and the Sobol/Z-Sobol/BN variants
+    switch to the reference's exact table-driven sampling
+    (ops/pointsets_tables.py) — image parity with the reference GPU
+    sequences. With dummy tables the self-generated variants apply."""
 
     matrices: jnp.ndarray  # (D, 32) u32 sobol direction vectors
     bn_mask: jnp.ndarray  # (64, 64, 8) f32 blue-noise dither offsets
+    sobol_invert: jnp.ndarray = jnp.zeros((1, 1), jnp.uint32)  # (256,256)
+    bn_sobol: jnp.ndarray = jnp.zeros((1, 1), jnp.uint32)  # (256,256)
+    bn_scrambling: jnp.ndarray = jnp.zeros((1,), jnp.uint32)  # (128*128*8,)
+
+    @property
+    def reference_tables(self) -> bool:
+        return self.sobol_invert.shape[0] == 256
 
 
 class RngState(NamedTuple):
@@ -112,22 +125,50 @@ def _blue_noise_mask_np(size: int = 64, channels: int = 8) -> np.ndarray:
     return np.stack(chans, axis=-1).astype(np.float32)
 
 
-def build_rng_buffers(variant: int) -> RngBuffers:
+def build_rng_buffers(variant: int, tables: str = "auto") -> RngBuffers:
+    """``tables``: "auto" uses the reference pointset tables when the
+    data file exists (parity default), "never" forces the self-generated
+    variants, "always" errors if the tables are missing."""
+    from realtimepathtracingresearchframework_tpu.ops import (
+        pointsets_tables as ptab,
+    )
+
     if variant == RNG_VARIANT_UNIFORM:
-        mats = np.zeros((1, 32), np.uint32)
-        mask = np.zeros((1, 1, 1), np.float32)
-    else:
-        mats = sobol_mod.sobol_matrices()
-        mask = (
-            _blue_noise_mask_np()
-            if variant == RNG_VARIANT_BN
-            else np.zeros((1, 1, 1), np.float32)
+        return RngBuffers(
+            matrices=jnp.zeros((1, 32), jnp.uint32),
+            bn_mask=jnp.zeros((1, 1, 1), jnp.float32),
         )
+    use_ref = tables == "always" or (
+        tables == "auto" and ptab.tables_available()
+    )
+    if use_ref:
+        t = ptab._tables_np()
+        if variant == RNG_VARIANT_BN:
+            return RngBuffers(
+                matrices=jnp.zeros((1, 32), jnp.uint32),
+                bn_mask=jnp.zeros((1, 1, 1), jnp.float32),
+                sobol_invert=jnp.asarray(t["sobol_invert"]),
+                bn_sobol=jnp.asarray(t["bn_sobol"]),
+                bn_scrambling=jnp.asarray(t["bn_scrambling_1spp"]),
+            )
+        return RngBuffers(
+            matrices=jnp.asarray(t["sobol_matrix"]),
+            bn_mask=jnp.zeros((1, 1, 1), jnp.float32),
+            sobol_invert=jnp.asarray(t["sobol_invert"]),
+        )
+    mats = sobol_mod.sobol_matrices()
+    mask = (
+        _blue_noise_mask_np()
+        if variant == RNG_VARIANT_BN
+        else np.zeros((1, 1, 1), np.float32)
+    )
     return RngBuffers(matrices=jnp.asarray(mats), bn_mask=jnp.asarray(mask))
 
 
-def make_state(variant: int, sample_index, shot, px, py, width) -> RngState:
-    """GET_RNG analogue (defaults.glsl:34-40)."""
+def make_state(variant: int, sample_index, shot, px, py, width,
+               bufs: "RngBuffers" = None) -> RngState:
+    """GET_RNG analogue (defaults.glsl:34-40). Pass ``bufs`` to enable the
+    reference table-driven state derivation (no-op for LCG/generated)."""
     px = px.astype(_U)
     py = py.astype(_U)
     if variant == RNG_VARIANT_UNIFORM:
@@ -135,6 +176,8 @@ def make_state(variant: int, sample_index, shot, px, py, width) -> RngState:
             s0=lcg.lcg_seed(sample_index, shot, px, py, width),
             s1=jnp.zeros_like(px),
         )
+    if bufs is not None and bufs.reference_tables:
+        return _make_state_ref(variant, sample_index, shot, px, py, width, bufs)
     pixel_linear = px + py * _U(width)
     if variant == RNG_VARIANT_Z_SBL:
         # global Morton stream: Owen-shuffled (pixel, sample) index
@@ -156,6 +199,44 @@ def make_state(variant: int, sample_index, shot, px, py, width) -> RngState:
     )
 
 
+def _make_state_ref(variant, sample_index, shot, px, py, width, bufs):
+    """Reference table-driven GET_RNG (sobol.glsl:160-186, bn_rng.glsl:
+    84-95). State stays 2 x u32, the reference's own PACK_RNG layout."""
+    from realtimepathtracingresearchframework_tpu.ops import (
+        pointsets_tables as ptab,
+    )
+
+    shot_u = jnp.asarray(shot).astype(_U)
+    sample_u = jnp.asarray(sample_index).astype(_U)
+    if variant == RNG_VARIANT_BN:
+        # get_bnd_rng: pixelID in a 128^2 tile, sampleID = index + frame*13
+        i = px & _U(ptab.BN_TILE - 1)
+        j = py & _U(ptab.BN_TILE - 1)
+        pixel_id = i + j * _U(ptab.BN_TILE)
+        sample_id = (sample_u + shot_u * _U(13)) & _U(0xFFFF)
+        return RngState(
+            s0=sample_id | (pixel_id << _U(16)), s1=jnp.zeros_like(px)
+        )
+    if variant == RNG_VARIANT_Z_SBL:
+        # Z_ORDER_SHUFFLING (sobol.glsl:169-178): shuffled tile-local
+        # sample index + per-tile scrambling stream
+        index = ptab.sobol_sample_id_z(
+            bufs.matrices, bufs.sobol_invert, sample_index, px, py
+        )
+        tile_x = px >> _U(ptab.SOBOL_TILE_BITS)
+        tile_y = py >> _U(ptab.SOBOL_TILE_BITS)
+        tile_w = _U(width) >> _U(ptab.SOBOL_TILE_BITS)
+        linear = tile_x + tile_y * tile_w
+    else:  # RNG_VARIANT_SOBOL: per-pixel scrambling stream
+        index = jnp.broadcast_to(sample_u, px.shape)
+        linear = px + py * _U(width)
+    # scramble = get_lcg_rng(frame_id, 0, linear) (sobol.glsl:166,183)
+    scr = lcg.murmur_hash3_mix(_U(0), linear)
+    scr = lcg.murmur_hash3_mix(scr, jnp.broadcast_to(shot_u, px.shape))
+    scr = lcg.murmur_hash3_finalize(scr)
+    return RngState(s0=index, s1=scr)
+
+
 def _sobol_dim(bufs, variant, state: RngState, dim, px_key_extra):
     val = sobol_mod.sobol_value(bufs.matrices, state.s0, dim)
     if variant == RNG_VARIANT_Z_SBL:
@@ -173,6 +254,24 @@ def draw1(variant: int, bufs: RngBuffers, state: RngState, dim):
         s0, x = lcg.lcg_float(state.s0)
         return RngState(s0=s0, s1=state.s1), x
     dim = jnp.asarray(dim, jnp.int32)
+    if bufs.reference_tables:
+        from realtimepathtracingresearchframework_tpu.ops import (
+            pointsets_tables as ptab,
+        )
+
+        if variant == RNG_VARIANT_BN:
+            x = ptab.sample_bnd(
+                bufs.bn_sobol, bufs.bn_scrambling,
+                state.s0 >> _U(16), state.s0 & _U(0xFFFF), dim,
+            )
+            return state, x
+        # sobol_randomf: the per-draw scramble ADVANCES the LCG stream
+        s1 = lcg.lcg_step(state.s1)
+        v = ptab.sobol_point(
+            bufs.matrices, state.s0, dim, s1,
+            z_shuffling=variant == RNG_VARIANT_Z_SBL,
+        )
+        return RngState(s0=state.s0, s1=s1), sobol_mod.u32_to_float(v)
     v = _sobol_dim(bufs, variant, state, dim, None)
     x = sobol_mod.u32_to_float(v)
     if variant == RNG_VARIANT_BN:

@@ -85,9 +85,12 @@ def test_binned_lights_extension_builds_bins():
 
 def test_pointsets_extension_provides_tables():
     r = _renderer(options=RenderBackendOptions(rng_variant=RNG_VARIANT_BN))
-    assert r.device_scene.rng.bn_mask.size > 1
+    rng = r.device_scene.rng
+    # reference BN tables when available, else the generated mask
+    assert rng.bn_sobol.size > 1 or rng.bn_mask.size > 1
     r2 = _renderer(options=RenderBackendOptions(rng_variant=RNG_VARIANT_UNIFORM))
-    assert r2.device_scene.rng.bn_mask.size <= 1
+    rng2 = r2.device_scene.rng
+    assert rng2.bn_sobol.size <= 1 and rng2.bn_mask.size <= 1
 
 
 def test_processing_step_factory():

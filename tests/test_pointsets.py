@@ -45,7 +45,7 @@ def test_draw_contract(variant):
     bufs = pointsets.build_rng_buffers(variant)
     px = jnp.arange(64, dtype=jnp.uint32) % 8
     py = jnp.arange(64, dtype=jnp.uint32) // 8
-    st = pointsets.make_state(variant, jnp.uint32(3), jnp.uint32(7), px, py, 8)
+    st = pointsets.make_state(variant, jnp.uint32(3), jnp.uint32(7), px, py, 8, bufs=bufs)
     st, a = pointsets.draw2(variant, bufs, st, jnp.int32(0))
     st, b = pointsets.draw1(variant, bufs, st, jnp.int32(2))
     a, b = np.asarray(a), np.asarray(b)
@@ -65,7 +65,7 @@ def test_sobol_sequence_stratified_per_pixel():
     py = jnp.full((n,), 9, jnp.uint32)
     vals = []
     for s in range(n):
-        st = pointsets.make_state(variant, jnp.uint32(s), jnp.uint32(0), px[:1], py[:1], 16)
+        st = pointsets.make_state(variant, jnp.uint32(s), jnp.uint32(0), px[:1], py[:1], 16, bufs=bufs)
         _, xy = pointsets.draw2(variant, bufs, st, jnp.int32(4))
         vals.append(np.asarray(xy)[0])
     vals = np.array(vals)

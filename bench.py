@@ -107,6 +107,46 @@ def main() -> int:
         "device": str(jax.devices()[0]),
         "compile_s": round(compile_s, 1),
     }
+
+    # driver config 5: large scene via the streamed traversal (500k-tri
+    # terrain, ops/traverse_stream.py). Reported as extra fields; skip
+    # with BENCH_TERRAIN=0 if compile budget is tight.
+    if os.environ.get("BENCH_TERRAIN", "1") != "0":
+        try:
+            from realtimepathtracingresearchframework_tpu.backend.params import (
+                SceneConfig,
+            )
+
+            tscene = Scene.from_vkr_scene(procedural.terrain(grid=500))
+            sc = SceneConfig(sun_dir=(0.4, 0.7, 0.2), turbidity=3.0)
+            r2 = Renderer()
+            r2.initialize(512, 384)
+            r2.set_scene(tscene, scene_config=sc)
+            tcam = OrientedCamera.look_at([0, 5.0, 12.0], [0, 0, 0], fovy=55)
+            tcfg = FrameConfig(
+                camera=tcam,
+                params=RenderParams(batch_spp=1, max_path_depth=3),
+                scene_config=sc,
+            )
+            r2.render(tcfg)
+            _ = np.asarray(r2._acc_chunks[-1][0].ravel()[0:1])
+            t0 = time.perf_counter()
+            tframes = 4
+            for _ in range(tframes):
+                r2.render(tcfg)
+            _ = np.asarray(r2._acc_chunks[-1][0].ravel()[0:1])
+            tms = (time.perf_counter() - t0) / tframes * 1000.0
+            result["terrain_tris"] = int(tscene.unique_tris)
+            result["terrain_ms"] = round(tms, 1)
+            result["terrain_mrays"] = round(
+                r2.last_frame_rays() / (tms * 1e-3) / 1e6, 3
+            )
+            result["terrain_traversal"] = (
+                "streamed" if r2._use_streamed else "resident"
+            )
+        except Exception as e:  # keep the primary metric robust
+            result["terrain_error"] = str(e)[:200]
+
     print(json.dumps(result))
     return 0
 

@@ -166,6 +166,8 @@ class Renderer:
         self._scene_revision = -1
         self._use_bins = False
         self._use_pallas = False
+        self._use_streamed = False
+        self._streamed = None
         self._has_textures = False
         self._atlas = None
         self._use_two_level = False
@@ -386,21 +388,25 @@ class Renderer:
             for ext in self.extensions:
                 ext.update_scene_from_backend(scene)
 
-    def _select_traversal(self, num_tris: int) -> bool:
-        """Pallas kernel on TPU-like platforms when the scene fits on-core
-        (nodes in SMEM, triangle rows in VMEM); XLA fallback otherwise."""
+    def _select_traversal(self, num_tris: int) -> str:
+        """Traversal mode: "pallas" (on-core resident kernel) when the
+        scene fits (nodes in SMEM, rows in VMEM), "streamed" (HBM BVH,
+        DMA'd subtree blocks — ops/traverse_stream.py) for bigger scenes
+        on TPU, "xla" otherwise."""
         import os
 
         if os.environ.get("RPTR_FORCE_XLA_TRAVERSAL"):
-            return False
+            return "xla"
         from realtimepathtracingresearchframework_tpu.ops.traverse_pallas import (
             HAVE_PALLAS,
         )
 
         if not HAVE_PALLAS or self.device.platform == "cpu":
-            return False
+            return "xla"
+        if os.environ.get("RPTR_FORCE_STREAMED_TRAVERSAL"):
+            return "streamed"
         # ~64B/tri row in VMEM; cap well under the 16MB core budget
-        return num_tris <= 150_000
+        return "pallas" if num_tris <= 150_000 else "streamed"
 
     def _build_tlas_buffers(self, transforms):
         """TLAS + instance tables for one frame (the TLAS rebuild/refit of
@@ -454,18 +460,37 @@ class Renderer:
         else:
             self._tlas_buffers = None
             shade_flat = flat
-        self._use_pallas = (
-            False if self._use_two_level else self._select_traversal(flat.num_tris)
+        mode = (
+            "xla" if self._use_two_level else self._select_traversal(flat.num_tris)
         )
-        leaf_size = (
-            traverse_pallas.PALLAS_LEAF_SIZE if self._use_pallas else bvh_mod.LEAF_SIZE
-        )
+        self._use_pallas = mode == "pallas"
+        self._use_streamed = mode == "streamed"
         t0 = time.perf_counter()
-        with ProfilingScope("build BVH"):
-            self._topology = bvh_mod.build_bvh(
-                flat.v0, flat.e1, flat.e2, leaf_size=leaf_size
+        if self._use_streamed:
+            from realtimepathtracingresearchframework_tpu.ops import (
+                traverse_stream,
             )
-            self._bvh = bvh_mod.thread_bvh(self._topology, flat.v0, flat.e1, flat.e2)
+
+            with ProfilingScope("build streamed BVH"):
+                self._streamed = traverse_stream.pack_streamed(
+                    flat.v0, flat.e1, flat.e2
+                )
+            self._topology = None
+            self._bvh = None
+        else:
+            self._streamed = None
+            leaf_size = (
+                traverse_pallas.PALLAS_LEAF_SIZE
+                if self._use_pallas
+                else bvh_mod.LEAF_SIZE
+            )
+            with ProfilingScope("build BVH"):
+                self._topology = bvh_mod.build_bvh(
+                    flat.v0, flat.e1, flat.e2, leaf_size=leaf_size
+                )
+                self._bvh = bvh_mod.thread_bvh(
+                    self._topology, flat.v0, flat.e1, flat.e2
+                )
         self.timers.add(ProfilingMarker.BUILD_BLAS, (time.perf_counter() - t0) * 1e3)
 
         self._flat = flat
@@ -554,11 +579,12 @@ class Renderer:
             has_area_lights=self._num_lights > 0,
         )
         self._use_bins = use_bins
-        bvh_buffers = (
-            traverse_pallas.pack_for_pallas(self._bvh)
-            if self._use_pallas
-            else threaded_to_device(self._bvh)
-        )
+        if self._use_streamed:
+            bvh_buffers = self._streamed
+        elif self._use_pallas:
+            bvh_buffers = traverse_pallas.pack_for_pallas(self._bvh)
+        else:
+            bvh_buffers = threaded_to_device(self._bvh)
         from realtimepathtracingresearchframework_tpu.ops.integrator import (
             pack_attr_table,
             pack_material_table,
@@ -608,6 +634,7 @@ class Renderer:
             and not getattr(self, "_use_two_level", False),
             two_level=bool(getattr(self, "_use_two_level", False)),
             row_attrs=bool(self._use_pallas),
+            streamed=bool(getattr(self, "_use_streamed", False)),
             enable_dof=bool(self.options.enable_raytraced_dof)
             and float(params.aperture_radius) > 0.0,
         )
@@ -1002,6 +1029,17 @@ class Renderer:
                 jnp.asarray(dirs, jnp.float32),
                 t_max=t_max_arr,
             )
+        elif self._use_streamed:
+            from realtimepathtracingresearchframework_tpu.ops import (
+                traverse_stream,
+            )
+
+            hit = traverse_stream.closest_hit_streamed(
+                ds.bvh,
+                jnp.asarray(origins, jnp.float32),
+                jnp.asarray(dirs, jnp.float32),
+                t_max=t_max_arr,
+            )
         elif self._use_pallas:
             hit = traverse_pallas.closest_hit_pallas(
                 ds.bvh,
@@ -1064,18 +1102,33 @@ class Renderer:
             or flat.num_tris <= self.options.rebuild_triangle_budget
         )
         t0 = time.perf_counter()
-        if rebuild:
-            self._topology = bvh_mod.build_bvh(
-                flat.v0, flat.e1, flat.e2, leaf_size=self._bvh.leaf_size
+        if self._use_streamed:
+            # streamed BVH has no refit kernel yet: full repack
+            from realtimepathtracingresearchframework_tpu.ops import (
+                traverse_stream,
             )
-            marker = ProfilingMarker.BUILD_TLAS
+
+            self._streamed = traverse_stream.pack_streamed(
+                flat.v0, flat.e1, flat.e2
+            )
+            self.timers.add(
+                ProfilingMarker.BUILD_TLAS, (time.perf_counter() - t0) * 1e3
+            )
         else:
-            self._topology = bvh_mod.refit_bvh(
+            if rebuild:
+                self._topology = bvh_mod.build_bvh(
+                    flat.v0, flat.e1, flat.e2, leaf_size=self._bvh.leaf_size
+                )
+                marker = ProfilingMarker.BUILD_TLAS
+            else:
+                self._topology = bvh_mod.refit_bvh(
+                    self._topology, flat.v0, flat.e1, flat.e2
+                )
+                marker = ProfilingMarker.UPDATE_TLAS
+            self._bvh = bvh_mod.thread_bvh(
                 self._topology, flat.v0, flat.e1, flat.e2
             )
-            marker = ProfilingMarker.UPDATE_TLAS
-        self._bvh = bvh_mod.thread_bvh(self._topology, flat.v0, flat.e1, flat.e2)
-        self.timers.add(marker, (time.perf_counter() - t0) * 1e3)
+            self.timers.add(marker, (time.perf_counter() - t0) * 1e3)
 
         self._flat = flat
         if self._use_pallas:

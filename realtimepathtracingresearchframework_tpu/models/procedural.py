@@ -171,6 +171,58 @@ def cornell_box(light: bool = True) -> vkr.VkrScene:
     return identity_scene([mesh], materials)
 
 
+def terrain(grid: int = 500, extent: float = 20.0, height: float = 2.0,
+            seed: int = 7) -> vkr.VkrScene:
+    """Large structured scene: a value-noise heightfield of ``2*grid^2``
+    triangles (grid=500 -> 500k) — the driver config 5 "large quantized
+    scene" workload and the streamed-traversal capability bar
+    (render_vulkan.cpp:472-545 handles multi-million-tri BLAS batches)."""
+    rng = np.random.default_rng(seed)
+    # smooth value noise: few octaves of bilinear lattice noise
+    n = grid + 1
+    xs = np.linspace(0, 1, n, dtype=np.float32)
+    h = np.zeros((n, n), np.float32)
+    for octave in range(4):
+        res = 4 * (2 ** octave)
+        lattice = rng.normal(0, 1, (res + 1, res + 1)).astype(np.float32)
+        fx = xs * res
+        ix = np.minimum(fx.astype(np.int32), res - 1)
+        tx = fx - ix
+        a = lattice[ix][:, ix]  # (n, n) via outer indexing
+        b = lattice[ix + 1][:, ix]
+        c = lattice[ix][:, ix + 1]
+        d = lattice[ix + 1][:, ix + 1]
+        txc = tx[:, None] * np.ones((1, n), np.float32)
+        tyc = tx[None, :] * np.ones((n, 1), np.float32)
+        h += ((a * (1 - txc) + b * txc) * (1 - tyc)
+              + (c * (1 - txc) + d * txc) * tyc) * (0.6 ** octave)
+    h = h / np.abs(h).max() * height
+
+    gx, gz = np.meshgrid(
+        np.linspace(-extent / 2, extent / 2, n, dtype=np.float32),
+        np.linspace(-extent / 2, extent / 2, n, dtype=np.float32),
+        indexing="ij",
+    )
+    verts = np.stack([gx, h, gz], axis=-1)  # (n, n, 3)
+
+    p00 = verts[:-1, :-1]
+    p10 = verts[1:, :-1]
+    p01 = verts[:-1, 1:]
+    p11 = verts[1:, 1:]
+    tri_a = np.stack([p00, p10, p11], axis=2)
+    tri_b = np.stack([p00, p11, p01], axis=2)
+    tris = np.concatenate([tri_a, tri_b], axis=2).reshape(-1, 3, 3)
+
+    materials = [
+        vkr.VkrMaterial(
+            name="Ground",
+            base_color=np.array([0.45, 0.42, 0.32], np.float32),
+        ),
+    ]
+    mesh = make_mesh("terrain", tris, num_materials=1)
+    return identity_scene([mesh], materials)
+
+
 def single_triangle() -> vkr.VkrScene:
     """Minimal one-triangle scene for loader and traversal smoke tests."""
     tri = np.array([[[-1, -1, 0], [1, -1, 0], [0, 1, 0]]], np.float32)

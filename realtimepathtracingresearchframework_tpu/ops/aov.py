@@ -69,6 +69,10 @@ def render_aovs(
 
     if cfg.two_level:
         hit = tlas_mod.closest_hit_two_level(ds.tlas, ro, rd)
+    elif cfg.streamed:
+        from realtimepathtracingresearchframework_tpu.ops import traverse_stream
+
+        hit = traverse_stream.closest_hit_streamed(ds.bvh, ro, rd)
     elif cfg.use_pallas:
         hit = traverse_pallas.closest_hit_pallas(
             ds.bvh, ro, rd, map_tri=not cfg.row_attrs

@@ -270,6 +270,8 @@ class IntegratorConfig(NamedTuple):
     alpha_test: bool = False  # any-hit alpha-cutout emulation
     two_level: bool = False  # BLAS/TLAS instanced traversal (ops/tlas.py)
     row_attrs: bool = False  # attribute tables are BVH-row-ordered (pallas)
+    streamed: bool = False  # HBM-streamed Pallas traversal (big scenes,
+    # ops/traverse_stream.py); mutually exclusive with use_pallas
     enable_dof: bool = False  # thin-lens aperture sampling (RBO
     # enable_raytraced_dof; perspective.rgen:100-109). Static because it
     # switches the path-space dim map to the full camera (pathspace.h:
@@ -347,6 +349,14 @@ def _hit_alpha_cut(ds: DeviceScene, tri, u, v):
 
 def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
                           rd: Vec3, t_min, t_max):
+    if cfg.streamed:
+        from realtimepathtracingresearchframework_tpu.ops import (
+            traverse_stream,
+        )
+
+        return traverse_stream.closest_hit_streamed(
+            ds.bvh, None, None, t_min=t_min, t_max=t_max, comps=(*ro, *rd)
+        )
     if cfg.use_pallas:
         return traverse_pallas.closest_hit_pallas(
             ds.bvh, None, None, t_min=t_min, t_max=t_max, comps=(*ro, *rd),
@@ -403,6 +413,14 @@ def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3, rd: Vec3,
             ds.tlas, v3.to_array(ro), v3.to_array(rd), t_min, t_max
         )
     if not (cfg.alpha_test and cfg.has_textures):
+        if cfg.streamed:
+            from realtimepathtracingresearchframework_tpu.ops import (
+                traverse_stream,
+            )
+
+            return traverse_stream.occluded_streamed(
+                ds.bvh, None, None, t_min=t_min, t_max=t_max, comps=(*ro, *rd)
+            )
         if cfg.use_pallas:
             return traverse_pallas.occluded_pallas(
                 ds.bvh, None, None, t_min=t_min, t_max=t_max, comps=(*ro, *rd)
@@ -640,7 +658,19 @@ def trace_paths(
         if cfg.wavefront:
             nd, ntmin, ntmax, ncontrib, ntraced = pend
             ntmax_eff = jnp.where(ntraced, ntmax, 0.0)
-            if cfg.use_pallas and not (cfg.alpha_test and cfg.has_textures):
+            if cfg.streamed and not (cfg.alpha_test and cfg.has_textures):
+                from realtimepathtracingresearchframework_tpu.ops import (
+                    traverse_stream,
+                )
+
+                hit, blocked = (
+                    traverse_stream.closest_and_occluded_streamed(
+                        ds.bvh,
+                        (*ro, *rd), t_min, tmax_eff,
+                        (*ro, *nd), ntmin, ntmax_eff,
+                    )
+                )
+            elif cfg.use_pallas and not (cfg.alpha_test and cfg.has_textures):
                 hit, blocked = traverse_pallas.closest_and_occluded_pallas(
                     ds.bvh,
                     (*ro, *rd), t_min, tmax_eff,

@@ -18,8 +18,8 @@ cursor per ray packet:
 
 The packet shares one cursor — the reference's 32x16-workgroup lockstep
 model (pt_megakernel.glsl:369-388) made explicit. Scenes fit while
-``nodes*32B`` fits SMEM and ``tris*64B`` fits VMEM (~200k tris); larger
-scenes use the XLA fallback until the streaming two-level kernel lands.
+``nodes*32B`` fits SMEM and ``tris*64B`` fits VMEM (~150k tris); larger
+scenes use the HBM-streamed kernel (ops/traverse_stream.py).
 """
 
 from __future__ import annotations

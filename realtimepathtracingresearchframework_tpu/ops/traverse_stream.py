@@ -1,0 +1,491 @@
+"""Streaming Pallas traversal: BVH in HBM, DMA'd on demand.
+
+The resident kernel (ops/traverse_pallas.py) needs the node table in SMEM
+(~48 KB -> ~1.5k nodes) and the triangle rows in VMEM (~16 MB), capping
+scenes near 200k triangles. This kernel removes both caps with a
+two-level layout streamed from HBM — the TPU expression of the
+reference's batched multi-million-triangle BLAS handling
+(render_vulkan.cpp:472-545):
+
+- triangles are Morton-sorted and chunked into SUBTREES of <= 8192
+  (64 leaves x 128 tris; <= 127 threaded nodes each),
+- the TOP tree over subtree AABBs stays SMEM-resident (one node per
+  subtree leaf — 5M tris => ~610 subtrees => ~1.2k top nodes, fits),
+- each subtree's nodes live in HBM packed 16-nodes-per-128-lane-row
+  ((S*8, 128) f32); entering a subtree DMAs its 4 KB node block into
+  SMEM scratch (scalar cursor walk, like the resident kernel) and its
+  WHOLE 512 KB leaf-tile block into VMEM scratch in one copy — one
+  latency hit per subtree instead of one per leaf visit (measured 5-10x
+  on coherent primaries),
+- leaf triangle tiles are (16, 128) f32 blocks — row f is field f
+  (v0/e1/e2 xyz) of the leaf's 128 triangles; subtree s owns the fixed
+  padded range [s*64*16, (s+1)*64*16) rows so the per-subtree DMA has a
+  static size. The Moller-Trumbore broadcast is (B rays, 128 tris),
+  rays sublane-major like the compact resident kernel.
+
+DMA slices must be 128-lane-aligned with dynamic offsets only on the
+sublane dimension (measured: dynamic lane-dim DMA fails to compile),
+which is exactly what this layout provides.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realtimepathtracingresearchframework_tpu.ops.bvh import build_threaded_bvh
+
+try:  # pallas requires the TPU backend; keep CPU test runs importable
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+LEAF = 128
+SUB_LEAVES = 64  # fixed leaf slots per subtree (tile block 512 KB)
+CHUNK_TRIS = SUB_LEAVES * LEAF  # 8192 -> <=127 threaded nodes/subtree
+SUB_NODE_ROWS = 8  # (8, 128) node block = 128 node slots of 8 f32
+SUB_TILE_ROWS = SUB_LEAVES * 16  # (1024, 128) tile block per subtree
+SUB_EXIT = 255  # local skip value meaning "leave the subtree"
+DEFAULT_BLOCK = 512
+_INF = 2.0e32
+
+
+class StreamedBVHBuffers(NamedTuple):
+    top_nodes: jnp.ndarray  # (Mt, 8) f32 SMEM: min3,max3,skip,subtree|-1
+    sub_nodes: jnp.ndarray  # (S*8, 128) f32 HBM: packed subtree nodes
+    tri_tiles: jnp.ndarray  # (S*1024, 128) f32 HBM: padded tile blocks
+    row_tri: jnp.ndarray  # (S*8192,) i32: global row -> source triangle
+
+    @property
+    def num_top_nodes(self) -> int:
+        return self.top_nodes.shape[0]
+
+    @property
+    def num_tris_capacity(self) -> int:
+        return self.row_tri.shape[0]
+
+
+
+
+def _build_top_tree(cmin: np.ndarray, cmax: np.ndarray) -> np.ndarray:
+    """Threaded preorder top tree over subtree AABBs; leaf payload = the
+    subtree index (top leaves are 1:1 with subtrees)."""
+    n = len(cmin)
+    centroid = 0.5 * (cmin + cmax)
+    nodes: List[np.ndarray] = []
+
+    def emit(idxs: np.ndarray) -> int:
+        """Returns subtree node count; appends nodes in preorder."""
+        my = len(nodes)
+        row = np.zeros(8, np.float32)
+        row[0:3] = cmin[idxs].min(axis=0)
+        row[3:6] = cmax[idxs].max(axis=0)
+        nodes.append(row)
+        if len(idxs) == 1:
+            row[7] = np.float32(int(idxs[0]))  # links as exact ints in f32
+            count = 1
+        else:
+            ext = centroid[idxs].max(axis=0) - centroid[idxs].min(axis=0)
+            axis = int(np.argmax(ext))
+            order = idxs[np.argsort(centroid[idxs, axis], kind="stable")]
+            half = len(order) // 2
+            row[7] = np.float32(-1.0)
+            count = 1 + emit(order[:half]) + emit(order[half:])
+        row[6] = np.float32(my + count)  # skip: next preorder subtree
+        return count
+
+    import sys
+
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 4 * n + 100))
+    try:
+        emit(np.arange(n))
+    finally:
+        sys.setrecursionlimit(old)
+    return np.stack(nodes)
+
+
+def pack_streamed(v0, e1, e2) -> StreamedBVHBuffers:
+    """Chunked two-level build + HBM packing (host-side numpy)."""
+    v0 = np.asarray(v0, np.float32)
+    e1 = np.asarray(e1, np.float32)
+    e2 = np.asarray(e2, np.float32)
+    t = len(v0)
+    v1, v2 = v0 + e1, v0 + e2
+    tmin = np.minimum(np.minimum(v0, v1), v2)
+    tmax = np.maximum(np.maximum(v0, v1), v2)
+    centroid = 0.5 * (tmin + tmax)
+    wmin, wmax = tmin.min(axis=0), tmax.max(axis=0)
+    extent = np.maximum(wmax - wmin, 1e-12)
+    from realtimepathtracingresearchframework_tpu.ops.bvh import morton3d
+
+    q = np.clip(((centroid - wmin) / extent) * 1024.0, 0, 1023).astype(np.uint32)
+    order = np.argsort(
+        morton3d(q[:, 0], q[:, 1], q[:, 2]), kind="stable"
+    ).astype(np.int64)
+
+    chunks = [order[i:i + CHUNK_TRIS] for i in range(0, t, CHUNK_TRIS)]
+    S = len(chunks)
+    sub_nodes = np.zeros((S, SUB_NODE_ROWS, 128), np.float32)
+    tile_list: List[np.ndarray] = []
+    row_tri_list: List[np.ndarray] = []
+    cmin = np.zeros((S, 3), np.float32)
+    cmax = np.zeros((S, 3), np.float32)
+    for s, idx in enumerate(chunks):
+        tb = build_threaded_bvh(v0[idx], e1[idx], e2[idx], leaf_size=LEAF)
+        nn = tb.num_nodes
+        assert nn <= SUB_NODE_ROWS * 16, f"subtree too big: {nn}"
+        nodes = tb.nodes.copy()  # (nn, 8): skip/leaf_row bitcast in f32
+        skip = nodes[:, 6].view(np.int32).copy()
+        leaf_row = nodes[:, 7].view(np.int32).copy()
+        # local exits -> sentinel; leaf rows -> LOCAL leaf indices (the
+        # kernel's tile scratch holds this subtree's whole block)
+        skip[skip >= nn] = SUB_EXIT
+        is_leaf = leaf_row >= 0
+        leaf_row[is_leaf] = leaf_row[is_leaf] // LEAF
+        nodes[:, 6] = skip.astype(np.float32)
+        nodes[:, 7] = leaf_row.astype(np.float32)
+        for i in range(nn):
+            r, c = divmod(i, 16)
+            sub_nodes[s, r, c * 8:(c + 1) * 8] = nodes[i]
+        # fixed-size padded tile block: (SUB_LEAVES*16, 128) field rows
+        rows = tb.tri_rows  # (R, >=9) leaf-major rows
+        R = rows.shape[0]
+        num_leaves = R // LEAF
+        assert num_leaves <= SUB_LEAVES
+        tiles = np.zeros((SUB_LEAVES, 16, 128), np.float32)
+        per_leaf = rows[:, 0:9].reshape(num_leaves, LEAF, 9)
+        tiles[:num_leaves, 0:9, :] = per_leaf.transpose(0, 2, 1)
+        tile_list.append(tiles.reshape(SUB_LEAVES * 16, 128))
+        rt = np.zeros(SUB_LEAVES * LEAF, np.int32)
+        rt[:R] = idx[tb.row_tri].astype(np.int32)
+        row_tri_list.append(rt)
+        cmin[s] = tb.world_min
+        cmax[s] = tb.world_max
+
+    top = _build_top_tree(cmin, cmax)
+    return StreamedBVHBuffers(
+        top_nodes=jnp.asarray(top),
+        sub_nodes=jnp.asarray(sub_nodes.reshape(S * SUB_NODE_ROWS, 128)),
+        tri_tiles=jnp.asarray(np.concatenate(tile_list, axis=0)),
+        row_tri=jnp.asarray(np.concatenate(row_tri_list)),
+    )
+
+
+def _kernel_streamed(top_ref, subn_ref, tris_ref, rays_ref, out_ref,
+                     nscr, tscr, sem_n, sem_t, *, top_nodes: int,
+                     block: int, shadow_from: int = -1):
+    b = block
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LEAF), 1)
+
+    rox = rays_ref[:, 0:1]
+    roy = rays_ref[:, 1:2]
+    roz = rays_ref[:, 2:3]
+    rdx = rays_ref[:, 3:4]
+    rdy = rays_ref[:, 4:5]
+    rdz = rays_ref[:, 5:6]
+    tmin = rays_ref[:, 6:7]
+    tmax = rays_ref[:, 7:8]
+
+    tiny = 1e-20
+
+    def inv(d):
+        return jnp.where(d >= 0.0, 1.0, -1.0) / jnp.maximum(jnp.abs(d), tiny)
+
+    ix, iy, iz = inv(rdx), inv(rdy), inv(rdz)
+
+    is_shadow = pl.program_id(0) >= shadow_from if shadow_from >= 0 else None
+
+    def slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, cap):
+        tx0 = (bminx - rox) * ix
+        tx1 = (bmaxx - rox) * ix
+        ty0 = (bminy - roy) * iy
+        ty1 = (bmaxy - roy) * iy
+        tz0 = (bminz - roz) * iz
+        tz1 = (bmaxz - roz) * iz
+        tenter = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.maximum(jnp.minimum(tz0, tz1), tmin),
+        )
+        texit = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.minimum(jnp.maximum(tz0, tz1), jnp.minimum(tmax, cap)),
+        )
+        return jnp.any(tenter <= texit)
+
+    def leaf_isect(sub_id, leaf_local, carry):
+        """(B, 128) Moller-Trumbore over one leaf of the resident subtree
+        tile block (already DMA'd into tscr)."""
+        t_best, best_row, best_u, best_v = carry
+        tile = tscr[pl.ds(leaf_local * 16, 16), :]
+        v0x = tile[0:1, :]
+        v0y = tile[1:2, :]
+        v0z = tile[2:3, :]
+        e1x = tile[3:4, :]
+        e1y = tile[4:5, :]
+        e1z = tile[5:6, :]
+        e2x = tile[6:7, :]
+        e2y = tile[7:8, :]
+        e2z = tile[8:9, :]
+        px = rdy * e2z - rdz * e2y
+        py = rdz * e2x - rdx * e2z
+        pz = rdx * e2y - rdy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvx = rox - v0x
+        tvy = roy - v0y
+        tvz = roz - v0z
+        uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        vv = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        hit = (
+            (jnp.abs(det) > 1e-12)
+            & (uu >= 0.0)
+            & (vv >= 0.0)
+            & (uu + vv <= 1.0)
+            & (tt > tmin)
+            & (tt < jnp.minimum(t_best, tmax))
+        )
+        tt = jnp.where(hit, tt, _INF)
+        tmin_row = jnp.min(tt, axis=1, keepdims=True)
+        improved = tmin_row < t_best
+        is_best = (tt <= tmin_row) & hit
+        lane_of_best = jnp.min(
+            jnp.where(is_best, lane_iota, LEAF), axis=1, keepdims=True
+        )
+        pick = lane_iota == lane_of_best
+        u_pick = jnp.sum(jnp.where(pick, uu, 0.0), axis=1, keepdims=True)
+        v_pick = jnp.sum(jnp.where(pick, vv, 0.0), axis=1, keepdims=True)
+        t_best = jnp.where(improved, tmin_row, t_best)
+        best_row = jnp.where(
+            improved,
+            (sub_id * SUB_LEAVES + leaf_local) * LEAF
+            + lane_of_best.astype(jnp.int32),
+            best_row,
+        )
+        best_u = jnp.where(improved, u_pick, best_u)
+        best_v = jnp.where(improved, v_pick, best_v)
+        return t_best, best_row, best_u, best_v
+
+    def visit_subtree(sub_id, carry):
+        """DMA the subtree's node block -> nscr (SMEM) and its whole leaf
+        tile block -> tscr (VMEM), then walk with a scalar cursor. One
+        latency hit per subtree; leaf visits read resident VMEM."""
+        t_best, best_row, best_u, best_v, cap = carry
+        dma_t = pltpu.make_async_copy(
+            tris_ref.at[pl.ds(sub_id * SUB_TILE_ROWS, SUB_TILE_ROWS), :],
+            tscr, sem_t,
+        )
+        dma_t.start()
+        dma = pltpu.make_async_copy(
+            subn_ref.at[pl.ds(sub_id * SUB_NODE_ROWS, SUB_NODE_ROWS), :],
+            nscr, sem_n,
+        )
+        dma.start()
+        dma.wait()
+        dma_t.wait()
+
+        def in_cond(c):
+            return c[0] < SUB_EXIT
+
+        def in_body(c):
+            cur, t_best, best_row, best_u, best_v, cap = c
+            r = cur // 16
+            base = (cur % 16) * 8
+            bminx = nscr[r, base + 0]
+            bminy = nscr[r, base + 1]
+            bminz = nscr[r, base + 2]
+            bmaxx = nscr[r, base + 3]
+            bmaxy = nscr[r, base + 4]
+            bmaxz = nscr[r, base + 5]
+            skip = nscr[r, base + 6].astype(jnp.int32)
+            leaf_id = nscr[r, base + 7].astype(jnp.int32)
+            any_live = slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, cap)
+            is_leaf = leaf_id >= 0
+
+            def do_leaf(carry):
+                return leaf_isect(sub_id, leaf_id, carry)
+
+            t_best, best_row, best_u, best_v = jax.lax.cond(
+                is_leaf & any_live, do_leaf, lambda c: c,
+                (t_best, best_row, best_u, best_v),
+            )
+            cap = jnp.max(jnp.minimum(t_best, tmax))
+            nxt = jnp.where(any_live & ~is_leaf, cur + 1, skip)
+            return (nxt, t_best, best_row, best_u, best_v, cap)
+
+        _, t_best, best_row, best_u, best_v, cap = jax.lax.while_loop(
+            in_cond, in_body,
+            (jnp.int32(0), t_best, best_row, best_u, best_v, cap),
+        )
+        return t_best, best_row, best_u, best_v, cap
+
+    def cond(c):
+        cur = c[0]
+        if is_shadow is not None:
+            return (cur < top_nodes) & (~is_shadow | (c[5] < b))
+        return cur < top_nodes
+
+    def body(c):
+        cur, t_best, best_row, best_u, best_v, nhit, cap = c
+        bminx = top_ref[cur, 0]
+        bminy = top_ref[cur, 1]
+        bminz = top_ref[cur, 2]
+        bmaxx = top_ref[cur, 3]
+        bmaxy = top_ref[cur, 4]
+        bmaxz = top_ref[cur, 5]
+        skip = top_ref[cur, 6].astype(jnp.int32)
+        sub_id = top_ref[cur, 7].astype(jnp.int32)
+        any_live = slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, cap)
+        is_sub = sub_id >= 0
+
+        def do_sub(carry):
+            return visit_subtree(sub_id, carry)
+
+        t_best, best_row, best_u, best_v, cap = jax.lax.cond(
+            is_sub & any_live, do_sub, lambda c: c,
+            (t_best, best_row, best_u, best_v, cap),
+        )
+        if shadow_from >= 0:
+            nhit = jnp.sum(
+                ((best_row >= 0) | (tmax <= tmin)).astype(jnp.int32)
+            )
+        nxt = jnp.where(any_live & ~is_sub, cur + 1, skip)
+        return (nxt, t_best, best_row, best_u, best_v, nhit, cap)
+
+    init = (
+        jnp.int32(0),
+        tmax,
+        jnp.full((b, 1), -1, jnp.int32),
+        jnp.zeros((b, 1), jnp.float32),
+        jnp.zeros((b, 1), jnp.float32),
+        jnp.int32(0),
+        jnp.max(tmax),
+    )
+    _, t_best, best_row, best_u, best_v, _, _ = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    out_ref[:, 0:1] = jnp.where(best_row < 0, jnp.float32(_INF), t_best)
+    out_ref[:, 1:2] = jax.lax.bitcast_convert_type(best_row, jnp.float32)
+    out_ref[:, 2:3] = best_u
+    out_ref[:, 3:4] = best_v
+
+
+@functools.partial(
+    jax.jit, static_argnames=("top_nodes", "block", "shadow_from")
+)
+def _traverse_streamed(top_nodes_arr, sub_nodes, tri_tiles, rays,
+                       top_nodes: int, block: int, shadow_from: int = -1):
+    n = rays.shape[0]  # (Np, 8) sublane-major
+    grid = (n // block,)
+    kernel = functools.partial(
+        _kernel_streamed, top_nodes=top_nodes, block=block,
+        shadow_from=shadow_from,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(
+                top_nodes_arr.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block, 4), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((SUB_NODE_ROWS, 128), jnp.float32),
+            pltpu.VMEM((SUB_TILE_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(top_nodes_arr, sub_nodes, tri_tiles, rays)
+
+
+def _out_to_hit(bb: StreamedBVHBuffers, out, n, map_tri: bool):
+    from realtimepathtracingresearchframework_tpu.ops.traverse import Hit
+
+    t, rowbits = out[:n, 0], out[:n, 1]
+    u, v = out[:n, 2], out[:n, 3]
+    row = jax.lax.bitcast_convert_type(rowbits, jnp.int32)
+    if map_tri:
+        tri = jnp.where(row < 0, -1, bb.row_tri[jnp.maximum(row, 0)])
+    else:
+        tri = row
+    return Hit(t=t, tri=tri, u=u, v=v)
+
+
+def closest_hit_streamed(
+    bb: StreamedBVHBuffers, ro, rd, t_min=0.0, t_max=_INF,
+    block: int = DEFAULT_BLOCK, comps=None, map_tri: bool = True,
+):
+    from realtimepathtracingresearchframework_tpu.ops.traverse_pallas import (
+        _prep_rays,
+    )
+
+    rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=False)
+    out = _traverse_streamed(
+        bb.top_nodes, bb.sub_nodes, bb.tri_tiles, rays,
+        top_nodes=bb.num_top_nodes, block=block,
+    )
+    return _out_to_hit(bb, out, n, map_tri)
+
+
+def occluded_streamed(
+    bb: StreamedBVHBuffers, ro, rd, t_min=0.0, t_max=_INF,
+    block: int = DEFAULT_BLOCK, comps=None,
+):
+    from realtimepathtracingresearchframework_tpu.ops.traverse_pallas import (
+        _prep_rays,
+    )
+
+    rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=False)
+    out = _traverse_streamed(
+        bb.top_nodes, bb.sub_nodes, bb.tri_tiles, rays,
+        top_nodes=bb.num_top_nodes, block=block, shadow_from=0,
+    )
+    rowbits = out[:n, 1]
+    return jax.lax.bitcast_convert_type(rowbits, jnp.int32) >= 0
+
+
+def closest_and_occluded_streamed(
+    bb: StreamedBVHBuffers,
+    comps_c, t_min_c, t_max_c,
+    comps_s, t_min_s, t_max_s,
+    block: int = DEFAULT_BLOCK, map_tri: bool = True,
+):
+    """Merged two-queue launch (see closest_and_occluded_pallas)."""
+    from realtimepathtracingresearchframework_tpu.ops.traverse_pallas import (
+        _prep_rays,
+    )
+
+    rays_c, n = _prep_rays(None, None, t_min_c, t_max_c, block,
+                           comps=comps_c, wide=False)
+    rays_s, n2 = _prep_rays(None, None, t_min_s, t_max_s, block,
+                            comps=comps_s, wide=False)
+    rays = jnp.concatenate([rays_c, rays_s], axis=0)
+    shadow_from = rays_c.shape[0] // block
+    out = _traverse_streamed(
+        bb.top_nodes, bb.sub_nodes, bb.tri_tiles, rays,
+        top_nodes=bb.num_top_nodes, block=block, shadow_from=shadow_from,
+    )
+    np_c = rays_c.shape[0]
+    hit = _out_to_hit(bb, out, n, map_tri)
+    srowbits = out[np_c:np_c + n2, 1]
+    blocked = jax.lax.bitcast_convert_type(srowbits, jnp.int32) >= 0
+    return hit, blocked

@@ -1,0 +1,110 @@
+"""Streamed traversal (ops/traverse_stream.py): host-side packing
+invariants run everywhere; kernel parity runs on TPU only (the driver's
+bench exercises it on chip — 100% t-match vs the XLA reference traversal
+was verified on a 500k-tri scene, see BASELINE.md)."""
+
+import numpy as np
+import pytest
+
+from realtimepathtracingresearchframework_tpu.models import procedural
+from realtimepathtracingresearchframework_tpu.models.scene import Scene
+from realtimepathtracingresearchframework_tpu.ops import traverse_stream as TS
+
+
+def _soup(n=20000, seed=3):
+    rng = np.random.default_rng(seed)
+    v0 = rng.uniform(0, 10, (n, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.1, (n, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.1, (n, 3)).astype(np.float32)
+    return v0, e1, e2
+
+
+def test_pack_streamed_invariants():
+    v0, e1, e2 = _soup()
+    bb = TS.pack_streamed(v0, e1, e2)
+    S = bb.sub_nodes.shape[0] // TS.SUB_NODE_ROWS
+    assert S == -(-len(v0) // TS.CHUNK_TRIS)
+    assert bb.tri_tiles.shape == (S * TS.SUB_TILE_ROWS, 128)
+    assert bb.row_tri.shape == (S * TS.CHUNK_TRIS,)
+
+    top = np.asarray(bb.top_nodes)
+    Mt = len(top)
+    skip = top[:, 6].astype(np.int64)
+    sub = top[:, 7].astype(np.int64)
+    # skip links: monotone forward, exit == Mt at most
+    assert (skip > np.arange(Mt)).all() and (skip <= Mt).all()
+    # every subtree appears exactly once as a top leaf
+    leaves = sub[sub >= 0]
+    assert sorted(leaves.tolist()) == list(range(S))
+    # internal nodes: -1 payload
+    assert ((sub == -1) | (sub >= 0)).all()
+
+    # subtree node blocks: local skips either advance or exit
+    subn = np.asarray(bb.sub_nodes).reshape(S, TS.SUB_NODE_ROWS, 128)
+    for s in range(min(S, 3)):
+        block = subn[s].reshape(-1, 8)  # 128 slots
+        skips = block[:, 6].astype(np.int64)
+        leafs = block[:, 7].astype(np.int64)
+        used = (block[:, :6] != 0).any(axis=1) | (skips != 0) | (leafs != 0)
+        nn = int(used.nonzero()[0].max()) + 1 if used.any() else 0
+        for i in range(nn):
+            assert skips[i] == TS.SUB_EXIT or i < skips[i] <= nn
+            if leafs[i] >= 0:
+                assert leafs[i] < TS.SUB_LEAVES
+
+    # row_tri values land in the source triangle range (0 padding ok)
+    rt = np.asarray(bb.row_tri)
+    assert rt.min() >= 0 and rt.max() < len(v0)
+
+
+def test_pack_streamed_aabbs_cover_triangles():
+    v0, e1, e2 = _soup(5000)
+    bb = TS.pack_streamed(v0, e1, e2)
+    top = np.asarray(bb.top_nodes)
+    root_min, root_max = top[0, 0:3], top[0, 3:6]
+    pts = np.concatenate([v0, v0 + e1, v0 + e2])
+    assert (pts >= root_min - 1e-3).all() and (pts <= root_max + 1e-3).all()
+
+
+def test_terrain_scene_builds():
+    scene = Scene.from_vkr_scene(procedural.terrain(grid=60))
+    assert scene.unique_tris == 2 * 60 * 60
+    flat = scene.flatten_world()
+    bb = TS.pack_streamed(flat.v0, flat.e1, flat.e2)
+    assert bb.num_top_nodes >= 1
+
+
+@pytest.mark.skipif(
+    not TS.HAVE_PALLAS
+    or __import__("jax").devices()[0].platform == "cpu",
+    reason="streamed kernel needs a TPU",
+)
+def test_streamed_matches_xla_reference():
+    import jax.numpy as jnp
+
+    from realtimepathtracingresearchframework_tpu.ops.bvh import (
+        build_threaded_bvh,
+    )
+    from realtimepathtracingresearchframework_tpu.ops.traverse import (
+        closest_hit_threaded,
+        threaded_to_device,
+    )
+
+    v0, e1, e2 = _soup(30000)
+    bb = TS.pack_streamed(v0, e1, e2)
+    rng = np.random.default_rng(0)
+    n = 2048
+    ro = rng.uniform(-1, 11, (n, 3)).astype(np.float32)
+    rd = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    hit = TS.closest_hit_streamed(bb, jnp.asarray(ro), jnp.asarray(rd))
+    tb = build_threaded_bvh(v0, e1, e2, leaf_size=4)
+    ref = closest_hit_threaded(
+        threaded_to_device(tb), jnp.asarray(ro), jnp.asarray(rd)
+    )
+    t = np.asarray(hit.t)
+    rt = np.asarray(ref.t)
+    ok = np.isclose(t, rt, rtol=1e-5, atol=1e-6) | (
+        (np.asarray(hit.tri) < 0) & (np.asarray(ref.tri) < 0)
+    )
+    assert ok.mean() > 0.9999

@@ -210,6 +210,9 @@ def main(argv=None) -> int:
         reprojection_mode=["none", "discard", "accumulate"].index(args.reprojection),
     )
     config = FrameConfig(camera=camera, params=params)
+    # async pipeline warmup (render_vulkan.cpp:139-155): overlap the jit
+    # compile of the hot pass program with remaining startup work
+    renderer.warmup_async(params)
 
     if args.validation:
         modes.run_validation(

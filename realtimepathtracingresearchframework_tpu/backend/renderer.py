@@ -317,8 +317,13 @@ class Renderer:
         """Resolve the display channels on demand (blit-time resolve)."""
         if self._fb_planes is None:
             exposure, tonemap = self._resolve_args
+            t0 = time.perf_counter()
             self._fb_planes = _resolve_planar(
                 self._acc_planes_lazy(), exposure, tonemap
+            )
+            jax.block_until_ready(self._fb_planes)
+            self.timers.add(
+                ProfilingMarker.PROCESSING, (time.perf_counter() - t0) * 1e3
             )
         return self._fb_planes
 
@@ -387,6 +392,57 @@ class Renderer:
             # shell.cpp:97-126: extensions observe the scene after upload
             for ext in self.extensions:
                 ext.update_scene_from_backend(scene)
+
+    def warmup_async(self, params: Optional[RenderParams] = None):
+        """Background-compile the pass program for the current scene +
+        options — the reference's std::async pipeline builds
+        (render_vulkan.cpp:139-155 wait_for_construction). Returns the
+        Thread; the first render() blocks only if it outruns the warmup
+        (both sides hit the same jit cache entry)."""
+        import threading
+
+        params = params or RenderParams()
+        cfg = self._integrator_config(params)
+        if self.active_variant == VARIANT_WAVEFRONT:
+            cfg = cfg._replace(wavefront=True)
+        pkey = (cfg, self.fb_width, self.fb_height, self._device_scene_revision)
+
+        def build():
+            try:
+                pass_fn = self._pass_fns.get(pkey)
+                if pass_fn is None:
+                    pass_fn = make_pass_fn(
+                        self.device_scene, cfg, self.fb_width, self.fb_height
+                    )
+                px_c, py_c, valid_c, _inv, _nc, chunk = _swizzle_tables(
+                    self.fb_width, self.fb_height
+                )
+                zero = jnp.zeros((chunk,), jnp.float32)
+                fp = FrameParams(
+                    rr_path_depth=jnp.int32(params.rr_path_depth),
+                    glossy_only_mode=jnp.int32(0),
+                    sample_offset=jnp.uint32(0),
+                    shot_offset=jnp.uint32(0),
+                )
+                pos, du, dv, tl = OrientedCamera().view_basis(
+                    self.fb_width, self.fb_height
+                )
+                view = ViewBuffers(
+                    jnp.asarray(pos), jnp.asarray(du), jnp.asarray(dv),
+                    jnp.asarray(tl),
+                )
+                out = pass_fn(
+                    fp, view, (zero, zero + 0, zero + 0, zero + 0),
+                    px_c[0], py_c[0], valid_c[0], jnp.uint32(0), jnp.uint32(0),
+                )
+                jax.block_until_ready(out)
+                self._pass_fns[pkey] = pass_fn
+            except Exception as e:  # warmup is best-effort
+                warning("warmup_async failed: %s", e)
+
+        th = threading.Thread(target=build, daemon=True)
+        th.start()
+        return th
 
     def _select_traversal(self, num_tris: int) -> str:
         """Traversal mode: "pallas" (on-core resident kernel) when the
@@ -639,22 +695,6 @@ class Renderer:
             and float(params.aperture_radius) > 0.0,
         )
 
-    def _get_render_fn(self, cfg: IntegratorConfig):
-        if self.active_variant == VARIANT_WAVEFRONT:
-            cfg = cfg._replace(wavefront=True)
-        key = (self.active_variant, cfg, self.fb_width, self.fb_height)
-        fn = self._render_fns.get(key)
-        if fn is None:
-
-            @jax.jit
-            def fn(ds, fp, view, spp):
-                return render_tile(
-                    ds, cfg, fp, view, self.fb_width, self.fb_height, spp
-                )
-
-            self._render_fns[key] = fn
-        return fn
-
     def render(self, config: FrameConfig, batch_spp: Optional[int] = None) -> RenderStats:
         """One full frame: begin/draw/end collapsed (app.cpp:453-467)."""
         params = config.params
@@ -820,11 +860,15 @@ class Renderer:
             self.accum = resolve_mod.accumulate_history(
                 self.accum, new_accum, jnp.int32(self.frame_id), jnp.int32(spp)
             )
+        t_res = time.perf_counter()
         self.framebuffer = resolve_mod.resolve_framebuffer(
             self.accum,
             jnp.float32(params.exposure),
             tonemap_mode=int(params.early_tone_mapping_mode),
             upscale=int(params.render_upscale_factor),
+        )
+        self.timers.add(
+            ProfilingMarker.PROCESSING, (time.perf_counter() - t_res) * 1e3
         )
 
         if self.options.enable_taa:
@@ -860,13 +904,19 @@ class Renderer:
         """Display framebuffer: sRGB-encoded (H*u, W*u, 4) float. On the
         planar fast path this is the host blit (swizzle reorder during
         readback, the display_native analogue)."""
+        t0 = time.perf_counter()
         if self._planar:
-            return planes_to_image(
+            out = planes_to_image(
                 self._planes_np(self._fb_planes_lazy()),
                 self.fb_width,
                 self.fb_height,
             )
-        return np.asarray(jax.block_until_ready(self.framebuffer))
+        else:
+            out = np.asarray(jax.block_until_ready(self.framebuffer))
+        self.timers.add(
+            ProfilingMarker.READBACK, (time.perf_counter() - t0) * 1e3
+        )
+        return out
 
     def readback_accumulation(self) -> np.ndarray:
         """Linear HDR accumulation buffer (H, W, 4) float — what validation

@@ -297,7 +297,19 @@ def _format_value(value) -> str:
 
 
 def _get_field(obj, name):
-    return getattr(obj, name, None)
+    """Attribute lookup, case-insensitive on miss: the reference's ini
+    labels use display capitalization ("[.][Camera]",
+    scene_state.h:30-115) while our dataclass fields are snake_case —
+    reference-written inis (e.g. the Blender camera-path exporter) must
+    load here."""
+    v = getattr(obj, name, None)
+    if v is not None:
+        return v
+    low = name.lower()
+    for attr in dir(obj):
+        if attr.lower() == low and not attr.startswith("_"):
+            return getattr(obj, attr)
+    return None
 
 
 def _apply_attr(obj, name: str, raw: str) -> None:

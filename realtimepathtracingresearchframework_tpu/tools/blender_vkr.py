@@ -100,6 +100,95 @@ bl_info = {
     "category": "Import-Export",
 }
 
+# ---------------------------------------------------------------------------
+# Camera-path export (operator_file_export_camera_path.py)
+# ---------------------------------------------------------------------------
+
+
+def blender_matrix_to_camera(m: np.ndarray):
+    """Blender world matrix (4,4) -> framework (position, direction, up),
+    rotated into the Vulkan coordinate frame Rx(-pi/2)*Rz(pi) exactly like
+    write_camera_matrix (operator_file_export_camera_path.py:7-21)."""
+    m = np.asarray(m, np.float64)
+    p = m[:3, 3]
+    rot = m[:3, :3]
+    u = rot @ np.array([0.0, 1.0, 0.0])
+    d = rot @ np.array([0.0, 0.0, -1.0])
+
+    def swiz(v):
+        return np.array([-v[0], v[2], v[1]], np.float64)
+
+    return swiz(p), swiz(d), swiz(u)
+
+
+def export_camera_path_ini(
+    frames,
+    out_path: str,
+    seconds_per_frame: Optional[float] = None,
+) -> None:
+    """Write a keyframed camera-path ini (one [;] keyframe per frame) in
+    the exact shape the reference exporter emits — readable by both this
+    framework's imstate loader and the reference's
+    (operator_file_export_camera_path.py:23-40). ``frames`` holds
+    (position, direction, up) triples already in framework coordinates
+    (use blender_matrix_to_camera); ``seconds_per_frame`` set = REAL_TIME
+    intent (+dt relative timecodes), None = one logical frame per line."""
+    dt = f"+{seconds_per_frame}" if seconds_per_frame is not None else ""
+    with open(out_path, "w", encoding="utf-8") as f:
+        for pos, dirn, up in frames:
+            f.write("[Application][Scene]\n")
+            f.write("[.][Camera]\n")
+            f.write(f"position= {pos[0]} {pos[1]} {pos[2]}\n")
+            f.write(f"direction= {dirn[0]} {dirn[1]} {dirn[2]}\n")
+            f.write(f"up= {up[0]} {up[1]} {up[2]}\n")
+            f.write("..\n")
+            f.write(f"[;][{dt}]\n")
+
+
+# ---------------------------------------------------------------------------
+# PBR texture export (operator_file_export_pbr_textures.py)
+# ---------------------------------------------------------------------------
+
+
+def make_filename(s: str) -> str:
+    """Sanitize like the reference (operator_file_export_pbr_textures.py:
+    441-442)."""
+    import re
+
+    return re.sub(r"[^a-zA-Z0-9_. -]", "_-_", s)
+
+
+def export_pbr_textures(
+    material_images: Dict[str, Dict[str, np.ndarray]],
+    output_dir: str,
+) -> List[str]:
+    """Write baked material layers as .vkt textures with the reference
+    naming convention ``<Material>_<Layer>.vkt`` (BaseColor sRGB; Normal/
+    Specular/SpecularTransmission linear — bake_material_texture,
+    operator_file_export_pbr_textures.py:531-541). The Blender-side node
+    baking lives in the bpy operator layer; this function is the pure
+    writer so it is testable headlessly.
+
+    ``material_images``: {material: {layer: (H, W, 3|4) float or uint8}}.
+    Returns written paths."""
+    import os
+
+    from realtimepathtracingresearchframework_tpu.models.texture import (
+        write_vkt,
+    )
+
+    os.makedirs(output_dir, exist_ok=True)
+    written = []
+    for mat, layers in material_images.items():
+        for layer, img in layers.items():
+            path = os.path.join(
+                output_dir, make_filename(f"{mat}_{layer}") + ".vkt"
+            )
+            write_vkt(path, np.asarray(img), srgb=layer == "BaseColor")
+            written.append(path)
+    return written
+
+
 try:  # pragma: no cover - requires Blender
     import bpy
     from bpy_extras.io_utils import ExportHelper

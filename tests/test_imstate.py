@@ -101,3 +101,29 @@ def test_pad_frames():
     ims.pad_frames(1)
     assert ims.num_keyframes() == 2
     assert ims.settings[1].timeline_constraint == 1.0
+
+
+def test_reference_cased_nested_scopes_load():
+    """The reference's inis label nested scopes with display
+    capitalization ("[.][Camera]"); they must map onto our snake_case
+    fields (the Blender camera-path exporter emits this shape)."""
+    import numpy as np
+
+    from realtimepathtracingresearchframework_tpu.app.imstate import ImState
+    from realtimepathtracingresearchframework_tpu.app.state import AppStateBundle
+
+    ims = ImState()
+    b = AppStateBundle(ims, "")
+    import tempfile, os
+
+    ini = (
+        "[Application][Scene]\n[.][Camera]\n"
+        "position= 4.0 5.0 6.0\ndirection= 0.0 -1.0 0.0\n..\n[;][]\n"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "c.ini")
+        open(p, "w").write(ini)
+        ims.load_ini(p)
+        ims.apply_base()
+    np.testing.assert_allclose(b.scene.camera.position, [4.0, 5.0, 6.0])
+    np.testing.assert_allclose(b.scene.camera.direction, [0.0, -1.0, 0.0])

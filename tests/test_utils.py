@@ -109,3 +109,20 @@ def test_online_stats():
     assert st.mean == pytest.approx(3.0)
     assert st.variance == pytest.approx(np.var(xs, ddof=1))
     assert st.minimum == 1.0 and st.maximum == 5.0
+
+
+def test_halton_23_matches_reference_table():
+    """librender/halton.h:14 — first 64 Halton(2,3) entries."""
+    import numpy as np
+
+    from realtimepathtracingresearchframework_tpu.utils.halton import (
+        halton_23,
+        halton_jitter,
+    )
+
+    t = halton_23(64)
+    assert t.shape == (64, 2)
+    np.testing.assert_allclose(t[0], [0.5, 1.0 / 3.0], rtol=1e-6)
+    np.testing.assert_allclose(t[2], [0.75, 1.0 / 9.0], rtol=1e-6)
+    j = halton_jitter(65)  # wraps mod 64
+    np.testing.assert_allclose(j, t[1] - 0.5, rtol=1e-6)

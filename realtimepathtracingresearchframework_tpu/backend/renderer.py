@@ -1207,6 +1207,25 @@ class Renderer:
         self._upload_lights_and_sky(scene_config)
         self.reset_accumulation()
 
+    def render_raster_gbuffer(self, config: FrameConfig):
+        """Optional raster G-buffer path (the ENABLE_RASTER pipeline,
+        vulkan/pipeline_raster/raster_scene_vulkan.cpp + basic.vert/frag):
+        z-buffered albedo/normal/depth/tri-id without ray tracing — a
+        debug/compat surface rasterized on the VPU (ops/raster.py)."""
+        from realtimepathtracingresearchframework_tpu.ops import raster
+
+        pos, du, dv, tl = config.camera.view_basis(self.fb_width, self.fb_height)
+        flat = self._flat
+        return raster.raster_gbuffer(
+            jnp.asarray(flat.v0), jnp.asarray(flat.e1), jnp.asarray(flat.e2),
+            jnp.asarray(flat.n0), jnp.asarray(flat.n1), jnp.asarray(flat.n2),
+            self.device_scene.materials.base_color,
+            jnp.asarray(flat.material_id, jnp.int32),
+            jnp.asarray(pos), jnp.asarray(du), jnp.asarray(dv),
+            jnp.asarray(tl),
+            self.fb_width, self.fb_height,
+        )
+
     # AOV buffer indices (util/display/render_graphic.h:12-18)
     AOV_ALBEDO_ROUGHNESS = 0
     AOV_NORMAL_DEPTH = 1

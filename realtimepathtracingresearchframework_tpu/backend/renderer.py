@@ -188,6 +188,16 @@ class Renderer:
         self._last_config = None
         self._last_upscale = 1
         self._frame_id_at_render = 0
+        self._u32_cache: Dict[int, jnp.ndarray] = {}
+
+    def _u32_const(self, v: int):
+        """Cached device u32 scalar (recurring per-frame operands would
+        otherwise each pay a host->device transfer on the relay)."""
+        c = self._u32_cache.get(v)
+        if c is None:
+            c = jnp.uint32(v)
+            self._u32_cache[v] = c
+        return c
 
     # ------------------------------------------------------------------
     # RenderExtension framework (render_vulkan_extensions.cpp:16-84)
@@ -433,7 +443,8 @@ class Renderer:
                 )
                 out = pass_fn(
                     fp, view, (zero, zero + 0, zero + 0, zero + 0),
-                    px_c[0], py_c[0], valid_c[0], jnp.uint32(0), jnp.uint32(0),
+                    px_c[0], py_c[0], valid_c[0], jnp.uint32(0),
+                    jnp.uint32(0),
                 )
                 jax.block_until_ready(out)
                 self._pass_fns[pkey] = pass_fn
@@ -703,24 +714,47 @@ class Renderer:
         if self.active_variant in (VARIANT_RT_DEBUG, VARIANT_GBUFFER):
             return self._render_debug_variant(config)
 
+        # view/frame params are cached device arrays: every fresh
+        # jnp.asarray/jnp.float32 here is a host->device RPC on the relay
+        # (~10 per frame before caching, a measurable share of frame time);
+        # the camera rarely moves and only sample_offset changes per frame
         pos, du, dv, tl = config.camera.view_basis(self.fb_width, self.fb_height)
-        view = ViewBuffers(
-            cam_pos=jnp.asarray(pos),
-            cam_du=jnp.asarray(du),
-            cam_dv=jnp.asarray(dv),
-            cam_dir_top_left=jnp.asarray(tl),
-        )
+        vkey = (pos.tobytes(), du.tobytes(), dv.tobytes(), tl.tobytes())
+        cached = getattr(self, "_view_cache", None)
+        if cached is not None and cached[0] == vkey:
+            view = cached[1]
+        else:
+            view = ViewBuffers(
+                cam_pos=jnp.asarray(pos),
+                cam_du=jnp.asarray(du),
+                cam_dv=jnp.asarray(dv),
+                cam_dir_top_left=jnp.asarray(tl),
+            )
+            self._view_cache = (vkey, view)
         pixel_spread = float(np.linalg.norm(du)) / max(self.fb_width, 1)
-        fp = FrameParams(
-            rr_path_depth=jnp.int32(params.rr_path_depth),
-            glossy_only_mode=jnp.int32(params.glossy_only_mode),
-            sample_offset=jnp.uint32(self.frame_id),
-            shot_offset=jnp.uint32(self.shot_offset),
-            pixel_spread=jnp.float32(params.pixel_radius * pixel_spread),
-            bump_scale=jnp.float32(config.scene_config.bump_scale),
-            aperture_radius=jnp.float32(params.aperture_radius),
-            focus_distance=jnp.float32(params.focus_distance),
+        fkey = (
+            params.rr_path_depth, params.glossy_only_mode,
+            self.shot_offset, params.pixel_radius * pixel_spread,
+            config.scene_config.bump_scale, params.aperture_radius,
+            params.focus_distance,
         )
+        cached = getattr(self, "_fp_cache", None)
+        if cached is not None and cached[0] == fkey:
+            fp = cached[1]
+        else:
+            fp = FrameParams(
+                rr_path_depth=jnp.int32(params.rr_path_depth),
+                glossy_only_mode=jnp.int32(params.glossy_only_mode),
+                sample_offset=jnp.uint32(0),
+                shot_offset=jnp.uint32(self.shot_offset),
+                pixel_spread=jnp.float32(params.pixel_radius * pixel_spread),
+                bump_scale=jnp.float32(config.scene_config.bump_scale),
+                aperture_radius=jnp.float32(params.aperture_radius),
+                focus_distance=jnp.float32(params.focus_distance),
+            )
+            self._fp_cache = (fkey, fp)
+        # only the accumulation offset changes frame to frame: 1 transfer
+        fp = fp._replace(sample_offset=jnp.uint32(self.frame_id))
         cfg = self._integrator_config(params)
         if self.active_variant == VARIANT_WAVEFRONT:
             cfg = cfg._replace(wavefront=True)
@@ -796,14 +830,15 @@ class Renderer:
                 params.reprojection_mode == REPROJECTION_MODE_DISCARD_HISTORY
             )
             base_k = 0 if discard else self.frame_id
+            blend_base = jnp.uint32(base_k)
             rays_l = []
             for s in range(spp):
+                s_dev = self._u32_const(s)
                 for c in range(nc):
                     self._acc_chunks[c], nr = pass_fn(
                         fp, view, self._acc_chunks[c],
                         px_c[c], py_c[c], valid_c[c],
-                        fp.sample_offset + jnp.uint32(s),
-                        jnp.uint32(base_k + s),
+                        s_dev, blend_base,
                     )
                     rays_l.append(nr)
             self._fb_planes = None  # display resolve deferred to readback
@@ -1031,16 +1066,21 @@ class Renderer:
         ``rays_per_second`` is -1 unless ``force_rays`` (matching the
         reference default, render_vulkan.cpp:2234): converting the
         device-side ray counter is a blocking readback that would
-        serialize the frame pipeline."""
-        mem = peak = total = 0
-        try:
-            stats = self.device.memory_stats()
-            if stats:
-                mem = stats.get("bytes_in_use", 0)
-                peak = stats.get("peak_bytes_in_use", mem)
-                total = stats.get("bytes_limit", 0)
-        except Exception:
-            pass
+        serialize the frame pipeline. Memory stats refresh every 16
+        frames (device.memory_stats can be an RPC on the relay)."""
+        cached = getattr(self, "_mem_stats_cache", None)
+        if force_rays or cached is None or self.frame_id - cached[0] >= 16:
+            mem = peak = total = 0
+            try:
+                stats = self.device.memory_stats()
+                if stats:
+                    mem = stats.get("bytes_in_use", 0)
+                    peak = stats.get("peak_bytes_in_use", mem)
+                    total = stats.get("bytes_limit", 0)
+            except Exception:
+                pass
+            self._mem_stats_cache = (self.frame_id, mem, peak, total)
+        _, mem, peak, total = self._mem_stats_cache
         rps = (
             self.last_frame_rays() / (self._last_render_ms * 1e-3)
             if force_rays and self._last_render_ms > 0

@@ -1335,19 +1335,26 @@ def make_pass_fn(ds: DeviceScene, cfg: IntegratorConfig, width: int, height: int
     dims = jnp.array([width, height], jnp.float32)
 
     @partial(jax.jit, donate_argnames=("acc",))
-    def pass_fn(fp, view, acc, px, py, valid, sample_index, blend_k):
+    def pass_fn(fp, view, acc, px, py, valid, s, blend_base):
         """One sample batch over one chunk, accumulated IN PLACE.
 
         ``acc`` is a 4-tuple of (chunk,) channel buffers (SoA — a packed
         (N, 4) costs a ~9ms/262K relayout stack on TPU), donated and
         blended with the progressive average
-        ``acc += (x - acc) / (blend_k + 1)`` (process_samples.comp:116-131,
+        ``acc += (x - acc) / (k + 1)`` (process_samples.comp:116-131,
         applied per sample instead of per batch — same mean). Keeping the
         accumulate inside the pass makes the whole frame loop N pass
         dispatches with zero extra device programs: every extra program
         pays ~1.3ms per input/output buffer on the axon relay.
-        ``sample_index`` seeds the RNG; ``blend_k`` is the number of
-        samples already in ``acc`` (they differ on checkpoint resume)."""
+
+        ``s`` is the in-batch sample index and ``blend_base`` the number
+        of samples already in ``acc`` before this batch; the RNG sample
+        index (fp.sample_offset + s) and blend count (blend_base + s)
+        are derived IN-GRAPH — host-side adds would each dispatch a tiny
+        device program per chunk on the relay, and the operands are
+        cacheable device scalars (s recurs across frames)."""
+        sample_index = fp.sample_offset + s
+        blend_k = blend_base + s
         state = pointsets.make_state(
             cfg.rng_variant, sample_index, fp.shot_offset, px, py, width,
             bufs=ds.rng,
@@ -1462,13 +1469,13 @@ def render_tile_host(
         for _ in range(nc)
     ]
     rays = []
+    blend_base = jnp.uint32(0)
     for s in range(spp):
+        s_dev = jnp.uint32(s)
         for c in range(nc):
             py = py_c[c] if y0 == 0 else py_c[c] + jnp.int32(y0)
-            sample_index = fp.sample_offset + jnp.uint32(s)
             accs[c], nr = pass_fn(
-                fp, view, accs[c], px_c[c], py, valid_c[c], sample_index,
-                jnp.uint32(s),
+                fp, view, accs[c], px_c[c], py, valid_c[c], s_dev, blend_base
             )
             rays.append(nr)
     if not assemble:

@@ -247,17 +247,67 @@ class TAAExtension(RenderExtension):
 
 
 class ExampleExtension(RenderExtension):
-    """Minimal processing-step example (ENABLE_EXAMPLES,
-    processing/example.comp): a no-op image touch demonstrating the
-    process() hook — kept as the template for new post passes."""
+    """The ENABLE_EXAMPLES processing step (processing/example.comp):
+    squares + tints the accumulation buffer, fades it toward a warm floor
+    by screen height, and composites an animated escape-time fractal
+    background where alpha < 1 (example.comp:19-57). The template for
+    new post passes."""
 
     def name(self) -> str:
         return "example"
 
     def process(self, variant_idx: int = 0) -> None:
+        import jax.numpy as jnp
+
         r = self.backend
-        if r.framebuffer is not None:
-            r.framebuffer = r.framebuffer * 1.0
+        acc = r.accum
+        if acc is None:
+            return
+        h, w = acc.shape[0], acc.shape[1]
+        t = float(getattr(r, "frame_id", 0)) / 60.0  # view_params.time
+        rgb = acc[..., :3]
+        a = acc[..., 3:4]
+        rgb = rgb * rgb * (0.5 * jnp.asarray([0.7, 0.3, 0.1], acc.dtype))
+        yfrac = (jnp.arange(h, dtype=acc.dtype) / h)[:, None, None]
+        rgb = (
+            jnp.asarray([0.1, 0.005, 0.0], acc.dtype) * (0.1 + 0.9 * yfrac)
+            + rgb * (0.9 - 0.9 * yfrac)
+        )
+        # test_background (example.comp:19-37): rotated-quadratic escape set
+        ix = (jnp.arange(w, dtype=acc.dtype) + 0.0) / w
+        iy = (jnp.arange(h, dtype=acc.dtype) + 0.0) / h
+        px = (2.0 * ix[None, :] - 1.0) * (w / h)
+        py = -2.0 * iy[:, None] + 1.0 + jnp.zeros_like(px)
+        yterm = 0.2 * jnp.clip(-py / 0.5, 0.0, 1.0)
+        qx = 0.0123 * px - 1.156
+        qy = 0.0123 * py + 0.2735
+        ax = jnp.zeros_like(qx)
+        ay = jnp.zeros_like(qy)
+        for i in range(30):
+            ang = 0.0001 * i * np.cos(3.7 * t)
+            c, sn = np.cos(ang), np.sin(ang)
+            rx = c * ax + sn * ay
+            ry = -sn * ax + c * ay
+            ax = rx * rx - ry * ry + qx + rx
+            ay = 2.0 * rx * ry + qy + ry
+            # bound divergence: GLSL tolerates inf here because the f=0
+            # multiply happens on hardware that flushes; keep finite
+            ax = jnp.clip(ax, -1e6, 1e6)
+            ay = jnp.clip(ay, -1e6, 1e6)
+        f = (jnp.sqrt(ax * ax + ay * ay) <= 4.0).astype(acc.dtype)
+        bg = jnp.stack(
+            [
+                f * (0.55 + 0.45 * jnp.cos(ax + 0.433 * t)),
+                f * jnp.sin(ay + 1.3 * t),
+                ax * f + yterm,
+            ],
+            axis=-1,
+        )
+        bg = jnp.maximum(bg, 0.0)
+        blend = jnp.clip(a, 0.0, 1.0)
+        use_bg = (a >= 0.0) & (a < 1.0)
+        rgb = jnp.where(use_bg, bg * (1 - blend) + rgb * blend, rgb)
+        r.accum = jnp.concatenate([rgb, a], axis=-1)
 
 
 # ---------------------------------------------------------------------------

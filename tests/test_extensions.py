@@ -154,3 +154,18 @@ def test_custom_extension_lifecycle_hooks():
     kinds = [c[0] for c in calls]
     assert kinds[0] == "init"
     assert "scene" in kinds and "pre" in kinds
+
+
+def test_example_extension_transforms_accum():
+    """The Example processing step applies the example.comp transform
+    (tint + height fade + fractal background where alpha < 1)."""
+    r = _renderer()
+    r.render(_config())
+    before = r.readback_accumulation().copy()
+    ext = r.create_processing_step(RenderProcessingStep.EXAMPLE)
+    ext.process()
+    after = r.readback_accumulation()
+    assert after.shape == before.shape
+    assert np.isfinite(after).all()
+    assert np.abs(after[..., :3] - before[..., :3]).max() > 1e-3
+    np.testing.assert_array_equal(after[..., 3], before[..., 3])  # alpha kept

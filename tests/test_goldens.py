@@ -92,10 +92,59 @@ def _sun_sky():
     return r.readback_accumulation()
 
 
+def _rng_case(variant):
+    from realtimepathtracingresearchframework_tpu.backend.params import (
+        RenderBackendOptions,
+    )
+
+    def case():
+        scene = Scene.from_vkr_scene(procedural.cornell_box())
+        cam = OrientedCamera.look_at([0, 1.0, 3.2], [0, 1.0, 0.0], fovy=50)
+        r = Renderer()
+        r.initialize(48, 48)
+        r.configure_for(RenderBackendOptions(rng_variant=variant))
+        r.set_scene(scene)
+        r.render(
+            FrameConfig(camera=cam, params=RenderParams(max_path_depth=3)),
+            batch_spp=4,
+        )
+        return r.readback_accumulation()
+
+    return case
+
+
+def _wavefront():
+    from realtimepathtracingresearchframework_tpu.backend.renderer import (
+        VARIANT_WAVEFRONT,
+    )
+
+    scene = Scene.from_vkr_scene(procedural.cornell_box())
+    cam = OrientedCamera.look_at([0, 1.0, 3.2], [0, 1.0, 0.0], fovy=50)
+    r = Renderer()
+    r.initialize(48, 48)
+    r.set_scene(scene)
+    r.set_variant(VARIANT_WAVEFRONT)
+    r.render(
+        FrameConfig(camera=cam, params=RenderParams(max_path_depth=3)),
+        batch_spp=4,
+    )
+    return r.readback_accumulation()
+
+
+from realtimepathtracingresearchframework_tpu.backend.params import (
+    RNG_VARIANT_BN,
+    RNG_VARIANT_SOBOL,
+    RNG_VARIANT_Z_SBL,
+)
+
 _CASES = {
     "cornell_diffuse": _cornell_diffuse,
     "cornell_textured": _cornell_textured,
     "sun_sky": _sun_sky,
+    "cornell_sobol": _rng_case(RNG_VARIANT_SOBOL),
+    "cornell_zsbl": _rng_case(RNG_VARIANT_Z_SBL),
+    "cornell_bn": _rng_case(RNG_VARIANT_BN),
+    "cornell_wavefront": _wavefront,
 }
 
 

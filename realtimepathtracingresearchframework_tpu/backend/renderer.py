@@ -697,8 +697,7 @@ class Renderer:
             use_pallas=bool(self._use_pallas),
             has_textures=bool(self._has_textures),
             rng_variant=int(self.options.rng_variant),
-            alpha_test=bool(getattr(self, "_has_alpha", False))
-            and not getattr(self, "_use_two_level", False),
+            alpha_test=bool(getattr(self, "_has_alpha", False)),
             two_level=bool(getattr(self, "_use_two_level", False)),
             row_attrs=bool(self._use_pallas),
             streamed=bool(getattr(self, "_use_streamed", False)),

@@ -324,10 +324,11 @@ MAX_ALPHA_HOPS = 4  # candidate-hit re-trace budget (generate_candidate_hit)
 ALPHA_CUTOFF = 0.5  # punch-through threshold
 
 
-def _hit_alpha_cut(ds: DeviceScene, tri, u, v):
+def _hit_alpha_cut(ds: DeviceScene, tri, u, v, inst=None):
     """True where the hit texel is alpha-cut — the any-hit alpha test
     emulation of ``generate_candidate_hit`` (pt_megakernel.glsl:153-211,
-    any_hit.glsl). Samples mip 0 of the base-color texture."""
+    any_hit.glsl). Samples mip 0 of the base-color texture. ``inst``
+    (two-level hits) applies the per-instance material offset."""
     t = jnp.maximum(tri, 0)
     c = _fetch_cols(ds.attr_packed, t)
     b0 = 1.0 - u - v
@@ -339,6 +340,8 @@ def _hit_alpha_cut(ds: DeviceScene, tri, u, v):
         axis=-1,
     )
     mid = c[_A_MID].astype(jnp.int32)
+    if inst is not None:
+        mid = mid + ds.tlas.inst_mat_offset[jnp.maximum(inst, 0)]
     mc = _fetch_cols(ds.mat_packed, mid)
     bc_tid = mc[_M_BCTEX].astype(jnp.int32)
     flags = mc[_M_FLAGS].astype(jnp.int32)
@@ -349,6 +352,11 @@ def _hit_alpha_cut(ds: DeviceScene, tri, u, v):
 
 def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
                           rd: Vec3, t_min, t_max):
+    if cfg.two_level:
+        return tlas_mod.closest_hit_two_level(
+            ds.tlas, v3.to_array(ro), v3.to_array(rd),
+            t_min=t_min, t_max=t_max,
+        )
     if cfg.streamed:
         from realtimepathtracingresearchframework_tpu.ops import (
             traverse_stream,
@@ -377,14 +385,17 @@ def closest_hit_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
         return hit
     from realtimepathtracingresearchframework_tpu.ops.traverse import Hit
 
-    cut0 = _hit_alpha_cut(ds, hit.tri, hit.u, hit.v)
+    inst0 = hit.inst if cfg.two_level else jnp.zeros_like(hit.tri)
+    cut0 = _hit_alpha_cut(
+        ds, hit.tri, hit.u, hit.v, inst0 if cfg.two_level else None
+    )
 
     def cond(c):
         i = c[0]
-        return (i < MAX_ALPHA_HOPS) & jnp.any(c[5])
+        return (i < MAX_ALPHA_HOPS) & jnp.any(c[6])
 
     def body(c):
-        i, t, tri, u, v, cut = c
+        i, t, tri, u, v, inst, cut = c
         eps = jnp.abs(t) * 1e-4 + 1e-5
         nxt_tmin = jnp.where(cut, t + eps, t_min)
         nxt_tmax = jnp.where(cut, t_max, 0.0)  # settled lanes trace nothing
@@ -393,13 +404,20 @@ def closest_hit_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
         tri = jnp.where(cut, h.tri, tri)
         u = jnp.where(cut, h.u, u)
         v = jnp.where(cut, h.v, v)
-        cut = cut & _hit_alpha_cut(ds, tri, u, v)
-        return (i + 1, t, tri, u, v, cut)
+        if cfg.two_level:
+            inst = jnp.where(cut, h.inst, inst)
+        cut = cut & _hit_alpha_cut(
+            ds, tri, u, v, inst if cfg.two_level else None
+        )
+        return (i + 1, t, tri, u, v, inst, cut)
 
-    _, t, tri, u, v, cut = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), hit.t, hit.tri, hit.u, hit.v, cut0)
+    _, t, tri, u, v, inst, cut = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), hit.t, hit.tri, hit.u, hit.v, inst0, cut0),
     )
     # hops exhausted while still cut: treat as opaque (reference behavior)
+    if cfg.two_level:
+        return tlas_mod.TwoLevelHit(t=t, tri=tri, u=u, v=v, inst=inst)
     return Hit(t=t, tri=tri, u=u, v=v)
 
 
@@ -407,8 +425,7 @@ def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3, rd: Vec3,
                    t_min, t_max):
     """Shadow-ray visibility honoring alpha cutouts (any_hit.rahit): walks
     candidate hits until a solid blocker or segment end."""
-    if cfg.two_level:
-        # alpha cutouts are resolved in the flattened path only for now
+    if cfg.two_level and not (cfg.alpha_test and cfg.has_textures):
         return tlas_mod.occluded_two_level(
             ds.tlas, v3.to_array(ro), v3.to_array(rd), t_min, t_max
         )
@@ -431,7 +448,9 @@ def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3, rd: Vec3,
 
     hit = _closest_hit_dispatch(ds, cfg, ro, rd, t_min, t_max)
     in_seg = (hit.tri >= 0) & (hit.t < t_max)
-    cut0 = _hit_alpha_cut(ds, hit.tri, hit.u, hit.v)
+    cut0 = _hit_alpha_cut(
+        ds, hit.tri, hit.u, hit.v, hit.inst if cfg.two_level else None
+    )
     blocked0 = in_seg & ~cut0
     live0 = in_seg & cut0
 
@@ -446,7 +465,9 @@ def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3, rd: Vec3,
         nxt_tmax = jnp.where(live, t_max, 0.0)
         h = _closest_hit_dispatch(ds, cfg, ro, rd, nxt_tmin, nxt_tmax)
         in_seg = (h.tri >= 0) & (h.t < t_max) & live
-        cut = _hit_alpha_cut(ds, h.tri, h.u, h.v)
+        cut = _hit_alpha_cut(
+            ds, h.tri, h.u, h.v, h.inst if cfg.two_level else None
+        )
         blocked = blocked | (in_seg & ~cut)
         live = in_seg & cut
         t = jnp.where(live, h.t, t)
@@ -680,24 +701,15 @@ def trace_paths(
             else:
                 # XLA fallback / alpha-test / two-level paths: same
                 # deferred structure, separate traversals (bit-identical)
-                if cfg.two_level:
-                    hit = tlas_mod.closest_hit_two_level(
-                        ds.tlas, v3.to_array(ro), v3.to_array(rd),
-                        t_min=t_min, t_max=tmax_eff,
-                    )
-                else:
-                    hit = closest_hit_alpha(ds, cfg, ro, rd, t_min, tmax_eff)
+                hit = closest_hit_alpha(ds, cfg, ro, rd, t_min, tmax_eff)
                 blocked = occluded_alpha(
                     ds, cfg, ro, nd, t_min=ntmin, t_max=ntmax_eff
                 )
             illum = v3.where(ntraced & ~blocked, illum + ncontrib, illum)
             pend = empty_pend
-        elif cfg.two_level:
-            hit = tlas_mod.closest_hit_two_level(
-                ds.tlas, v3.to_array(ro), v3.to_array(rd),
-                t_min=t_min, t_max=tmax_eff,
-            )
         else:
+            # two-level dispatch (incl. alpha-tested candidate walks)
+            # happens inside closest_hit_alpha
             hit = closest_hit_alpha(ds, cfg, ro, rd, t_min, tmax_eff)
         was_miss = hit.tri < 0
 

@@ -82,3 +82,25 @@ def test_opaque_texture_disables_alpha_path():
     lum = np.asarray(r.accum)[..., :3].sum(-1)
     # opaque quad covers the view of the wall entirely
     assert (lum < 3.0).all()
+
+
+def test_alpha_cutout_under_two_level():
+    """Alpha cutouts must also resolve through the BLAS/TLAS instanced
+    path (previously the two-level closest hit silently dropped the
+    candidate walk)."""
+    from realtimepathtracingresearchframework_tpu.backend.params import (
+        RenderBackendOptions,
+    )
+
+    r = Renderer()
+    r.initialize(16, 16)
+    r.configure_for(RenderBackendOptions(use_tlas=True))
+    r.set_scene(_alpha_scene(alpha_checker=True))
+    assert r._use_two_level and r._has_alpha
+    cam = OrientedCamera.look_at([0, 0, 3], [0, 0, -1], fovy=45)
+    r.render(FrameConfig(camera=cam, params=RenderParams(max_path_depth=1)))
+    lum = np.asarray(r.accum)[..., :3].sum(-1)
+    bright = lum > 3.0
+    assert bright.any(), "no rays punched through alpha cutouts under TLAS"
+    assert (~bright).any(), "solid texels did not block the wall"
+    assert 0.2 < bright.mean() < 0.8

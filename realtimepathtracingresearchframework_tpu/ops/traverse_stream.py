@@ -139,7 +139,17 @@ def pack_streamed(v0, e1, e2) -> StreamedBVHBuffers:
     cmin = np.zeros((S, 3), np.float32)
     cmax = np.zeros((S, 3), np.float32)
     for s, idx in enumerate(chunks):
-        tb = build_threaded_bvh(v0[idx], e1[idx], e2[idx], leaf_size=LEAF)
+        # binned SAH inside each subtree (fewer node visits per ray);
+        # SAH can overrun the fixed node/leaf budget on degenerate
+        # distributions — fall back to the balanced median split there
+        tb = build_threaded_bvh(
+            v0[idx], e1[idx], e2[idx], leaf_size=LEAF, builder="sah"
+        )
+        if (
+            tb.num_nodes > SUB_NODE_ROWS * 16
+            or tb.tri_rows.shape[0] // LEAF > SUB_LEAVES
+        ):
+            tb = build_threaded_bvh(v0[idx], e1[idx], e2[idx], leaf_size=LEAF)
         nn = tb.num_nodes
         assert nn <= SUB_NODE_ROWS * 16, f"subtree too big: {nn}"
         nodes = tb.nodes.copy()  # (nn, 8): skip/leaf_row bitcast in f32

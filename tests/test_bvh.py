@@ -138,3 +138,40 @@ def test_cornell_scene_flatten_and_trace():
     hit = traverse.closest_hit(bb, tris, ro, rd)
     assert hit.tri[0] >= 0
     assert float(hit.t[0]) == pytest.approx(5.0, abs=1e-3)
+
+
+def test_sah_builder_matches_morton_hits():
+    """The binned-SAH builder must produce the same closest hits as the
+    median-split builder (tree quality differs, results must not)."""
+    import jax.numpy as jnp
+
+    from realtimepathtracingresearchframework_tpu.ops.bvh import (
+        build_threaded_bvh,
+    )
+    from realtimepathtracingresearchframework_tpu.ops.traverse import (
+        closest_hit_threaded,
+        threaded_to_device,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    v0 = rng.uniform(0, 4, (n, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.08, (n, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.08, (n, 3)).astype(np.float32)
+
+    tb_m = build_threaded_bvh(v0, e1, e2, leaf_size=4, builder="morton")
+    tb_s = build_threaded_bvh(v0, e1, e2, leaf_size=4, builder="sah")
+
+    m = 1024
+    ro = rng.uniform(-0.5, 4.5, (m, 3)).astype(np.float32)
+    rd = rng.normal(0, 1, (m, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    hm = closest_hit_threaded(threaded_to_device(tb_m), jnp.asarray(ro), jnp.asarray(rd))
+    hs = closest_hit_threaded(threaded_to_device(tb_s), jnp.asarray(ro), jnp.asarray(rd))
+    tm, ts = np.asarray(hm.t), np.asarray(hs.t)
+    same = np.isclose(tm, ts, rtol=1e-5, atol=1e-6) | (
+        (np.asarray(hm.tri) < 0) & (np.asarray(hs.tri) < 0)
+    )
+    assert same.mean() > 0.999
+    # SAH trees should not be deeper than 2x the balanced tree
+    assert tb_s.depth < 2 * tb_m.depth + 16

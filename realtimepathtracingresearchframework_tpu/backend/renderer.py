@@ -750,6 +750,7 @@ class Renderer:
                 bump_scale=jnp.float32(config.scene_config.bump_scale),
                 aperture_radius=jnp.float32(params.aperture_radius),
                 focus_distance=jnp.float32(params.focus_distance),
+                pixel_radius=jnp.float32(params.pixel_radius),
             )
             self._fp_cache = (fkey, fp)
         # only the accumulation offset changes frame to frame: 1 transfer

@@ -289,6 +289,7 @@ class FrameParams(NamedTuple):
     bump_scale: jnp.ndarray = jnp.float32(1.0)  # SceneConfig.bump_scale
     aperture_radius: jnp.ndarray = jnp.float32(0.0)  # thin-lens DoF
     focus_distance: jnp.ndarray = jnp.float32(1.0)  # (render_params.glsl.h)
+    pixel_radius: jnp.ndarray = jnp.float32(1.0)  # mip footprint scale
 
 
 def _dot(a, b):
@@ -617,6 +618,7 @@ def trace_paths(
     rd,
     rng_state,
     lane_mask=None,
+    footprint0=None,
 ):
     """Trace a batch of paths; returns (rgb Vec3, alpha (N,), rays (N,)).
 
@@ -668,12 +670,14 @@ def trace_paths(
         deferred NEE contribution is applied here, before this bounce's
         sky/emitter terms, preserving the megakernel's accumulation
         order bit-exactly."""
+        (ro, rd, t_min, illum, throughput, active, prev_pdf,
+         bounce_count, total_t, rng_state, rays) = carry[:11]
+        _i = 11
         if cfg.wavefront:
-            (ro, rd, t_min, illum, throughput, active, prev_pdf,
-             bounce_count, total_t, rng_state, rays, pend) = carry
-        else:
-            (ro, rd, t_min, illum, throughput, active, prev_pdf,
-             bounce_count, total_t, rng_state, rays) = carry
+            pend = carry[_i]
+            _i += 1
+        if cfg.has_textures:
+            foot = carry[_i]
         rays = rays + active.astype(rays.dtype)  # per-lane ray counter
         tmax_eff = jnp.where(active, T_MAX, 0.0)
         if cfg.wavefront:
@@ -787,7 +791,21 @@ def trace_paths(
             if cfg.two_level:
                 # object-space density scales by 1/|s| in world units
                 density = density / jnp.maximum(ds.tlas.inst_scale[inst], 1e-8)
-            footprint_world = total_t * fp.pixel_spread
+            # transported ray-differential footprint -> surface-projected
+            # differentials (pt_megakernel.glsl:585-604): eigen-decompose
+            # the footprint, elongate along the grazing tangent, scale by
+            # path length. The atlas sampler is isotropic-mip, so the
+            # anisotropic duvdxy collapses to its dominant axis length.
+            dpdx, dpdy = _footprint_to_dpdxy_v(rd, *foot)
+            dt_un = rd - gn * v3.dot(rd, gn)
+            cos2 = jnp.maximum(1.0 - v3.dot(dt_un, dt_un), 0.0)
+            elong_s = 1.0 / jnp.maximum(jnp.sqrt(cos2) + cos2, 1e-6)
+            ex = dt_un * elong_s
+            dpdx_e = dpdx + ex * v3.dot(dpdx, dt_un)
+            dpdy_e = dpdy + ex * v3.dot(dpdy, dt_un)
+            footprint_world = (
+                jnp.maximum(v3.length(dpdx_e), v3.length(dpdy_e)) * total_t
+            )
 
             def tex_mip(tid):
                 base_w = ds.atlas.desc[jnp.maximum(tid, 0), 0, 1].astype(
@@ -855,18 +873,22 @@ def trace_paths(
                  bounce_count, total_t, rng_state, rays)
         if cfg.wavefront:
             carry = carry + (pend,)
+        if cfg.has_textures:
+            carry = carry + (foot,)
         ctx = (p, n_sh, gn, mat, w_o)
         return carry, ctx
 
     def scatter_tail(args):
         """NEE + BSDF sample + RR — skipped on the final bounce."""
         carry, ctx, bounce_i = args
+        (ro, rd, t_min, illum, throughput, active, prev_pdf,
+         bounce_count, total_t, rng_state, rays) = carry[:11]
+        _i = 11
         if cfg.wavefront:
-            (ro, rd, t_min, illum, throughput, active, prev_pdf,
-             bounce_count, total_t, rng_state, rays, pend) = carry
-        else:
-            (ro, rd, t_min, illum, throughput, active, prev_pdf,
-             bounce_count, total_t, rng_state, rays) = carry
+            pend = carry[_i]
+            _i += 1
+        if cfg.has_textures:
+            foot = carry[_i]
         p, n_sh, gn, mat, w_o = ctx
 
         # ---- RNG draws in reference order (shade_base_material.glsl:60-84)
@@ -927,6 +949,19 @@ def trace_paths(
         prev_pdf = jnp.where(keep, mis_wpdf, prev_pdf)
         active = keep
 
+        if cfg.has_textures:
+            # transport the texture footprint across the bounce
+            # (pt_megakernel.glsl:698-701)
+            do_ref = active & (
+                v3.dot(w_i, n_sh) * v3.dot(w_o, n_sh) > -0.999
+            )
+            ra, rb, rc = _reflect_footprint_v(w_i, rd, *foot)
+            foot = (
+                jnp.where(do_ref, ra, foot[0]),
+                jnp.where(do_ref, rb, foot[1]),
+                jnp.where(do_ref, rc, foot[2]),
+            )
+
         rd = v3.where(active, w_i, rd)
         ro = v3.where(active, p, ro)
         t_min = (v3.length(ro) + total_t) * RAY_EPSILON
@@ -952,6 +987,8 @@ def trace_paths(
                bounce_count, total_t, rng_state, rays)
         if cfg.wavefront:
             out = out + (pend,)
+        if cfg.has_textures:
+            out = out + (foot,)
         return out
 
     def bounce_body(i, carry_slot):
@@ -1004,6 +1041,14 @@ def trace_paths(
     )
     if cfg.wavefront:
         carry = carry + (empty_pend,)
+    if cfg.has_textures:
+        if footprint0 is None:
+            footprint0 = (zero, zero, zero)
+        else:
+            footprint0 = tuple(
+                jnp.broadcast_to(f, (n,)) for f in footprint0
+            )
+        carry = carry + (footprint0,)
     slot0 = jnp.arange(n, dtype=jnp.int32)
 
     if cfg.unroll:
@@ -1063,6 +1108,87 @@ def camera_rays_v(view: ViewBuffers, px, py, dims, j0, j1):
         jnp.broadcast_to(view.cam_pos[2], shape),
     )
     return ro, rd
+
+
+# ---------------------------------------------------------------------------
+# Ray-differential texture footprint (rt/footprint.glsl), SoA
+# ---------------------------------------------------------------------------
+
+
+def _dpdxy_to_footprint_v(rd: Vec3, dpdx: Vec3, dpdy: Vec3):
+    """dpdxy_to_footprint (footprint.glsl:10-15): the symmetric 2x2
+    covariance of the pixel differentials in the ray-perpendicular basis,
+    stored as (F00, F11, F01)."""
+    t, b = nee_mod.ortho_frame_v(rd)
+    tx, ty = v3.dot(t, dpdx), v3.dot(t, dpdy)
+    bx, by = v3.dot(b, dpdx), v3.dot(b, dpdy)
+    return tx * tx + ty * ty, bx * bx + by * by, tx * bx + ty * by
+
+
+def _footprint_to_dpdxy_v(rd: Vec3, fa, fb, fc):
+    """footprint_to_dpdxy (footprint.glsl:44-61): eigen-decompose F back
+    into two world-space differential vectors."""
+    B = fa + fb
+    C = fa * fb - fc * fc
+    D = jnp.sqrt(jnp.maximum(B * B * 0.25 - C, 0.0))
+    ev0 = 0.5 * B - D
+    ev1 = 0.5 * B + D
+    use = jnp.abs(fc) > 3.0e-39
+    x0x = jnp.where(use, fc, 1.0)
+    x0y = jnp.where(use, ev0 - fa, 0.0)
+    x1x = jnp.where(use, ev1 - fb, 0.0)
+    x1y = jnp.where(use, fc, 1.0)
+    inv0 = 1.0 / jnp.maximum(jnp.sqrt(x0x * x0x + x0y * x0y), 1e-30)
+    inv1 = 1.0 / jnp.maximum(jnp.sqrt(x1x * x1x + x1y * x1y), 1e-30)
+    s0 = jnp.sqrt(jnp.maximum(ev0, 0.0)) * inv0
+    s1 = jnp.sqrt(jnp.maximum(ev1, 0.0)) * inv1
+    t, b = nee_mod.ortho_frame_v(rd)
+    dpdx = Vec3(
+        (t.x * x0x + b.x * x0y) * s0,
+        (t.y * x0x + b.y * x0y) * s0,
+        (t.z * x0x + b.z * x0y) * s0,
+    )
+    dpdy = Vec3(
+        (t.x * x1x + b.x * x1y) * s1,
+        (t.y * x1x + b.y * x1y) * s1,
+        (t.z * x1x + b.z * x1y) * s1,
+    )
+    return dpdx, dpdy
+
+
+def _reflect_footprint_v(w_i: Vec3, rd: Vec3, fa, fb, fc):
+    """reflect_footprint (footprint.glsl:37-42): mirror the footprint
+    across the half-vector and re-express it in the new ray's basis."""
+    n = v3.normalize(w_i - rd)
+    ts, bs = nee_mod.ortho_frame_v(rd)
+    rt = ts - n * (2.0 * v3.dot(n, ts))
+    rb = bs - n * (2.0 * v3.dot(n, bs))
+    td, bd = nee_mod.ortho_frame_v(w_i)
+    t00, t01 = v3.dot(td, rt), v3.dot(td, rb)
+    t10, t11 = v3.dot(bd, rt), v3.dot(bd, rb)
+    m00 = t00 * fa + t01 * fc
+    m01 = t00 * fc + t01 * fb
+    m10 = t10 * fa + t11 * fc
+    m11 = t10 * fc + t11 * fb
+    return (
+        m00 * t00 + m01 * t01,
+        m10 * t10 + m11 * t11,
+        m00 * t10 + m01 * t11,
+    )
+
+
+def camera_footprint0(cfg: IntegratorConfig, fp: FrameParams,
+                      view: ViewBuffers, dims, rd: Vec3):
+    """Initial texture footprint from the pixel differentials
+    (pt_megakernel.glsl:340-351): dpdx = cam_du/W * pixel_radius etc.
+    None unless the config traces textures."""
+    if not cfg.has_textures:
+        return None
+    sx = fp.pixel_radius / dims[0]
+    sy = fp.pixel_radius / dims[1]
+    dpdx = Vec3(view.cam_du[0] * sx, view.cam_du[1] * sx, view.cam_du[2] * sx)
+    dpdy = Vec3(view.cam_dv[0] * sy, view.cam_dv[1] * sy, view.cam_dv[2] * sy)
+    return _dpdxy_to_footprint_v(rd, dpdx, dpdy)
 
 
 def DIM_CAMERA_END(cfg: IntegratorConfig) -> int:
@@ -1195,7 +1321,10 @@ def render_tile(
             bufs=ds.rng,
         )
         state, ro, rd = camera_setup(ds, cfg, fp, view, px, py, dims, state)
-        rgb, alpha, nrays = trace_paths(ds, cfg, fp, ro, rd, state, lane_mask=valid)
+        rgb, alpha, nrays = trace_paths(
+            ds, cfg, fp, ro, rd, state, lane_mask=valid,
+            footprint0=camera_footprint0(cfg, fp, view, dims, rd),
+        )
         sample = (rgb.x, rgb.y, rgb.z, alpha)
         nrays = nrays.sum()
         start = c * chunk
@@ -1373,7 +1502,8 @@ def make_pass_fn(ds: DeviceScene, cfg: IntegratorConfig, width: int, height: int
         )
         state, ro, rd = camera_setup(ds, cfg, fp, view, px, py, dims, state)
         rgb, alpha, nrays = trace_paths(
-            ds, cfg, fp, ro, rd, state, lane_mask=valid
+            ds, cfg, fp, ro, rd, state, lane_mask=valid,
+            footprint0=camera_footprint0(cfg, fp, view, dims, rd),
         )
         w = 1.0 / (blend_k.astype(jnp.float32) + 1.0)
         fresh = blend_k == 0  # exact overwrite: a+(x-a)/1 rounds
@@ -1402,7 +1532,10 @@ def make_ray_stats_fn(ds: DeviceScene, cfg: IntegratorConfig, width: int, height
             bufs=ds.rng,
         )
         state, ro, rd = camera_setup(ds, cfg, fp, view, px, py, dims, state)
-        _, _, nrays = trace_paths(ds, cfg, fp, ro, rd, state, lane_mask=valid)
+        _, _, nrays = trace_paths(
+            ds, cfg, fp, ro, rd, state, lane_mask=valid,
+            footprint0=camera_footprint0(cfg, fp, view, dims, rd),
+        )
         return jnp.where(valid, nrays, 0)
 
     return stats_fn

@@ -401,6 +401,10 @@ def build_bvh_sah(
     limit = max(sys.getrecursionlimit(), 64 + 2 * int(np.ceil(np.log2(max(t, 2)))) * 64)
     sys.setrecursionlimit(limit)
 
+    # depth guard: SAH can chain skewed splits on adversarial input;
+    # beyond this bound force balanced median splits (log depth from there)
+    max_sah_depth = 2 * int(np.ceil(np.log2(max(t / leaf_size, 2)))) + 16
+
     def rec(idx, depth):
         if len(idx) <= leaf_size:
             return make_leaf(idx) + (depth,)
@@ -408,7 +412,7 @@ def build_bvh_sah(
         cmin_, cmax_ = c.min(axis=0), c.max(axis=0)
         ext = cmax_ - cmin_
         best = None  # (cost, axis, bin_split)
-        for axis in range(3):
+        for axis in range(3) if depth <= max_sah_depth else ():
             if ext[axis] <= 1e-12:
                 continue
             b = np.minimum(

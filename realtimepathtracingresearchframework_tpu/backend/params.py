@@ -109,7 +109,10 @@ class RenderBackendOptions:
     rng_variant: int = RNG_VARIANT_UNIFORM
     light_sampling_variant: int = LIGHT_SAMPLING_VARIANT_NONE
     light_sampling_bucket_count: int = 16
-    unroll_bounces: bool = False
+    # default ON: measured on v5e the statically unrolled bounce loop is
+    # ~2% faster AND compiles 5x quicker than the fori_loop form
+    # (DYNAMIC_LOOP_BOUNCES), 30s vs 157s cold at 1080p depth 9
+    unroll_bounces: bool = True
     render_upscale_factor: int = 1
     enable_rayqueries: bool = False
     force_bvh_rebuild: bool = False

@@ -1244,20 +1244,25 @@ def render_tile(
     spp: int,
     y0=0,
     tile_h: Optional[int] = None,
+    x0=0,
+    tile_w: Optional[int] = None,
 ):
-    """Render a horizontal tile: returns accum (tile_h, W, 4) = mean over the
-    spp batch (radiance, alpha). ``y0`` may be a traced value — this is the
-    unit of multi-chip work distribution (parallel/render_sharded.py), the
-    TPU equivalent of the reference's SIMT dispatch grid
-    (vulkan/setup_pixel_assignment.glsl)."""
+    """Render a pixel tile: returns accum (tile_h, tile_w, 4) = mean over
+    the spp batch (radiance, alpha). ``y0``/``x0`` may be traced — the
+    unit of multi-chip work distribution (parallel/render_sharded.py: 1-D
+    row bands or a 2-D (rows, cols) tile mesh), the TPU equivalent of the
+    reference's SIMT dispatch grid (vulkan/setup_pixel_assignment.glsl).
+    ``width``/``height`` stay the FULL frame dims (camera mapping + RNG
+    pixel keying are global)."""
     tile_h = tile_h if tile_h is not None else height
+    tile_w = tile_w if tile_w is not None else width
 
     # 16x16 pixel tiles -> 256-ray packets, the TPU analogue of the
     # reference's 32x16 workgroup + pixel swizzle
     # (vulkan/setup_pixel_assignment.glsl:18-25): packet-coherent primary
     # rays keep the shared-cursor traversal divergence low.
     ts = 16
-    bw = -(-width // ts)
+    bw = -(-tile_w // ts)
     bh = -(-tile_h // ts)
     n_rays = bw * bh * ts * ts
     # Precompute the swizzle tables on the host: leaving them as traced
@@ -1266,12 +1271,14 @@ def render_tile(
     idx = np.arange(n_rays)
     block = idx // (ts * ts)
     within = idx % (ts * ts)
-    px_np = (block % bw) * ts + within % ts
+    px_rel_np = (block % bw) * ts + within % ts
     py_rel_np = (block // bw) * ts + within // ts
-    valid_np = (px_np < width) & (py_rel_np < tile_h)
-    px_np = np.minimum(px_np, width - 1)
+    valid_np = (px_rel_np < tile_w) & (py_rel_np < tile_h)
+    px_rel_np = np.minimum(px_rel_np, tile_w - 1)
     py_rel_np = np.minimum(py_rel_np, tile_h - 1)
-    lin_np = np.where(valid_np, py_rel_np * width + px_np, tile_h * width)
+    lin_np = np.where(
+        valid_np, py_rel_np * tile_w + px_rel_np, tile_h * tile_w
+    )
 
     # Bound the in-flight ray count: all per-bounce intermediates (NEE bin
     # scoring is the worst at ~O(rays x bin_size) temporaries) scale with the
@@ -1286,12 +1293,12 @@ def render_tile(
             return arr
         return np.concatenate([arr, np.full(n_pad - n_rays, fill, arr.dtype)])
 
-    px_np = pad_to(px_np.astype(np.int32), 0)
+    px_rel_np = pad_to(px_rel_np.astype(np.int32), 0)
     py_rel_np = pad_to(py_rel_np.astype(np.int32), 0)
     valid_np = pad_to(valid_np, False)
-    lin_np = pad_to(lin_np.astype(np.int32), tile_h * width)
+    lin_np = pad_to(lin_np.astype(np.int32), tile_h * tile_w)
 
-    px_c = jnp.asarray(px_np.reshape(num_chunks, chunk))
+    px_c = jnp.asarray(px_rel_np.reshape(num_chunks, chunk)) + x0
     py_c = jnp.asarray(py_rel_np.reshape(num_chunks, chunk)) + y0
     valid_c = jnp.asarray(valid_np.reshape(num_chunks, chunk))
     dims = jnp.array([width, height], jnp.float32)
@@ -1302,7 +1309,7 @@ def render_tile(
     # frame is unswizzled with a single constant-index gather at the end;
     # a per-chunk scatter-add into pixel order was the frame-time hotspot
     # on TPU (scatters serialize, gathers pipeline).
-    inv_np = np.zeros(tile_h * width, np.int32)
+    inv_np = np.zeros(tile_h * tile_w, np.int32)
     inv_np[lin_np[valid_np]] = np.nonzero(valid_np)[0].astype(np.int32)
     inv = jnp.asarray(inv_np)
 
@@ -1345,7 +1352,7 @@ def render_tile(
     inv_spp = 1.0 / jnp.maximum(spp, 1).astype(jnp.float32)
     # one (N, 4) materialization per frame, at the very end
     acc = jnp.stack([a[inv] * inv_spp for a in acc_sw], axis=-1)
-    return acc.reshape(tile_h, width, 4), rays
+    return acc.reshape(tile_h, tile_w, 4), rays
 
 
 # ---------------------------------------------------------------------------

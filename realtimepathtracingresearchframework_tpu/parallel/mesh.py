@@ -16,12 +16,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 TILE_AXIS = "tiles"
+TILE_Y_AXIS = "tile_y"
+TILE_X_AXIS = "tile_x"
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis_name: str = TILE_AXIS) -> Mesh:
     """1-D mesh over all (or the given) devices."""
     devices = list(devices) if devices is not None else jax.devices()
     return Mesh(np.array(devices), (axis_name,))
+
+
+def make_mesh_2d(rows: int, cols: int,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """2-D (tile_y, tile_x) mesh: the pixel grid shards in both rows and
+    columns (SURVEY 5.8's 1-D/2-D mesh plan); on real hardware lay the
+    axes on the ICI torus dims."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if len(devices) < rows * cols:
+        raise ValueError(f"need {rows * cols} devices, have {len(devices)}")
+    grid = np.array(devices[: rows * cols]).reshape(rows, cols)
+    return Mesh(grid, (TILE_Y_AXIS, TILE_X_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

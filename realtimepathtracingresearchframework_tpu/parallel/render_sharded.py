@@ -28,7 +28,11 @@ from realtimepathtracingresearchframework_tpu.ops.integrator import (
     ViewBuffers,
     render_tile,
 )
-from realtimepathtracingresearchframework_tpu.parallel.mesh import TILE_AXIS
+from realtimepathtracingresearchframework_tpu.parallel.mesh import (
+    TILE_AXIS,
+    TILE_X_AXIS,
+    TILE_Y_AXIS,
+)
 
 
 def build_sharded_render(mesh, cfg: IntegratorConfig, width: int, height: int):
@@ -54,6 +58,41 @@ def build_sharded_render(mesh, cfg: IntegratorConfig, width: int, height: int):
         mesh=mesh,
         in_specs=(P(), P(), P(), P()),  # scene/params replicated
         out_specs=(P(TILE_AXIS), P()),  # framebuffer row-sharded
+        check_vma=False,
+    )
+    return jax.jit(shard)
+
+
+def build_sharded_render_2d(mesh, cfg: IntegratorConfig, width: int,
+                            height: int):
+    """2-D (tile_y, tile_x) sharding: each chip renders an
+    (H/rows, W/cols) pixel tile; the framebuffer is sharded in both dims
+    and ray counters psum over both axes. Scene replicated per chip."""
+    rows = mesh.shape[TILE_Y_AXIS]
+    cols = mesh.shape[TILE_X_AXIS]
+    if height % rows != 0 or width % cols != 0:
+        raise ValueError(
+            f"frame {width}x{height} not divisible by mesh {cols}x{rows}"
+        )
+    tile_h = height // rows
+    tile_w = width // cols
+
+    def per_device(ds, fp, view, spp):
+        iy = jax.lax.axis_index(TILE_Y_AXIS).astype(jnp.int32)
+        ix = jax.lax.axis_index(TILE_X_AXIS).astype(jnp.int32)
+        accum, rays = render_tile(
+            ds, cfg, fp, view, width, height, spp,
+            y0=iy * tile_h, tile_h=tile_h,
+            x0=ix * tile_w, tile_w=tile_w,
+        )
+        rays = jax.lax.psum(rays, (TILE_Y_AXIS, TILE_X_AXIS))
+        return accum, rays
+
+    shard = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(TILE_Y_AXIS, TILE_X_AXIS), P()),
         check_vma=False,
     )
     return jax.jit(shard)

@@ -74,3 +74,56 @@ def test_sharded_height_check():
     mesh = make_mesh()
     with pytest.raises(ValueError):
         build_sharded_render(mesh, cfg, 16, 12)  # 12 % 8 != 0
+
+
+def test_2d_mesh_matches_single_device():
+    """2-D (tile_y, tile_x) sharding must be bit-identical to the
+    single-device render (a pure work partition)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realtimepathtracingresearchframework_tpu.backend.params import (
+        RenderParams,
+    )
+    from realtimepathtracingresearchframework_tpu.backend.renderer import (
+        Renderer,
+    )
+    from realtimepathtracingresearchframework_tpu.models import procedural
+    from realtimepathtracingresearchframework_tpu.models.camera import (
+        OrientedCamera,
+    )
+    from realtimepathtracingresearchframework_tpu.models.scene import Scene
+    from realtimepathtracingresearchframework_tpu.ops import integrator as I
+    from realtimepathtracingresearchframework_tpu.parallel.mesh import (
+        make_mesh_2d,
+    )
+    from realtimepathtracingresearchframework_tpu.parallel.render_sharded import (
+        build_sharded_render_2d,
+    )
+
+    W, H = 64, 32
+    scene = Scene.from_vkr_scene(procedural.cornell_box())
+    r = Renderer()
+    r.initialize(W, H)
+    r.set_scene(scene)
+    cam = OrientedCamera.look_at([0, 1.0, 3.2], [0, 1.0, 0.0], fovy=50)
+    pos, du, dv, tl = cam.view_basis(W, H)
+    view = I.ViewBuffers(
+        jnp.asarray(pos), jnp.asarray(du), jnp.asarray(dv), jnp.asarray(tl)
+    )
+    fp = I.FrameParams(
+        rr_path_depth=jnp.int32(2),
+        glossy_only_mode=jnp.int32(0),
+        sample_offset=jnp.uint32(0),
+        shot_offset=jnp.uint32(0),
+    )
+    cfg = r._integrator_config(RenderParams(max_path_depth=3))
+
+    single, rays1 = I.render_tile(r.device_scene, cfg, fp, view, W, H, 1)
+
+    mesh = make_mesh_2d(2, 4)
+    f = build_sharded_render_2d(mesh, cfg, W, H)
+    sharded, rays2 = f(r.device_scene, fp, view, 1)
+
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
+    assert int(rays1) == int(rays2)

@@ -211,8 +211,13 @@ def main(argv=None) -> int:
     )
     config = FrameConfig(camera=camera, params=params)
     # async pipeline warmup (render_vulkan.cpp:139-155): overlap the jit
-    # compile of the hot pass program with remaining startup work
-    renderer.warmup_async(params)
+    # compile of the hot pass program with remaining startup work. Joined
+    # at exit — a daemon thread mid-compile during interpreter teardown
+    # crashes XLA's thread pool.
+    warmup_thread = renderer.warmup_async(params)
+    import atexit
+
+    atexit.register(lambda: warmup_thread.join(timeout=600))
 
     if args.validation:
         modes.run_validation(

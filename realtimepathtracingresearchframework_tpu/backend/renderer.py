@@ -133,6 +133,11 @@ class FrameConfig:
 class Renderer:
     """TPU render backend."""
 
+    # completion-sync cadence for the pipelined fast path (see render());
+    # render_time amortizes the window like the reference's 2-frame-
+    # delayed GPU timestamps
+    SYNC_INTERVAL = 8
+
     def __init__(self, device=None):
         self.device = device or jax.devices()[0]
         self.fb_width = 0
@@ -847,11 +852,32 @@ class Renderer:
                 int(params.early_tone_mapping_mode),
             )
             self._planar = True
-            jax.block_until_ready(self._acc_chunks[-1])
-            dt_ms = (time.perf_counter() - t0) * 1e3
+            # frames-in-flight: do NOT wait for completion here — on the
+            # relay even block_until_ready on donated buffers serializes
+            # dispatch with execution (measured 160 -> 127 ms/frame when
+            # pipelined). The only honest completion signal is a readback
+            # (~50 ms RPC), so timing follows the reference's
+            # delayed-timestamp design (render_vulkan.cpp:1974-1977):
+            # sync every SYNC_INTERVAL frames and amortize the window's
+            # wall clock into the per-frame render time.
             self._last_rays = rays_l  # device scalars; summed lazily
-            self._last_render_ms = dt_ms
-            self.timers.add(ProfilingMarker.RENDERING, dt_ms)
+            self._frames_since_sync = getattr(self, "_frames_since_sync", 0) + 1
+            now = time.perf_counter()
+            if not hasattr(self, "_win_t0"):
+                self._win_t0 = t0
+            if self._frames_since_sync >= self.SYNC_INTERVAL:
+                _ = np.asarray(self._acc_chunks[-1][0][0:1])  # completion
+                dt_ms = (
+                    (time.perf_counter() - self._win_t0)
+                    / self._frames_since_sync * 1e3
+                )
+                self._last_render_ms = dt_ms
+                self._frames_since_sync = 0
+                self._win_t0 = time.perf_counter()
+            elif self._last_render_ms <= 0.0:
+                # no estimate yet: dispatch wall (first frames)
+                self._last_render_ms = (now - t0) * 1e3
+            self.timers.add(ProfilingMarker.RENDERING, self._last_render_ms)
             self.timers.end_frame()
             self.frame_id += spp
             return self.stats()
@@ -951,6 +977,10 @@ class Renderer:
         self.timers.add(
             ProfilingMarker.READBACK, (time.perf_counter() - t0) * 1e3
         )
+        # a readback is a full completion barrier: restart the amortized
+        # frame-timing window so in-flight time isn't double counted
+        self._frames_since_sync = 0
+        self._win_t0 = time.perf_counter()
         return out
 
     def readback_accumulation(self) -> np.ndarray:

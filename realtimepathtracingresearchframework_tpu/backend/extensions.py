@@ -185,10 +185,18 @@ class BinnedLightsExtension(RenderExtension):
         tl = payload.get("emitters")
         if tl is None or tl.count == 0:
             return
-        payload["emitters"] = lights_mod.equalize_emitter_bins(
-            tl, self.backend.options.light_sampling_bucket_count
+        # clamp the bin width to the real emitter count: a 16-slot bin
+        # holding 2 lights + 14 zero-radiance pads selects identically
+        # (zero scores never win) but pays 8x the RIS scoring math per
+        # shadow-ray candidate on the VPU
+        bs = min(
+            int(self.backend.options.light_sampling_bucket_count),
+            max(int(tl.count), 1),
         )
+        payload["emitters"] = lights_mod.equalize_emitter_bins(tl, bs)
         payload["use_bins"] = True
+        payload["bin_size"] = bs
+        self.backend._effective_bin_size = bs
 
 
 # ---------------------------------------------------------------------------

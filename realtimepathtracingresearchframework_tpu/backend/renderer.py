@@ -693,7 +693,12 @@ class Renderer:
     def _integrator_config(self, params: RenderParams) -> IntegratorConfig:
         return IntegratorConfig(
             max_path_depth=int(params.max_path_depth),
-            light_bin_size=int(self.options.light_sampling_bucket_count),
+            light_bin_size=int(
+                getattr(
+                    self, "_effective_bin_size",
+                    self.options.light_sampling_bucket_count,
+                )
+            ),
             use_light_bins=bool(self._use_bins),
             num_lights=int(self._num_lights),
             stack_depth=0,  # unused: threaded traversal is stackless

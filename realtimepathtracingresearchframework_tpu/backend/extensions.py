@@ -29,7 +29,6 @@ from realtimepathtracingresearchframework_tpu.backend.params import (
     LIGHT_SAMPLING_VARIANT_RIS,
     RNG_VARIANT_BN,
     RNG_VARIANT_SOBOL,
-    RNG_VARIANT_UNIFORM,
     RNG_VARIANT_Z_SBL,
     RenderBackendOptions,
 )

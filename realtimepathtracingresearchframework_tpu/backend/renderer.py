@@ -30,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from realtimepathtracingresearchframework_tpu.backend.params import (
-    LIGHT_SAMPLING_VARIANT_RIS,
     REPROJECTION_MODE_ACCUMULATE,
     REPROJECTION_MODE_DISCARD_HISTORY,
     RNG_VARIANT_UNIFORM,
@@ -67,7 +66,7 @@ from realtimepathtracingresearchframework_tpu.ops.traverse import (
     closest_hit_threaded,
     threaded_to_device,
 )
-from realtimepathtracingresearchframework_tpu.utils.error_io import info, warning
+from realtimepathtracingresearchframework_tpu.utils.error_io import warning
 from realtimepathtracingresearchframework_tpu.utils.profiling import (
     DeviceTimers,
     ProfilingMarker,

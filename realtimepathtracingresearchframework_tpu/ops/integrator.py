@@ -37,7 +37,6 @@ import numpy as np
 from realtimepathtracingresearchframework_tpu.models.material import (
     BASE_MATERIAL_NOALPHA,
     BASE_MATERIAL_ONESIDED,
-    BASE_MATERIAL_VOLUME,
 )
 from realtimepathtracingresearchframework_tpu.models.sky import (
     SkyParams,
@@ -45,7 +44,6 @@ from realtimepathtracingresearchframework_tpu.models.sky import (
 )
 from realtimepathtracingresearchframework_tpu.ops import nee as nee_mod
 from realtimepathtracingresearchframework_tpu.ops import pointsets
-from realtimepathtracingresearchframework_tpu.ops import rng as rng_mod
 from realtimepathtracingresearchframework_tpu.ops import vec3 as v3
 from realtimepathtracingresearchframework_tpu.ops.vec3 import Vec3
 from realtimepathtracingresearchframework_tpu.ops.bsdf_gltf import (
@@ -61,7 +59,6 @@ from realtimepathtracingresearchframework_tpu.ops.traverse import (
     closest_hit_threaded,
     occluded_threaded,
 )
-from realtimepathtracingresearchframework_tpu.ops.smallgather import select_rows
 from realtimepathtracingresearchframework_tpu.ops import tlas as tlas_mod
 from realtimepathtracingresearchframework_tpu.ops import traverse_pallas
 from realtimepathtracingresearchframework_tpu.ops.texture_atlas import (

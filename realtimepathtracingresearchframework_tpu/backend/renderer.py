@@ -135,7 +135,7 @@ class Renderer:
     # completion-sync cadence for the pipelined fast path (see render());
     # render_time amortizes the window like the reference's 2-frame-
     # delayed GPU timestamps
-    SYNC_INTERVAL = 8
+    SYNC_INTERVAL = 16
 
     def __init__(self, device=None):
         self.device = device or jax.devices()[0]

@@ -108,6 +108,9 @@ def run_profiling_keyframed(
     bi = benchmark or BenchmarkInfo()
     bi.open_csv(prefix + ".csv")
     ims.pad_frames(1)  # ensure >=1 keyframe pair (main.cpp:146-148)
+    # honest per-frame completion timing for the CSV (the amortized
+    # pipelined estimate is for interactive/bench throughput)
+    prev_interval, renderer.sync_interval = renderer.sync_interval, 1
 
     t = 0.0
     dt = 1.0 / fps
@@ -137,6 +140,7 @@ def run_profiling_keyframed(
             break
         t += dt
 
+    renderer.sync_interval = prev_interval
     if save_keyframe_images:
         save_framebuffer(f"{prefix}_kf{ims.current_keyframe():03d}", renderer, fmt)
     bi.close_csv()
@@ -270,6 +274,7 @@ def run_profiling(
     """
     bi = benchmark or BenchmarkInfo()
     bi.open_csv(prefix + ".csv")
+    prev_interval, renderer.sync_interval = renderer.sync_interval, 1
     if keyframe_times is None:
         keyframe_times = [float(i) for i in range(len(configs))]
     end_time = keyframe_times[-1] + (
@@ -299,6 +304,7 @@ def run_profiling(
         bi.write_csv(ki, frames_accumulated, stats.render_time, app_ms)
         t += dt
 
+    renderer.sync_interval = prev_interval
     if save_keyframe_images:
         save_framebuffer(f"{prefix}_kf{ki:03d}", renderer, fmt)
     bi.close_csv()

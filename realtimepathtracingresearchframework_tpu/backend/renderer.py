@@ -193,6 +193,7 @@ class Renderer:
         self._last_upscale = 1
         self._frame_id_at_render = 0
         self._u32_cache: Dict[int, jnp.ndarray] = {}
+        self.sync_interval = self.SYNC_INTERVAL
 
     def _u32_const(self, v: int):
         """Cached device u32 scalar (recurring per-frame operands would
@@ -865,22 +866,28 @@ class Renderer:
             # sync every SYNC_INTERVAL frames and amortize the window's
             # wall clock into the per-frame render time.
             self._last_rays = rays_l  # device scalars; summed lazily
-            self._frames_since_sync = getattr(self, "_frames_since_sync", 0) + 1
             now = time.perf_counter()
             if not hasattr(self, "_win_t0"):
-                self._win_t0 = t0
-            if self._frames_since_sync >= self.SYNC_INTERVAL:
-                _ = np.asarray(self._acc_chunks[-1][0][0:1])  # completion
-                dt_ms = (
-                    (time.perf_counter() - self._win_t0)
-                    / self._frames_since_sync * 1e3
-                )
-                self._last_render_ms = dt_ms
+                # first fast-path frame likely paid the jit compile:
+                # report its dispatch wall but exclude it from the window
+                self._win_t0 = now
                 self._frames_since_sync = 0
-                self._win_t0 = time.perf_counter()
-            elif self._last_render_ms <= 0.0:
-                # no estimate yet: dispatch wall (first frames)
+                self._timing_synced = False
                 self._last_render_ms = (now - t0) * 1e3
+            else:
+                self._frames_since_sync += 1
+                if self._frames_since_sync >= self.sync_interval:
+                    _ = np.asarray(self._acc_chunks[-1][0][0:1])  # completion
+                    self._last_render_ms = (
+                        (time.perf_counter() - self._win_t0)
+                        / self._frames_since_sync * 1e3
+                    )
+                    self._timing_synced = True
+                    self._frames_since_sync = 0
+                    self._win_t0 = time.perf_counter()
+                elif not self._timing_synced:
+                    # pre-first-sync: provisional dispatch wall
+                    self._last_render_ms = (now - t0) * 1e3
             self.timers.add(ProfilingMarker.RENDERING, self._last_render_ms)
             self.timers.end_frame()
             self.frame_id += spp

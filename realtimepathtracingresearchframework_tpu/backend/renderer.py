@@ -477,8 +477,10 @@ class Renderer:
             return "xla"
         if os.environ.get("RPTR_FORCE_STREAMED_TRAVERSAL"):
             return "streamed"
-        # ~64B/tri row in VMEM; cap well under the 16MB core budget
-        return "pallas" if num_tris <= 150_000 else "streamed"
+        # the resident kernel's node table must fit the ~1 MB SMEM window:
+        # 2*ceil(tris/128)-1 nodes x 32 B caps out near 98k tris (measured
+        # compile failure at 2113 nodes); 90k leaves margin
+        return "pallas" if num_tris <= 90_000 else "streamed"
 
     def _build_tlas_buffers(self, transforms):
         """TLAS + instance tables for one frame (the TLAS rebuild/refit of

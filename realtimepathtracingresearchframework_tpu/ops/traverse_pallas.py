@@ -17,9 +17,12 @@ cursor per ray packet:
 - per-node culling uses the conservative packet max (``cap``).
 
 The packet shares one cursor — the reference's 32x16-workgroup lockstep
-model (pt_megakernel.glsl:369-388) made explicit. Scenes fit while
-``nodes*32B`` fits SMEM and ``tris*64B`` fits VMEM (~150k tris); larger
-scenes use the HBM-streamed kernel (ops/traverse_stream.py).
+model (pt_megakernel.glsl:369-388) made explicit. Scenes fit while the
+node table fits the ~1 MB SMEM window (measured: 2113 nodes fail ->
+~98k tris at leaf 128; the renderer gates at 90k); larger scenes use the
+HBM-streamed kernel (ops/traverse_stream.py), which measures within ~3%
+of the resident kernel at equal scene size (80k-tri terrain: 126.4 vs
+129.8 ms per 262K primaries — the subtree DMA machinery is ~free).
 """
 
 from __future__ import annotations

@@ -111,36 +111,38 @@ def run_profiling_keyframed(
     # honest per-frame completion timing for the CSV (the amortized
     # pipelined estimate is for interactive/bench throughput)
     prev_interval, renderer.sync_interval = renderer.sync_interval, 1
+    try:
+        t = 0.0
+        dt = 1.0 / fps
+        frames_accumulated = 0
+        while True:
+            if ims.have_new_settings(t):
+                if save_keyframe_images and frames_accumulated > 0:
+                    save_framebuffer(
+                        f"{prefix}_kf{ims.current_keyframe():03d}",
+                        renderer, fmt,
+                    )
+                ims.handled_new_settings()
+                renderer.reset_accumulation()
+                frames_accumulated = 0
+                if scene_config_cb:
+                    scene_config_cb(bundle)
 
-    t = 0.0
-    dt = 1.0 / fps
-    frames_accumulated = 0
-    while True:
-        if ims.have_new_settings(t):
-            if save_keyframe_images and frames_accumulated > 0:
-                save_framebuffer(
-                    f"{prefix}_kf{ims.current_keyframe():03d}", renderer, fmt
-                )
-            ims.handled_new_settings()
-            renderer.reset_accumulation()
-            frames_accumulated = 0
-            if scene_config_cb:
-                scene_config_cb(bundle)
+            t0 = time.perf_counter()
+            stats = renderer.render(bundle.frame_config())
+            app_ms = (time.perf_counter() - t0) * 1e3
+            frames_accumulated += 1
+            bi.aggregate_frame(stats.render_time, app_ms)
+            bi.write_csv(
+                ims.current_keyframe(), frames_accumulated,
+                stats.render_time, app_ms,
+            )
 
-        t0 = time.perf_counter()
-        stats = renderer.render(bundle.frame_config())
-        app_ms = (time.perf_counter() - t0) * 1e3
-        frames_accumulated += 1
-        bi.aggregate_frame(stats.render_time, app_ms)
-        bi.write_csv(
-            ims.current_keyframe(), frames_accumulated, stats.render_time, app_ms
-        )
-
-        if ims.last_keyframe_coming_up(t) and not ims.have_new_settings(t):
-            break
-        t += dt
-
-    renderer.sync_interval = prev_interval
+            if ims.last_keyframe_coming_up(t) and not ims.have_new_settings(t):
+                break
+            t += dt
+    finally:
+        renderer.sync_interval = prev_interval
     if save_keyframe_images:
         save_framebuffer(f"{prefix}_kf{ims.current_keyframe():03d}", renderer, fmt)
     bi.close_csv()
@@ -275,36 +277,39 @@ def run_profiling(
     bi = benchmark or BenchmarkInfo()
     bi.open_csv(prefix + ".csv")
     prev_interval, renderer.sync_interval = renderer.sync_interval, 1
-    if keyframe_times is None:
-        keyframe_times = [float(i) for i in range(len(configs))]
-    end_time = keyframe_times[-1] + (
-        keyframe_times[-1] - keyframe_times[-2] if len(keyframe_times) > 1 else 1.0
-    )
-
-    t = 0.0
-    ki = 0
-    frames_accumulated = 0
-    dt = 1.0 / fps
-    while t < end_time:
-        new_ki = max(
-            [i for i, kt in enumerate(keyframe_times) if kt <= t], default=0
+    try:
+        if keyframe_times is None:
+            keyframe_times = [float(i) for i in range(len(configs))]
+        end_time = keyframe_times[-1] + (
+            keyframe_times[-1] - keyframe_times[-2]
+            if len(keyframe_times) > 1 else 1.0
         )
-        if new_ki != ki:
-            if save_keyframe_images:
-                save_framebuffer(f"{prefix}_kf{ki:03d}", renderer, fmt)
-            ki = new_ki
-            renderer.reset_accumulation()
-            frames_accumulated = 0
 
-        t0 = time.perf_counter()
-        stats = renderer.render(configs[ki])
-        app_ms = (time.perf_counter() - t0) * 1e3
-        frames_accumulated += 1
-        bi.aggregate_frame(stats.render_time, app_ms)
-        bi.write_csv(ki, frames_accumulated, stats.render_time, app_ms)
-        t += dt
+        t = 0.0
+        ki = 0
+        frames_accumulated = 0
+        dt = 1.0 / fps
+        while t < end_time:
+            new_ki = max(
+                [i for i, kt in enumerate(keyframe_times) if kt <= t],
+                default=0,
+            )
+            if new_ki != ki:
+                if save_keyframe_images:
+                    save_framebuffer(f"{prefix}_kf{ki:03d}", renderer, fmt)
+                ki = new_ki
+                renderer.reset_accumulation()
+                frames_accumulated = 0
 
-    renderer.sync_interval = prev_interval
+            t0 = time.perf_counter()
+            stats = renderer.render(configs[ki])
+            app_ms = (time.perf_counter() - t0) * 1e3
+            frames_accumulated += 1
+            bi.aggregate_frame(stats.render_time, app_ms)
+            bi.write_csv(ki, frames_accumulated, stats.render_time, app_ms)
+            t += dt
+    finally:
+        renderer.sync_interval = prev_interval
     if save_keyframe_images:
         save_framebuffer(f"{prefix}_kf{ki:03d}", renderer, fmt)
     bi.close_csv()

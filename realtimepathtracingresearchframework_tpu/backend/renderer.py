@@ -194,6 +194,8 @@ class Renderer:
         self._frame_id_at_render = 0
         self._u32_cache: Dict[int, jnp.ndarray] = {}
         self.sync_interval = self.SYNC_INTERVAL
+        self._frames_since_sync = 0
+        self._timing_synced = False
 
     def _u32_const(self, v: int):
         """Cached device u32 scalar (recurring per-frame operands would
@@ -990,8 +992,15 @@ class Renderer:
         self.timers.add(
             ProfilingMarker.READBACK, (time.perf_counter() - t0) * 1e3
         )
-        # a readback is a full completion barrier: restart the amortized
-        # frame-timing window so in-flight time isn't double counted
+        # a readback is a full completion barrier: fold the elapsed window
+        # into the per-frame estimate (so per-frame-readback consumers
+        # like the viewer get true completion timing) and restart it
+        if self._frames_since_sync > 0 and hasattr(self, "_win_t0"):
+            self._last_render_ms = (
+                (time.perf_counter() - self._win_t0)
+                / self._frames_since_sync * 1e3
+            )
+            self._timing_synced = True
         self._frames_since_sync = 0
         self._win_t0 = time.perf_counter()
         return out

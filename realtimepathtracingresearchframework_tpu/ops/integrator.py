@@ -913,6 +913,7 @@ def trace_paths(
             )
             scaled = throughput * cand.contrib
             illum = v3.where(cand.uncond & active, illum + scaled, illum)
+            had_nee = active  # lanes owning a queued occlusion ray
             pend = (
                 cand.dir,
                 cand.eps,
@@ -960,7 +961,14 @@ def trace_paths(
             )
 
         rd = v3.where(active, w_i, rd)
-        ro = v3.where(active, p, ro)
+        if cfg.wavefront:
+            # the deferred NEE occlusion ray of the NEXT visit starts at
+            # THIS hit point — including lanes whose path just terminated
+            # (their pend.traced is still set); dead lanes' ro is
+            # otherwise unused, so moving it to p is safe
+            ro = v3.where(active | had_nee, p, ro)
+        else:
+            ro = v3.where(active, p, ro)
         t_min = (v3.length(ro) + total_t) * RAY_EPSILON
 
         # ---- Russian roulette (pt_megakernel.glsl:713-730)
@@ -988,8 +996,7 @@ def trace_paths(
             out = out + (foot,)
         return out
 
-    def bounce_body(i, carry_slot):
-        carry, slot = carry_slot
+    def bounce_body(i, carry):
 
         def live_body(carry):
             carry, ctx = visit_hit(carry)
@@ -1016,7 +1023,7 @@ def trace_paths(
         if cfg.wavefront:
             live = live | jnp.any(carry[11][4])
         carry = jax.lax.cond(live, live_body, lambda c: c, carry)
-        return carry, slot
+        return carry
 
     active0 = (
         jnp.ones((n,), bool) if lane_mask is None else jnp.asarray(lane_mask)
@@ -1046,26 +1053,24 @@ def trace_paths(
                 jnp.broadcast_to(f, (n,)) for f in footprint0
             )
         carry = carry + (footprint0,)
-    slot0 = jnp.arange(n, dtype=jnp.int32)
-
     if cfg.unroll:
-        cs = (carry, slot0)
         for i in range(cfg.max_path_depth):
-            cs = bounce_body(i, cs)
-        carry, slot = cs
+            carry = bounce_body(i, carry)
     else:
-        carry, slot = jax.lax.fori_loop(
-            0, cfg.max_path_depth, bounce_body, (carry, slot0)
-        )
+        carry = jax.lax.fori_loop(0, cfg.max_path_depth, bounce_body, carry)
 
+    illum = carry[3]
+    bounce_count = carry[7]
+    rays_traced = carry[10]
     if cfg.wavefront:
         # flush: the last bounce may have queued NEE occlusion rays that
         # no further visit_hit resolved (only reachable when the loop ran
         # a scatter_tail on its final iteration, i.e. never with the
         # standard depth schedule, but kept for safety — a scalar cond
-        # skips the dispatch entirely when the queue is empty)
-        (ro_f, rd_f, t_min_f, illum, throughput_f, active_f, prev_pdf_f,
-         bc_f, tt_f, rng_f, rays_traced, pend) = carry
+        # skips the dispatch entirely when the queue is empty). Index
+        # unpack: the carry may also hold the texture footprint after pend.
+        ro_f = carry[0]
+        pend = carry[11]
         nd, ntmin, ntmax, ncontrib, ntraced = pend
 
         def flush(illum):
@@ -1076,11 +1081,6 @@ def trace_paths(
             return v3.where(ntraced & ~blocked, illum + ncontrib, illum)
 
         illum = jax.lax.cond(jnp.any(ntraced), flush, lambda x: x, illum)
-        bounce_count = bc_f
-    else:
-        illum = carry[3]
-        bounce_count = carry[7]
-        rays_traced = carry[10]
     alpha = jnp.where(bounce_count == 0, 0.0, 1.0)
     return illum, alpha, rays_traced
 

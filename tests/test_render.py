@@ -181,3 +181,36 @@ def test_wavefront_matches_megakernel(cornell_renderer):
     assert result.passed, f"max rel err {result.max_rel_error:.3e}"
     # alpha is untouched by NEE restructuring: exact
     np.testing.assert_array_equal(mega[..., 3], wave[..., 3])
+
+
+def test_wavefront_renders_textured_scene():
+    """Regression: the wavefront carry holds BOTH the pending-NEE queue
+    and the texture footprint; the post-loop flush must unpack by index
+    (a fixed-arity unpack crashed on any textured scene)."""
+    from realtimepathtracingresearchframework_tpu.backend.renderer import (
+        Renderer,
+        VARIANT_WAVEFRONT,
+    )
+    from realtimepathtracingresearchframework_tpu.models import procedural
+    from realtimepathtracingresearchframework_tpu.models.scene import Scene
+    from realtimepathtracingresearchframework_tpu.models.texture import (
+        Texture,
+        build_mip_chain,
+    )
+
+    sv = procedural.cornell_box()
+    tex = np.zeros((8, 8, 4), np.float32)
+    tex[..., 0] = 0.8
+    tex[..., 3] = 1.0
+    sv.materials[0].tex_base_color = Texture(
+        8, 8, 37, mips=build_mip_chain(tex), srgb=False
+    )
+    r = Renderer()
+    r.initialize(24, 24)
+    r.set_scene(Scene.from_vkr_scene(sv))
+    assert r._has_textures
+    r.set_variant(VARIANT_WAVEFRONT)
+    r.render(FrameConfig(camera=_cam(), params=RenderParams(max_path_depth=3)))
+    img = r.readback_accumulation()
+    assert np.isfinite(img).all()
+    assert img[..., :3].mean() > 0.01

@@ -18,17 +18,15 @@ starts the viewer unless --disable-ui is given.
 
 from __future__ import annotations
 
-import io
 import json
-import struct
 import threading
 import time
-import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
 
+from realtimepathtracingresearchframework_tpu.utils import image_io
 from realtimepathtracingresearchframework_tpu.utils.error_io import info
 
 _PAGE = """<!DOCTYPE html>
@@ -76,26 +74,9 @@ pump();
 
 
 def _encode_png(px: np.ndarray) -> bytes:
-    """uint8/float (H, W, 3|4) -> PNG bytes (same encoder as
-    utils/image_io.write_png, in memory, fast compression)."""
-    if px.dtype != np.uint8:
-        px = np.clip(np.round(px * 255.0), 0, 255).astype(np.uint8)
-    h, w, c = px.shape
-    color_type = {1: 0, 3: 2, 4: 6}[c]
-    raw = b"".join(b"\0" + px[y].tobytes() for y in range(h))
-
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        body = tag + data
-        return struct.pack(">I", len(data)) + body + struct.pack(
-            ">I", zlib.crc32(body) & 0xFFFFFFFF
-        )
-
-    out = io.BytesIO()
-    out.write(b"\x89PNG\r\n\x1a\n")
-    out.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)))
-    out.write(chunk(b"IDAT", zlib.compress(raw, 1)))
-    out.write(chunk(b"IEND", b""))
-    return out.getvalue()
+    """uint8/float (H, W, 3|4) -> PNG bytes (fast compression for the
+    live frame stream)."""
+    return image_io.encode_png(px, compress_level=1)
 
 
 class _ViewerState:

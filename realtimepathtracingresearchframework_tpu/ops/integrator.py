@@ -1258,56 +1258,20 @@ def render_tile(
     # reference's 32x16 workgroup + pixel swizzle
     # (vulkan/setup_pixel_assignment.glsl:18-25): packet-coherent primary
     # rays keep the shared-cursor traversal divergence low.
-    ts = 16
-    bw = -(-tile_w // ts)
-    bh = -(-tile_h // ts)
-    n_rays = bw * bh * ts * ts
-    # Precompute the swizzle tables on the host: leaving them as traced
-    # arange-chains makes XLA constant-fold them element by element, which
-    # dominates compile time at 1080p.
-    idx = np.arange(n_rays)
-    block = idx // (ts * ts)
-    within = idx % (ts * ts)
-    px_rel_np = (block % bw) * ts + within % ts
-    py_rel_np = (block // bw) * ts + within // ts
-    valid_np = (px_rel_np < tile_w) & (py_rel_np < tile_h)
-    px_rel_np = np.minimum(px_rel_np, tile_w - 1)
-    py_rel_np = np.minimum(py_rel_np, tile_h - 1)
-    lin_np = np.where(
-        valid_np, py_rel_np * tile_w + px_rel_np, tile_h * tile_w
-    )
-
-    # Bound the in-flight ray count: all per-bounce intermediates (NEE bin
-    # scoring is the worst at ~O(rays x bin_size) temporaries) scale with the
-    # pass size, so large framebuffers run as sequential passes — the
-    # analogue of the reference's bounded dispatch grid.
-    chunk = min(n_rays, RAYS_PER_PASS)
-    n_pad = n_rays + ((-n_rays) % chunk)
-    num_chunks = n_pad // chunk
-
-    def pad_to(arr, fill):
-        if n_pad == n_rays:
-            return arr
-        return np.concatenate([arr, np.full(n_pad - n_rays, fill, arr.dtype)])
-
-    px_rel_np = pad_to(px_rel_np.astype(np.int32), 0)
-    py_rel_np = pad_to(py_rel_np.astype(np.int32), 0)
-    valid_np = pad_to(valid_np, False)
-    lin_np = pad_to(lin_np.astype(np.int32), tile_h * tile_w)
-
-    px_c = jnp.asarray(px_rel_np.reshape(num_chunks, chunk)) + x0
-    py_c = jnp.asarray(py_rel_np.reshape(num_chunks, chunk)) + y0
-    valid_c = jnp.asarray(valid_np.reshape(num_chunks, chunk))
-    dims = jnp.array([width, height], jnp.float32)
-
-    # inverse swizzle (host-constant): pixel j's accumulator slot in the
-    # swizzle-ordered buffer. Chunks accumulate CONTIGUOUSLY (one
+    #
+    # Chunks accumulate CONTIGUOUSLY in swizzle order (one
     # dynamic_update_slice per pass — an in-place row-block write) and the
     # frame is unswizzled with a single constant-index gather at the end;
     # a per-chunk scatter-add into pixel order was the frame-time hotspot
     # on TPU (scatters serialize, gathers pipeline).
-    inv_np = np.zeros(tile_h * tile_w, np.int32)
-    inv_np[lin_np[valid_np]] = np.nonzero(valid_np)[0].astype(np.int32)
+    px_rel_np, py_rel_np, valid_np, _lin, inv_np, num_chunks, chunk = (
+        _swizzle_host(tile_w, tile_h)
+    )
+    n_pad = num_chunks * chunk
+    px_c = jnp.asarray(px_rel_np.reshape(num_chunks, chunk)) + x0
+    py_c = jnp.asarray(py_rel_np.reshape(num_chunks, chunk)) + y0
+    valid_c = jnp.asarray(valid_np.reshape(num_chunks, chunk))
+    dims = jnp.array([width, height], jnp.float32)
     inv = jnp.asarray(inv_np)
 
     def one_pass(i, carry):
@@ -1360,6 +1324,49 @@ _TABLE_CACHE: dict = {}
 _MAP_CACHE: dict = {}
 
 
+def _swizzle_host(tile_w: int, tile_h: int):
+    """The single host-side construction of the 16x16 packet swizzle for a
+    (tile_w, tile_h) tile — shared by render_tile's pass tables, the planar
+    fast path's device tables (_swizzle_tables) and the readback blit maps
+    (swizzle_maps). Precomputed on the host because leaving it as traced
+    arange-chains makes XLA constant-fold it element by element, which
+    dominates compile time at 1080p.
+
+    Returns ``(px, py, valid, lin, inv, nc, chunk)``: px/py/valid/lin are
+    padded to ``nc * chunk`` slots (in-flight rays per pass bounded by
+    RAYS_PER_PASS — all per-bounce intermediates scale with pass size, the
+    analogue of the reference's bounded dispatch grid); ``lin[slot]`` is the
+    slot's linear pixel (== tile_h * tile_w for invalid/padding slots);
+    ``inv[pixel]`` is the pixel's slot."""
+    ts = 16
+    bw = -(-tile_w // ts)
+    bh = -(-tile_h // ts)
+    n_rays = bw * bh * ts * ts
+    idx = np.arange(n_rays)
+    block = idx // (ts * ts)
+    within = idx % (ts * ts)
+    px = (block % bw) * ts + within % ts
+    py = (block // bw) * ts + within // ts
+    valid = (px < tile_w) & (py < tile_h)
+    px = np.minimum(px, tile_w - 1).astype(np.int32)
+    py = np.minimum(py, tile_h - 1).astype(np.int32)
+    lin = np.where(valid, py * tile_w + px, tile_h * tile_w).astype(np.int32)
+    chunk = min(n_rays, RAYS_PER_PASS)
+    n_pad = n_rays + ((-n_rays) % chunk)
+
+    def pad(a, fill):
+        if n_pad == n_rays:
+            return a
+        return np.concatenate([a, np.full(n_pad - n_rays, fill, a.dtype)])
+
+    px, py = pad(px, 0), pad(py, 0)
+    valid = pad(valid, False)
+    lin = pad(lin, tile_h * tile_w)
+    inv = np.zeros(tile_h * tile_w, np.int32)
+    inv[lin[valid]] = np.nonzero(valid)[0].astype(np.int32)
+    return px, py, valid, lin, inv, n_pad // chunk, chunk
+
+
 def swizzle_maps(width: int, tile_h: int):
     """Host-side swizzle maps for (width, tile_h): (inv_np, lin_np, n_pad).
 
@@ -1372,31 +1379,8 @@ def swizzle_maps(width: int, tile_h: int):
     hit = _MAP_CACHE.get(key)
     if hit is not None:
         return hit
-    ts = 16
-    bw = -(-width // ts)
-    bh = -(-tile_h // ts)
-    n_rays = bw * bh * ts * ts
-    idx = np.arange(n_rays)
-    block = idx // (ts * ts)
-    within = idx % (ts * ts)
-    px_np = (block % bw) * ts + within % ts
-    py_np = (block // bw) * ts + within // ts
-    valid_np = (px_np < width) & (py_np < tile_h)
-    lin_np = np.where(
-        valid_np,
-        np.minimum(py_np, tile_h - 1) * width + np.minimum(px_np, width - 1),
-        tile_h * width,
-    ).astype(np.int32)
-    chunk = min(n_rays, RAYS_PER_PASS)
-    n_pad = n_rays + ((-n_rays) % chunk)
-    if n_pad > n_rays:
-        lin_np = np.concatenate(
-            [lin_np, np.full(n_pad - n_rays, tile_h * width, np.int32)]
-        )
-        valid_np = np.concatenate([valid_np, np.zeros(n_pad - n_rays, bool)])
-    inv_np = np.zeros(tile_h * width, np.int32)
-    inv_np[lin_np[valid_np]] = np.nonzero(valid_np)[0].astype(np.int32)
-    out = (inv_np, lin_np, n_pad)
+    _, _, _, lin_np, inv_np, nc, chunk = _swizzle_host(width, tile_h)
+    out = (inv_np, lin_np, nc * chunk)
     _MAP_CACHE[key] = out
     return out
 
@@ -1423,34 +1407,9 @@ def _swizzle_tables(width: int, tile_h: int):
     hit = _TABLE_CACHE.get(key)
     if hit is not None:
         return hit
-    ts = 16
-    bw = -(-width // ts)
-    bh = -(-tile_h // ts)
-    n_rays = bw * bh * ts * ts
-    idx = np.arange(n_rays)
-    block = idx // (ts * ts)
-    within = idx % (ts * ts)
-    px_np = (block % bw) * ts + within % ts
-    py_np = (block // bw) * ts + within // ts
-    valid_np = (px_np < width) & (py_np < tile_h)
-    px_np = np.minimum(px_np, width - 1).astype(np.int32)
-    py_np = np.minimum(py_np, tile_h - 1).astype(np.int32)
-    lin_np = np.where(valid_np, py_np * width + px_np, tile_h * width)
-    chunk = min(n_rays, RAYS_PER_PASS)
-    n_pad = n_rays + ((-n_rays) % chunk)
-    nc = n_pad // chunk
-
-    def pad(a, f):
-        return (
-            np.concatenate([a, np.full(n_pad - n_rays, f, a.dtype)])
-            if n_pad > n_rays
-            else a
-        )
-
-    px_np, py_np = pad(px_np, 0), pad(py_np, 0)
-    valid_np, lin_np = pad(valid_np, False), pad(lin_np.astype(np.int32), 0)
-    inv_np = np.zeros(tile_h * width, np.int32)
-    inv_np[lin_np[valid_np]] = np.nonzero(valid_np)[0].astype(np.int32)
+    px_np, py_np, valid_np, _lin, inv_np, nc, chunk = _swizzle_host(
+        width, tile_h
+    )
     out = (
         [jnp.asarray(px_np.reshape(nc, chunk)[c]) for c in range(nc)],
         [jnp.asarray(py_np.reshape(nc, chunk)[c]) for c in range(nc)],

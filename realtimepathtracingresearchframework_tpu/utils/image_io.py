@@ -272,21 +272,32 @@ def _png_chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def write_png(path: str, pixels: np.ndarray) -> None:
-    """pixels: (H, W, 3|4) uint8 or float in [0,1]."""
-    if not str(path).endswith(".png"):
-        path = str(path) + ".png"
+def encode_png(pixels: np.ndarray, compress_level: int = 6) -> bytes:
+    """(H, W, 1|3|4) uint8 or float in [0,1] -> PNG bytes in memory.
+
+    One encoder for both disk writes (write_png) and the interactive
+    viewer's frame streaming (app/viewer.py), which passes
+    compress_level=1 for latency."""
     px = np.asarray(pixels)
     if px.dtype != np.uint8:
         px = np.clip(np.round(px * 255.0), 0, 255).astype(np.uint8)
     h, w, c = px.shape
     color_type = {1: 0, 3: 2, 4: 6}[c]
     raw = b"".join(b"\0" + px[y].tobytes() for y in range(h))
+    return b"".join((
+        b"\x89PNG\r\n\x1a\n",
+        _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)),
+        _png_chunk(b"IDAT", zlib.compress(raw, compress_level)),
+        _png_chunk(b"IEND", b""),
+    ))
+
+
+def write_png(path: str, pixels: np.ndarray) -> None:
+    """pixels: (H, W, 3|4) uint8 or float in [0,1]."""
+    if not str(path).endswith(".png"):
+        path = str(path) + ".png"
     with _open_out(path) as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(_png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)))
-        f.write(_png_chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(_png_chunk(b"IEND", b""))
+        f.write(encode_png(pixels))
 
 
 def read_png(path: str) -> np.ndarray:

@@ -618,6 +618,14 @@ class Renderer:
             m.base_color_tex >= 0 and not (m.flags & BASE_MATERIAL_NOALPHA)
             for m in scene.materials
         )
+        # scene info: no material transmits (candidate for BSDF
+        # specialization — see IntegratorConfig.has_transmission; currently
+        # kept ON because dropping the dead ops measured ~0 frame-time win
+        # on chip while perturbing XLA fusion enough to break golden
+        # bit-parity)
+        self._has_transmission = any(
+            float(m.specular_transmission) > 0.0 for m in scene.materials
+        )
         self._tris = tris
         self._shading = shading
         self._materials = MaterialBuffers.from_table(mat_table)

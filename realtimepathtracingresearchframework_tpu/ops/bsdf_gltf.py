@@ -136,11 +136,20 @@ def cos_half_angle(cos_angle):
     return (1.0 + cos_angle) / jnp.sqrt(jnp.maximum(2.0 + 2.0 * cos_angle, 1e-12))
 
 
-def _half_vector_v(mat, n: Vec3, w_o: Vec3, w_i: Vec3, i_dot_n, o_dot_n, ior):
+def _half_vector_v(mat, n: Vec3, w_o: Vec3, w_i: Vec3, i_dot_n, o_dot_n, ior,
+                   enable_transmission=True):
     """w_h construction incl. transmission cases (gltf_bsdf.glsl:296-320).
-    Returns (w_h, valid, transmit)."""
+    Returns (w_h, valid, transmit).
+
+    ``enable_transmission=False`` is the scene-specialized fast path (no
+    material has specular_transmission > 0): transmit lanes are invalid by
+    definition and every transmission half-vector/compression term drops
+    out of the program. Bit-identical to the general path for such scenes
+    (the dropped terms are exactly zero there)."""
     transmit = i_dot_n * o_dot_n < 0.0
     w_h_refl = w_i + w_o
+    if not enable_transmission:
+        return v3.normalize(w_h_refl), ~transmit, transmit
     w_h_trans_onesided = -(ior * w_i) - w_o
     w_h_trans_twosided = v3.reflect(w_i, n) + w_o
     w_h_trans = v3.where(mat.onesided, w_h_trans_onesided, w_h_trans_twosided)
@@ -154,13 +163,16 @@ def _half_vector_v(mat, n: Vec3, w_o: Vec3, w_i: Vec3, i_dot_n, o_dot_n, ior):
     return w_h, valid, transmit
 
 
-def gltf_bsdf_v(mat: GLTFMaterial, n: Vec3, w_o: Vec3, w_i: Vec3) -> Vec3:
+def gltf_bsdf_v(mat: GLTFMaterial, n: Vec3, w_o: Vec3, w_i: Vec3,
+                enable_transmission=True) -> Vec3:
     """Full BSDF value (gltf_bsdf.glsl:294-391). SoA core."""
     i_dot_n = v3.dot(n, w_i)
     o_dot_n = v3.dot(n, w_o)
     ior = jnp.where(o_dot_n < 0.0, 1.0 / mat.ior, mat.ior)
 
-    w_h, valid, transmit = _half_vector_v(mat, n, w_o, w_i, i_dot_n, o_dot_n, ior)
+    w_h, valid, transmit = _half_vector_v(
+        mat, n, w_o, w_i, i_dot_n, o_dot_n, ior, enable_transmission
+    )
     o_dot_h = v3.dot(w_o, w_h)
     i_dot_h = v3.dot(w_i, w_h)
 
@@ -174,6 +186,16 @@ def gltf_bsdf_v(mat: GLTFMaterial, n: Vec3, w_o: Vec3, w_i: Vec3) -> Vec3:
     f_weight = gltf_schlick_weight(jnp.abs(o_dot_h), ior)
     F = f0 + (1.0 - f0) * f_weight  # Vec3 + Vec3*scalar
 
+    has_specular = mat.ior > 1.0
+    zero = v3.splat(jnp.zeros_like(o_dot_n))
+
+    if not enable_transmission:
+        # transmission-free scene: (1 - specular_transmission) == 1 and
+        # transmit lanes are already masked by ``valid``
+        diffuse_refl = diffuse * (1.0 - F)
+        refl_val = v3.where(has_specular, diffuse_refl + F * spec_refl, diffuse)
+        return v3.where(valid, refl_val, zero)
+
     # reflection side
     diffuse_refl = diffuse * (1.0 - mat.specular_transmission) * (1.0 - F)
     spec_side_refl = F * spec_refl
@@ -185,15 +207,13 @@ def gltf_bsdf_v(mat: GLTFMaterial, n: Vec3, w_o: Vec3, w_i: Vec3) -> Vec3:
         mat.transmission_color * (1.0 - F)
     ) * (spec_refl * (1.0 - mat.metallic) * mat.specular_transmission * comp2)
 
-    has_specular = mat.ior > 1.0
     refl_val = v3.where(has_specular, diffuse_refl + spec_side_refl, diffuse)
-    zero = v3.splat(jnp.zeros_like(o_dot_n))
     trans_val = v3.where(has_specular, spec_side_trans, zero)
     out = v3.where(transmit, trans_val, refl_val)
     return v3.where(valid, out, zero)
 
 
-def _component_weights_v(mat, ior, odh, vis):
+def _component_weights_v(mat, ior, odh, vis, enable_transmission=True):
     """Luminance-weighted component sampler (gltf_bsdf.glsl:369-395).
     odh/vis: triples of per-component (diffuse, specular, transmission)
     scalars. Returns normalized (w0, w1, w2)."""
@@ -201,28 +221,30 @@ def _component_weights_v(mat, ior, odh, vis):
     one = jnp.ones_like(ior)
     f0 = spec_lum + (1.0 - spec_lum) * gltf_schlick_weight(odh[0], one)
     f1 = spec_lum + (1.0 - spec_lum) * gltf_schlick_weight(odh[1], one)
-    f2 = spec_lum + (1.0 - spec_lum) * gltf_schlick_weight(odh[2], ior)
 
     diff_lum = v3.luminance(gltf_diffuse_basecolor(mat))
-    w0 = (
-        (1.0 - f0)
-        * vis[0]
-        * (1.0 - mat.metallic)
-        * diff_lum
-        * (1.0 - mat.specular_transmission)
-    )
+    w0 = (1.0 - f0) * vis[0] * (1.0 - mat.metallic) * diff_lum
+    if enable_transmission:
+        w0 = w0 * (1.0 - mat.specular_transmission)
+        f2 = spec_lum + (1.0 - spec_lum) * gltf_schlick_weight(odh[2], ior)
+        w2 = (
+            (1.0 - f2) * vis[2] * (1.0 - mat.metallic)
+            * mat.specular_transmission
+        )
+    else:
+        w2 = jnp.zeros_like(w0)
     w1 = f1 * vis[1]
-    w2 = (1.0 - f2) * vis[2] * (1.0 - mat.metallic) * mat.specular_transmission
     total = w0 + w1 + w2
     pos = total > 0.0
     inv = 1.0 / jnp.maximum(total, 1e-30)
     w0n = jnp.where(pos, w0 * inv, 1.0)
     w1n = jnp.where(pos, w1 * inv, 0.0)
-    w2n = jnp.where(pos, w2 * inv, 0.0)
+    w2n = jnp.where(pos, w2 * inv, 0.0) if enable_transmission else w2
     return w0n, w1n, w2n
 
 
-def gltf_wpdf_v(mat: GLTFMaterial, n: Vec3, w_o: Vec3, w_i: Vec3):
+def gltf_wpdf_v(mat: GLTFMaterial, n: Vec3, w_o: Vec3, w_i: Vec3,
+                enable_transmission=True):
     """Approximate MIS weight-pdf (gltf_wpdf, gltf_bsdf.glsl:414-497)."""
     i_dot_n = v3.dot(n, w_i)
     o_dot_n = v3.dot(n, w_o)
@@ -230,7 +252,9 @@ def gltf_wpdf_v(mat: GLTFMaterial, n: Vec3, w_o: Vec3, w_i: Vec3):
 
     diffuse_pdf = M_1_PI * jnp.abs(i_dot_n)
 
-    w_h, valid, transmit = _half_vector_v(mat, n, w_o, w_i, i_dot_n, o_dot_n, ior)
+    w_h, valid, transmit = _half_vector_v(
+        mat, n, w_o, w_i, i_dot_n, o_dot_n, ior, enable_transmission
+    )
     o_dot_h = v3.dot(w_o, w_h)
     i_dot_h = v3.dot(w_i, w_h)
     cos_theta_h = v3.dot(w_h, n)
@@ -239,23 +263,27 @@ def gltf_wpdf_v(mat: GLTFMaterial, n: Vec3, w_o: Vec3, w_i: Vec3):
     vis_spec = 2.0 * jnp.abs(i_dot_n) / smith_visibility_den1(i_dot_n, alpha * alpha)
     aodh = jnp.abs(o_dot_h)
     w0, w1, w2 = _component_weights_v(
-        mat, ior, (aodh, aodh, aodh), (jnp.ones_like(vis_spec), vis_spec, vis_spec)
+        mat, ior, (aodh, aodh, aodh),
+        (jnp.ones_like(vis_spec), vis_spec, vis_spec),
+        enable_transmission,
     )
 
     specular = gtr_2_vndf_pdf(o_dot_n, cos_theta_h, alpha)
-    compression = 2.0 * o_dot_h / (i_dot_h * ior + o_dot_h)
-    comp2 = jnp.where(mat.onesided, compression * compression, 1.0)
-
     pdf_refl = diffuse_pdf * w0 + specular * w1
-    pdf_trans = specular * comp2 * w2
-    pdf = jnp.where(transmit, pdf_trans, pdf_refl)
+    if enable_transmission:
+        compression = 2.0 * o_dot_h / (i_dot_h * ior + o_dot_h)
+        comp2 = jnp.where(mat.onesided, compression * compression, 1.0)
+        pdf_trans = specular * comp2 * w2
+        pdf = jnp.where(transmit, pdf_trans, pdf_refl)
+    else:
+        pdf = pdf_refl
     pdf = jnp.where(mat.ior > 1.0, pdf, diffuse_pdf)
     return jnp.where(valid, pdf, 0.0)
 
 
 def sample_gltf_brdf_v(
     mat: GLTFMaterial, n: Vec3, w_o: Vec3, v_x: Vec3, v_y: Vec3,
-    dir_sample, lobe_sample,
+    dir_sample, lobe_sample, enable_transmission=True,
 ):
     """Sample the BSDF (sample_gltf_brdf, gltf_bsdf.glsl:500-652). SoA core.
 
@@ -286,19 +314,25 @@ def sample_gltf_brdf_v(
         2.0 * spec_i_dot_n / smith_visibility_den1(spec_i_dot_n, alpha * alpha),
         0.0,
     )
-    # transmission candidate (shares the specular half vector; no separate
-    # transmission roughness here, GLTF_SUPPORT_TRANSMISSION_ROUGHNESS off)
-    refr, _tir = v3.refract(-w_o_up, w_h_spec_local, 1.0 / ior)
-    trans_i_dot_n = jnp.where(mat.onesided, -refr.z, spec_i_dot_n)
-    vis_trans = jnp.where(
-        (trans_i_dot_n > 0.0) & (mat.specular_transmission > 0.0),
-        2.0 * trans_i_dot_n / smith_visibility_den1(trans_i_dot_n, alpha * alpha),
-        0.0,
-    )
+    if enable_transmission:
+        # transmission candidate (shares the specular half vector; no
+        # separate transmission roughness,
+        # GLTF_SUPPORT_TRANSMISSION_ROUGHNESS off)
+        refr, _tir = v3.refract(-w_o_up, w_h_spec_local, 1.0 / ior)
+        trans_i_dot_n = jnp.where(mat.onesided, -refr.z, spec_i_dot_n)
+        vis_trans = jnp.where(
+            (trans_i_dot_n > 0.0) & (mat.specular_transmission > 0.0),
+            2.0 * trans_i_dot_n
+            / smith_visibility_den1(trans_i_dot_n, alpha * alpha),
+            0.0,
+        )
+    else:
+        vis_trans = jnp.zeros_like(vis_spec)
 
     w0, w1, w2 = _component_weights_v(
         mat, ior, (odh_diffuse, odh_spec, odh_spec),
         (jnp.ones_like(vis_spec), vis_spec, vis_trans),
+        enable_transmission,
     )
     # materials without a specular layer (ior <= 1) always take diffuse
     has_spec_layer = mat.ior > 1.0
@@ -310,6 +344,11 @@ def sample_gltf_brdf_v(
     cdf1 = w0
     cdf2 = w0 + w1
     r = lobe_sample[0]
+    # NOTE: the 3-way select stays even when transmission is disabled:
+    # float rounding can leave w0n + w1n just below 1.0, and the reference
+    # behavior for an r landing in that gap is "component 2 with zero
+    # weight" -> invalid sample (path terminates). Collapsing to a 2-way
+    # select would silently re-route those rare lanes to specular.
     component = jnp.where(r < cdf1, 0, jnp.where(r < cdf2, 1, 2))
     # guard: component must have nonzero weight (arithmetic select — a
     # take_along_axis gather stages its index vector through scalar
@@ -329,40 +368,50 @@ def sample_gltf_brdf_v(
         + w_h_local_signed.z * n
     )
     w_i_spec = v3.reflect(-w_o, w_h_world)
-    refr_w, _ = v3.refract(-w_o, w_h_world, 1.0 / ior)
-    w_i_trans = v3.where(mat.onesided, refr_w, v3.reflect(w_i_spec, n))
-
     is_diff = component == 0
     is_spec = component == 1
-    w_i = v3.where(is_diff, w_i_diffuse, v3.where(is_spec, w_i_spec, w_i_trans))
+    if enable_transmission:
+        refr_w, _ = v3.refract(-w_o, w_h_world, 1.0 / ior)
+        w_i_trans = v3.where(mat.onesided, refr_w, v3.reflect(w_i_spec, n))
+        w_i = v3.where(
+            is_diff, w_i_diffuse, v3.where(is_spec, w_i_spec, w_i_trans)
+        )
+    else:
+        w_i = v3.where(is_diff, w_i_diffuse, w_i_spec)
 
     i_dot_n = v3.dot(n, w_i)
     # sign consistency (gltf_bsdf.glsl:617-623)
-    ok = jnp.where(
-        component == 2, i_dot_n * o_dot_n < 0.0, i_dot_n * o_dot_n > 0.0
-    )
+    if enable_transmission:
+        ok = jnp.where(
+            component == 2, i_dot_n * o_dot_n < 0.0, i_dot_n * o_dot_n > 0.0
+        )
+    else:
+        ok = i_dot_n * o_dot_n > 0.0
     ok = ok & (wsel > 0.0)
 
     # sampling pdf (gltf_bsdf.glsl:626-648)
     w_h_sel = v3.where(is_diff, v3.normalize(w_i + w_o), w_h_world)
     o_dot_h = v3.dot(w_o, w_h_sel)
-    i_dot_h = jnp.where(
-        (component == 2) & mat.onesided, v3.dot(w_i, w_h_sel), o_dot_h
-    )
     cos_theta_h = jnp.where(is_diff, v3.dot(n, w_h_sel), cos_theta_h_spec)
 
     diffuse_pdf = M_1_PI * jnp.abs(i_dot_n)
     specular = gtr_2_vndf_pdf(o_dot_n, cos_theta_h, alpha)
-    compression = 2.0 * o_dot_h / (i_dot_h * ior + o_dot_h)
-    comp2 = jnp.where(mat.onesided, compression * compression, 1.0)
     pdf_refl = diffuse_pdf * w0 + specular * w1
-    pdf_trans = specular * comp2 * w2
-    pdf = jnp.where(component == 2, pdf_trans, pdf_refl)
+    if enable_transmission:
+        i_dot_h = jnp.where(
+            (component == 2) & mat.onesided, v3.dot(w_i, w_h_sel), o_dot_h
+        )
+        compression = 2.0 * o_dot_h / (i_dot_h * ior + o_dot_h)
+        comp2 = jnp.where(mat.onesided, compression * compression, 1.0)
+        pdf_trans = specular * comp2 * w2
+        pdf = jnp.where(component == 2, pdf_trans, pdf_refl)
+    else:
+        pdf = pdf_refl
     pdf = jnp.where(mat.ior > 1.0, pdf, diffuse_pdf)
     pdf = jnp.where(ok & (pdf > 0.0), pdf, 0.0)
 
-    f = gltf_bsdf_v(mat, n, w_o, w_i)
-    mis_wpdf = gltf_wpdf_v(mat, n, w_o, w_i)
+    f = gltf_bsdf_v(mat, n, w_o, w_i, enable_transmission)
+    mis_wpdf = gltf_wpdf_v(mat, n, w_o, w_i, enable_transmission)
     good = pdf > 0.0
     weight = v3.where(
         good,

@@ -204,6 +204,23 @@ def pack_material_table(mats: MaterialBuffers) -> jnp.ndarray:
     return jnp.pad(packed, ((0, 0), (0, pad))).T
 
 
+def _fetch_cols_ranges(tbl_t, idx, ranges):
+    """Row-subset fused fetch: slice the (W, T) column table to the rows
+    the caller actually reads (static slices of a captured scene constant
+    — they fold at compile time), then do ONE fused fetch. Returns a dict
+    {absolute_row: (N,) column} so call sites keep indexing by the _A_*/
+    _M_* layout constants.
+
+    The (W_used, N) fetch result is the dominant materialized intermediate
+    of the whole integrator at ~2MB per row per 524K rays (measured: the
+    full-width fetch accounted for most of the pass program's HBM bytes),
+    so fetching only live rows cuts real frame time, not just flops."""
+    rows = [r for a, b in ranges for r in range(a, b)]
+    sub = jnp.concatenate([tbl_t[a:b] for a, b in ranges], axis=0)
+    cols = _fetch_cols(sub, idx)
+    return {r: cols[i] for i, r in enumerate(rows)}
+
+
 def _fetch_cols(tbl_t, idx):
     """(W, T) column table + (N,) index -> tuple of W (N,) columns.
 
@@ -273,6 +290,8 @@ class IntegratorConfig(NamedTuple):
     # enable_raytraced_dof; perspective.rgen:100-109). Static because it
     # switches the path-space dim map to the full camera (pathspace.h:
     # DIM_APERTURE_X/Y=4/5, DIM_CAMERA_END 2 -> 6).
+    has_transmission: bool = True  # False drops all transmission BSDF
+    # math (scene has no transmitting material; bit-identical there)
 
 
 class FrameParams(NamedTuple):
@@ -578,8 +597,8 @@ def _nee_candidate(
     shadow_tmax = jnp.maximum(light_dist - eps, eps)
     shadow_tmax_eff = jnp.where(candidate & seg_ok, shadow_tmax, eps)
 
-    bsdf_pdf = gltf_wpdf_v(mat, hit_n, w_o, light_dir)
-    f = gltf_bsdf_v(mat, hit_n, w_o, light_dir)
+    bsdf_pdf = gltf_wpdf_v(mat, hit_n, w_o, light_dir, cfg.has_transmission)
+    f = gltf_bsdf_v(mat, hit_n, w_o, light_dir, cfg.has_transmission)
     w = nee_mod.nee_mis_heuristic(1.0, mis_pdf, 1.0, bsdf_pdf)
     contrib = illum * f * (w * jnp.abs(v3.dot(light_dir, hit_n)))
     base_ok = candidate & (bsdf_pdf >= 0.0)
@@ -723,7 +742,15 @@ def trace_paths(
         # one fused column-table fetch replaces 7 split gathers (see
         # pack_attr_table): gather index staging dominates on TPU
         tri = jnp.maximum(hit.tri, 0)
-        c = _fetch_cols(ds.attr_packed, tri)
+        # fetch only the rows this configuration reads: e1/e2/normals/mid
+        # always; uv/tangent/density only when texturing (texture-free
+        # scenes fetch 16 of the 32 padded rows — half the HBM traffic of
+        # the integrator's biggest materialized intermediate)
+        attr_ranges = (
+            [(_A_E1, _A_MID + 1)] if cfg.has_textures
+            else [(_A_E1, _A_UV0), (_A_MID, _A_MID + 1)]
+        )
+        c = _fetch_cols_ranges(ds.attr_packed, tri, attr_ranges)
         e1 = Vec3(c[_A_E1], c[_A_E1 + 1], c[_A_E1 + 2])
         e2 = Vec3(c[_A_E2], c[_A_E2 + 1], c[_A_E2 + 2])
         b1, b2 = hit.u, hit.v
@@ -760,7 +787,11 @@ def trace_paths(
         mid = c[_A_MID].astype(jnp.int32)
         if cfg.two_level:
             mid = mid + ds.tlas.inst_mat_offset[inst]
-        mc = _fetch_cols(ds.mat_packed, mid)
+        mat_ranges = (
+            [(_M_BASE, _M_NMTEX + 1)] if cfg.has_textures
+            else [(_M_BASE, _M_BCTEX)]
+        )
+        mc = _fetch_cols_ranges(ds.mat_packed, mid, mat_ranges)
         mat = _material_from_cols(mc)
 
         p = ro + rd * hit.t
@@ -937,7 +968,8 @@ def trace_paths(
         # ---- BSDF sample
         vx, vy = nee_mod.ortho_frame_v(n_sh)
         weight, w_i, spdf, mis_wpdf = sample_gltf_brdf_v(
-            mat, n_sh, w_o, vx, vy, dir_sample, lobe_sample
+            mat, n_sh, w_o, vx, vy, dir_sample, lobe_sample,
+            cfg.has_transmission,
         )
         valid_dir = v3.dot(w_i, n_sh) * v3.dot(w_i, gn) > 0.0
         weight_zero = (weight.x == 0.0) & (weight.y == 0.0) & (weight.z == 0.0)

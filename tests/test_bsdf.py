@@ -204,3 +204,59 @@ def test_solid_angle_sampling_uniform(rng):
     # barycentric wrt the planar triangle through the unit verts)
     sa = np.asarray(sa)
     assert np.all(sa > 0.1) and np.all(sa < 2 * np.pi)
+
+
+def test_transmission_specialization_bit_exact():
+    """enable_transmission=False (scene-specialized fast path) must be
+    bit-exact vs the general path on transmission-free materials — every
+    dropped term is exactly zero there (see bsdf_gltf._half_vector_v)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realtimepathtracingresearchframework_tpu.ops import bsdf_gltf as B
+    from realtimepathtracingresearchframework_tpu.ops import nee as nee_mod
+    from realtimepathtracingresearchframework_tpu.ops import vec3 as v3
+    from realtimepathtracingresearchframework_tpu.ops.vec3 import Vec3
+
+    n_pts = 4096
+    rs = np.random.RandomState(11)
+
+    def rvec():
+        a = rs.normal(size=(3, n_pts)).astype(np.float32)
+        a /= np.linalg.norm(a, axis=0, keepdims=True)
+        return Vec3(*[jnp.asarray(a[i]) for i in range(3)])
+
+    def runi():
+        return jnp.asarray(rs.uniform(0, 1, n_pts).astype(np.float32))
+
+    n, w_o, w_i = rvec(), rvec(), rvec()
+    mat = B.GLTFMaterial(
+        base_color=Vec3(runi(), runi(), runi()),
+        metallic=runi(),
+        specular=jnp.ones((n_pts,), jnp.float32),
+        roughness=runi(),
+        ior=jnp.asarray(
+            np.where(rs.uniform(size=n_pts) < 0.8, 1.5, 1.0).astype(np.float32)
+        ),
+        specular_transmission=jnp.zeros((n_pts,), jnp.float32),
+        transmission_color=Vec3(runi(), runi(), runi()),
+        onesided=jnp.asarray(rs.uniform(size=n_pts) < 0.5),
+    )
+    vx, vy = nee_mod.ortho_frame_v(n)
+    ds_, ls_ = (runi(), runi()), (runi(), runi())
+
+    pairs = [
+        (jax.jit(lambda: B.gltf_bsdf_v(mat, n, w_o, w_i, True))(),
+         jax.jit(lambda: B.gltf_bsdf_v(mat, n, w_o, w_i, False))()),
+        (jax.jit(lambda: B.gltf_wpdf_v(mat, n, w_o, w_i, True))(),
+         jax.jit(lambda: B.gltf_wpdf_v(mat, n, w_o, w_i, False))()),
+        (jax.jit(lambda: B.sample_gltf_brdf_v(
+            mat, n, w_o, vx, vy, ds_, ls_, True))(),
+         jax.jit(lambda: B.sample_gltf_brdf_v(
+             mat, n, w_o, vx, vy, ds_, ls_, False))()),
+    ]
+    for general, specialized in pairs:
+        for a, b in zip(jax.tree_util.tree_leaves(general),
+                        jax.tree_util.tree_leaves(specialized)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

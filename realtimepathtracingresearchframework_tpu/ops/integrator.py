@@ -380,7 +380,8 @@ def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
         )
 
         return traverse_stream.closest_hit_streamed(
-            ds.bvh, None, None, t_min=t_min, t_max=t_max, comps=(*ro, *rd)
+            ds.bvh, None, None, t_min=t_min, t_max=t_max, comps=(*ro, *rd),
+            sort=True,
         )
     if cfg.use_pallas:
         return traverse_pallas.closest_hit_pallas(
@@ -453,7 +454,8 @@ def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3, rd: Vec3,
             )
 
             return traverse_stream.occluded_streamed(
-                ds.bvh, None, None, t_min=t_min, t_max=t_max, comps=(*ro, *rd)
+                ds.bvh, None, None, t_min=t_min, t_max=t_max,
+                comps=(*ro, *rd), sort=True,
             )
         if cfg.use_pallas:
             return traverse_pallas.occluded_pallas(
@@ -709,6 +711,7 @@ def trace_paths(
                         ds.bvh,
                         (*ro, *rd), t_min, tmax_eff,
                         (*ro, *nd), ntmin, ntmax_eff,
+                        sort=True,
                     )
                 )
             elif cfg.use_pallas and not (cfg.alpha_test and cfg.has_textures):

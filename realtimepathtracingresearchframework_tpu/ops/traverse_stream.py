@@ -440,50 +440,140 @@ def _out_to_hit(bb: StreamedBVHBuffers, out, n, map_tri: bool):
     return Hit(t=t, tri=tri, u=u, v=v)
 
 
+# ---------------------------------------------------------------------------
+# Coherence sort: the streamed kernel walks each BLOCK of rays with a
+# shared scalar cursor and DMAs every subtree ANY ray in the block touches
+# (512 KB leaf tile + node block per visit). Incoherent bounce rays make
+# every block touch most subtrees; grouping rays by (origin-morton,
+# direction-octant) before the launch collapses the per-block subtree set.
+# The equivalent of the reference wavefront design's ray-binning stage
+# expressed TPU-natively: one device-side key sort + permutation gathers
+# around an unchanged kernel. Per-ray results are exact regardless of
+# block composition (the shared cursor only PRUNES nodes no ray needs),
+# so sorted traversal is bit-identical to unsorted.
+# ---------------------------------------------------------------------------
+
+
+def _part1by2(x):
+    """Spread the low 10 bits of x two apart (standard morton dilation)."""
+    x = x & jnp.uint32(0x3FF)
+    x = (x | (x << 16)) & jnp.uint32(0x30000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x30C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x9249249)
+    return x
+
+
+def _coherence_key(bb: StreamedBVHBuffers, comps):
+    """u32 sort key: 21-bit origin morton (128^3 grid over the scene box,
+    from the top-tree root AABB) high, 3-bit direction octant low."""
+    rox, roy, roz, rdx, rdy, rdz = comps
+    lo = bb.top_nodes[0, 0:3]
+    hi = bb.top_nodes[0, 3:6]
+    inv = 127.0 / jnp.maximum(hi - lo, 1e-12)
+
+    def q(o, k):
+        return jnp.clip((o - lo[k]) * inv[k], 0.0, 127.0).astype(jnp.uint32)
+
+    morton = (
+        _part1by2(q(rox, 0))
+        | (_part1by2(q(roy, 1)) << 1)
+        | (_part1by2(q(roz, 2)) << 2)
+    )
+    octant = (
+        (rdx < 0.0).astype(jnp.uint32) << 2
+        | (rdy < 0.0).astype(jnp.uint32) << 1
+        | (rdz < 0.0).astype(jnp.uint32)
+    )
+    return (morton << 3) | octant
+
+
+def _sort_queue(bb, comps, t_min, t_max):
+    """Sort one ray queue by the coherence key. Returns (sorted comps,
+    sorted t_min/t_max, inverse permutation). Stable sort + permutation
+    gathers: deterministic and bit-exact."""
+    n = comps[0].shape[0]
+    key = _coherence_key(bb, comps)
+    perm = jnp.argsort(key, stable=True)
+    inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    sorted_comps = tuple(c[perm] for c in comps)
+    return sorted_comps, t_min[perm], t_max[perm], inv_perm
+
+
 def closest_hit_streamed(
     bb: StreamedBVHBuffers, ro, rd, t_min=0.0, t_max=_INF,
     block: int = DEFAULT_BLOCK, comps=None, map_tri: bool = True,
+    sort: bool = False,
 ):
     from realtimepathtracingresearchframework_tpu.ops.traverse_pallas import (
         _prep_rays,
     )
 
+    if sort and comps is not None:
+        comps, t_min, t_max, inv_perm = _sort_queue(bb, comps, t_min, t_max)
+    else:
+        inv_perm = None
     rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=False)
     out = _traverse_streamed(
         bb.top_nodes, bb.sub_nodes, bb.tri_tiles, rays,
         top_nodes=bb.num_top_nodes, block=block,
     )
+    out = out[:n]
+    if inv_perm is not None:
+        out = out[inv_perm]
     return _out_to_hit(bb, out, n, map_tri)
 
 
 def occluded_streamed(
     bb: StreamedBVHBuffers, ro, rd, t_min=0.0, t_max=_INF,
-    block: int = DEFAULT_BLOCK, comps=None,
+    block: int = DEFAULT_BLOCK, comps=None, sort: bool = False,
 ):
     from realtimepathtracingresearchframework_tpu.ops.traverse_pallas import (
         _prep_rays,
     )
 
+    if sort and comps is not None:
+        comps, t_min, t_max, inv_perm = _sort_queue(bb, comps, t_min, t_max)
+    else:
+        inv_perm = None
     rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=False)
     out = _traverse_streamed(
         bb.top_nodes, bb.sub_nodes, bb.tri_tiles, rays,
         top_nodes=bb.num_top_nodes, block=block, shadow_from=0,
     )
     rowbits = out[:n, 1]
-    return jax.lax.bitcast_convert_type(rowbits, jnp.int32) >= 0
+    blocked = jax.lax.bitcast_convert_type(rowbits, jnp.int32) >= 0
+    if inv_perm is not None:
+        blocked = blocked[inv_perm]
+    return blocked
 
 
 def closest_and_occluded_streamed(
     bb: StreamedBVHBuffers,
     comps_c, t_min_c, t_max_c,
     comps_s, t_min_s, t_max_s,
-    block: int = DEFAULT_BLOCK, map_tri: bool = True,
+    block: int = DEFAULT_BLOCK, map_tri: bool = True, sort: bool = False,
 ):
-    """Merged two-queue launch (see closest_and_occluded_pallas)."""
+    """Merged two-queue launch (see closest_and_occluded_pallas). With
+    ``sort``, each queue is coherence-sorted independently (the halves
+    stay block-aligned, so the ``shadow_from`` predicate is unchanged)."""
     from realtimepathtracingresearchframework_tpu.ops.traverse_pallas import (
         _prep_rays,
     )
 
+    if sort:
+        comps_c, t_min_c, t_max_c, inv_c = _sort_queue(
+            bb, comps_c, t_min_c, t_max_c
+        )
+        comps_s, t_min_s, t_max_s, inv_s = _sort_queue(
+            bb, comps_s, t_min_s, t_max_s
+        )
+    else:
+        inv_c = inv_s = None
     rays_c, n = _prep_rays(None, None, t_min_c, t_max_c, block,
                            comps=comps_c, wide=False)
     rays_s, n2 = _prep_rays(None, None, t_min_s, t_max_s, block,
@@ -495,7 +585,12 @@ def closest_and_occluded_streamed(
         top_nodes=bb.num_top_nodes, block=block, shadow_from=shadow_from,
     )
     np_c = rays_c.shape[0]
-    hit = _out_to_hit(bb, out, n, map_tri)
+    out_c = out[:n]
+    if inv_c is not None:
+        out_c = out_c[inv_c]
+    hit = _out_to_hit(bb, out_c, n, map_tri)
     srowbits = out[np_c:np_c + n2, 1]
     blocked = jax.lax.bitcast_convert_type(srowbits, jnp.int32) >= 0
+    if inv_s is not None:
+        blocked = blocked[inv_s]
     return hit, blocked

@@ -108,3 +108,72 @@ def test_streamed_matches_xla_reference():
         (np.asarray(hit.tri) < 0) & (np.asarray(ref.tri) < 0)
     )
     assert ok.mean() > 0.9999
+
+
+def test_coherence_sort_permutation_roundtrip():
+    """_sort_queue must be a pure permutation: sorted comps are a
+    reordering of the input, keys are non-decreasing, and the inverse
+    permutation restores original order (pure XLA — runs on CPU)."""
+    import jax.numpy as jnp
+
+    v0, e1, e2 = _soup(4000)
+    bb = TS.pack_streamed(v0, e1, e2)
+    rng = np.random.default_rng(11)
+    n = 2048
+    ro = rng.uniform(-2, 12, (3, n)).astype(np.float32)
+    rd = rng.normal(size=(3, n)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=0, keepdims=True)
+    comps = tuple(jnp.asarray(a) for a in (*ro, *rd))
+    t_min = jnp.zeros((n,))
+    t_max = jnp.full((n,), 7.5)
+
+    sc, stmin, stmax, inv_perm = TS._sort_queue(bb, comps, t_min, t_max)
+    key_sorted = np.asarray(TS._coherence_key(bb, sc))
+    assert (np.diff(key_sorted.astype(np.int64)) >= 0).all()
+    # permutation roundtrip: unsorting the sorted arrays restores input
+    for orig, srt in zip(comps, sc):
+        np.testing.assert_array_equal(
+            np.asarray(srt)[np.asarray(inv_perm)], np.asarray(orig)
+        )
+    np.testing.assert_array_equal(np.asarray(stmax)[np.asarray(inv_perm)],
+                                  np.asarray(t_max))
+    # sorted arrays are a permutation (same multiset)
+    np.testing.assert_array_equal(np.sort(np.asarray(sc[0])),
+                                  np.sort(ro[0]))
+
+
+@pytest.mark.skipif(
+    not TS.HAVE_PALLAS
+    or __import__("jax").devices()[0].platform == "cpu",
+    reason="streamed kernel needs a TPU",
+)
+def test_streamed_sorted_bit_exact():
+    """sort=True must return bit-identical hits/occlusion (the shared
+    block cursor only prunes nodes no ray in the block needs)."""
+    import jax.numpy as jnp
+
+    v0, e1, e2 = _soup(30000)
+    bb = TS.pack_streamed(v0, e1, e2)
+    rng = np.random.default_rng(5)
+    n = 4096
+    ro = rng.uniform(-2, 12, (3, n)).astype(np.float32)
+    rd = rng.normal(size=(3, n)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=0, keepdims=True)
+    comps = tuple(jnp.asarray(a) for a in (*ro, *rd))
+
+    h0 = TS.closest_hit_streamed(bb, None, None, comps=comps)
+    h1 = TS.closest_hit_streamed(bb, None, None, comps=comps, sort=True)
+    for a, b in ((h0.t, h1.t), (h0.tri, h1.tri), (h0.u, h1.u), (h0.v, h1.v)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    o0 = TS.occluded_streamed(bb, None, None, comps=comps, t_max=5.0)
+    o1 = TS.occluded_streamed(bb, None, None, comps=comps, t_max=5.0,
+                              sort=True)
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+    tmaxs = jnp.full((n,), 5.0)
+    m0 = TS.closest_and_occluded_streamed(
+        bb, comps, 0.0, jnp.full((n,), TS._INF), comps, 0.0, tmaxs)
+    m1 = TS.closest_and_occluded_streamed(
+        bb, comps, 0.0, jnp.full((n,), TS._INF), comps, 0.0, tmaxs,
+        sort=True)
+    np.testing.assert_array_equal(np.asarray(m0[0].t), np.asarray(m1[0].t))
+    np.testing.assert_array_equal(np.asarray(m0[1]), np.asarray(m1[1]))

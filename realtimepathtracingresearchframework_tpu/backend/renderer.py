@@ -666,7 +666,16 @@ class Renderer:
         if self._use_streamed:
             bvh_buffers = self._streamed
         elif self._use_pallas:
-            bvh_buffers = traverse_pallas.pack_for_pallas(self._bvh)
+            import os as _os
+
+            if _os.environ.get("RPTR_TRAVERSAL_V1"):
+                bvh_buffers = traverse_pallas.pack_for_pallas(self._bvh)
+            else:
+                from realtimepathtracingresearchframework_tpu.ops import (
+                    traverse_pallas2,
+                )
+
+                bvh_buffers = traverse_pallas2.pack_for_pallas2(self._bvh)
         else:
             bvh_buffers = threaded_to_device(self._bvh)
         from realtimepathtracingresearchframework_tpu.ops.integrator import (

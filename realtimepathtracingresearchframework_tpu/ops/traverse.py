@@ -88,12 +88,14 @@ def threaded_to_device(tb: ThreadedBVH) -> ThreadedBuffers:
     )
 
 
-def _traverse_threaded_single(tb: ThreadedBuffers, ro, rd, t_min, t_max, any_hit: bool):
+def _traverse_threaded_single(tb: ThreadedBuffers, ro, rd, t_min, t_max,
+                              any_hit: bool, leaf_size: int = LEAF_SIZE):
     """Stackless skip-link traversal of one ray (vmapped by callers).
 
     Per step: one contiguous 8-float node gather, one slab test, and for
-    leaves one contiguous (LEAF_SIZE, 12) triangle-row slice + fixed-width
+    leaves one contiguous (leaf_size, 12) triangle-row slice + fixed-width
     Moller-Trumbore. No scatters, no stack — the state is (cursor, best).
+    ``leaf_size`` MUST match the tree the buffers were built from.
     """
     inv_rd = safe_inv_dir(rd)
     m = tb.nodes.shape[0]
@@ -115,7 +117,7 @@ def _traverse_threaded_single(tb: ThreadedBuffers, ro, rd, t_min, t_max, any_hit
         is_leaf = leaf_row >= 0
 
         rows = jax.lax.dynamic_slice(
-            tb.tri_rows, (jnp.maximum(leaf_row, 0), 0), (LEAF_SIZE, 12)
+            tb.tri_rows, (jnp.maximum(leaf_row, 0), 0), (leaf_size, 12)
         )
         h, t, u, v = ray_tri(
             ro[None, :], rd[None, :], rows[:, 0:3], rows[:, 3:6], rows[:, 6:9],
@@ -154,7 +156,8 @@ def _traverse_threaded_single(tb: ThreadedBuffers, ro, rd, t_min, t_max, any_hit
     return Hit(t=jnp.where(miss, T_MAX, t_best), tri=tri, u=best_u, v=best_v)
 
 
-def _traverse_packet(tb: ThreadedBuffers, ro, rd, t_min, t_max, any_hit: bool):
+def _traverse_packet(tb: ThreadedBuffers, ro, rd, t_min, t_max, any_hit: bool,
+                     leaf_size: int = LEAF_SIZE):
     """Packet traversal: P rays share ONE scalar cursor over the threaded
     BVH (vmapped over packets by callers).
 
@@ -191,9 +194,9 @@ def _traverse_packet(tb: ThreadedBuffers, ro, rd, t_min, t_max, any_hit: bool):
         is_leaf = leaf_row >= 0
 
         rows = jax.lax.dynamic_slice(
-            tb.tri_rows, (jnp.maximum(leaf_row, 0), jnp.int32(0)), (LEAF_SIZE, 12)
+            tb.tri_rows, (jnp.maximum(leaf_row, 0), jnp.int32(0)), (leaf_size, 12)
         )
-        # dense (P, LEAF_SIZE) intersection
+        # dense (P, leaf_size) intersection
         h, t, u, v = ray_tri(
             ro[:, None, :],
             rd[:, None, :],
@@ -295,20 +298,26 @@ def occluded_packet(
 
 
 def closest_hit_threaded(
-    tb: ThreadedBuffers, ro, rd, t_min=0.0, t_max=T_MAX
+    tb: ThreadedBuffers, ro, rd, t_min=0.0, t_max=T_MAX,
+    leaf_size: int = LEAF_SIZE,
 ) -> Hit:
     """Batched stackless closest-hit: ro/rd (N,3) -> Hit of (N,) arrays."""
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), ro.shape[:-1])
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), ro.shape[:-1])
-    f = lambda o, d, tn, tf: _traverse_threaded_single(tb, o, d, tn, tf, False)
+    f = lambda o, d, tn, tf: _traverse_threaded_single(
+        tb, o, d, tn, tf, False, leaf_size=leaf_size
+    )
     return jax.vmap(f)(ro, rd, t_min, t_max)
 
 
-def occluded_threaded(tb: ThreadedBuffers, ro, rd, t_min=0.0, t_max=T_MAX):
+def occluded_threaded(tb: ThreadedBuffers, ro, rd, t_min=0.0, t_max=T_MAX,
+                      leaf_size: int = LEAF_SIZE):
     """Batched stackless any-hit visibility: True where blocked."""
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), ro.shape[:-1])
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), ro.shape[:-1])
-    f = lambda o, d, tn, tf: _traverse_threaded_single(tb, o, d, tn, tf, True)
+    f = lambda o, d, tn, tf: _traverse_threaded_single(
+        tb, o, d, tn, tf, True, leaf_size=leaf_size
+    )
     return jax.vmap(f)(ro, rd, t_min, t_max)
 
 

@@ -508,7 +508,13 @@ def closest_hit_pallas(
     stages its index vector through scalar memory (~2ms per 262K rays), so
     the hot integrator path keeps everything in row space instead."""
     from realtimepathtracingresearchframework_tpu.ops.traverse import Hit
+    from realtimepathtracingresearchframework_tpu.ops import traverse_pallas2
 
+    if isinstance(bb, traverse_pallas2.PallasBVH2Buffers):
+        return traverse_pallas2.closest_hit_pallas2(
+            bb, ro, rd, t_min=t_min, t_max=t_max, block=block, comps=comps,
+            map_tri=map_tri,
+        )
     wide = bb.tris_s.shape[1] == 16
     rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=wide)
     out = _traverse_pallas(
@@ -545,7 +551,13 @@ def closest_and_occluded_pallas(
     Returns (Hit for the closest half, blocked bool for the occlusion
     half)."""
     from realtimepathtracingresearchframework_tpu.ops.traverse import Hit
+    from realtimepathtracingresearchframework_tpu.ops import traverse_pallas2
 
+    if isinstance(bb, traverse_pallas2.PallasBVH2Buffers):
+        return traverse_pallas2.closest_and_occluded_pallas2(
+            bb, comps_c, t_min_c, t_max_c, comps_s, t_min_s, t_max_s,
+            block=block, map_tri=map_tri,
+        )
     wide = bb.tris_s.shape[1] == 16
     rays_c, n = _prep_rays(None, None, t_min_c, t_max_c, block,
                            comps=comps_c, wide=wide)
@@ -581,6 +593,12 @@ def occluded_pallas(
     bb: PallasBVHBuffers, ro, rd, t_min=0.0, t_max=_INF,
     block: int = DEFAULT_BLOCK, comps=None,
 ):
+    from realtimepathtracingresearchframework_tpu.ops import traverse_pallas2
+
+    if isinstance(bb, traverse_pallas2.PallasBVH2Buffers):
+        return traverse_pallas2.occluded_pallas2(
+            bb, ro, rd, t_min=t_min, t_max=t_max, block=block, comps=comps
+        )
     wide = bb.tris_s.shape[1] == 16
     rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=wide)
     out = _traverse_pallas(

@@ -189,52 +189,95 @@ def pack_streamed(v0, e1, e2) -> StreamedBVHBuffers:
     )
 
 
-def _kernel_streamed(top_ref, subn_ref, tris_ref, rays_ref, out_ref,
-                     nscr, tscr, sem_n, sem_t, *, top_nodes: int,
-                     block: int, shadow_from: int = -1):
+LIST_CAP = 16  # leaf flush batch (see traverse_pallas2.LIST_CAP)
+
+# toggled by tests to run the kernel on the CPU interpreter (the Pallas
+# analogue of the reference's shader-as-C++ compile+run tests)
+INTERPRET = False
+
+
+def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
+                     out_ref,
+                     lst, nscr, tscr, sem_n, sem_t,
+                     tb_ref, row_ref, u_ref, v_ref,
+                     *, top_nodes: int, block: int, shadow_from: int = -1):
+    """v2 walk (see ops/traverse_pallas2.py): pure-scalar top + subtree
+    walks against per-block conservative packet bounds (scalar-prefetch
+    operand), leaf hits collected into an SMEM list of GLOBAL leaf ids,
+    flushed as double-buffered per-leaf DMA (8 KB tile HBM->VMEM) +
+    batched (B, 128) Moller-Trumbore. The per-leaf DMA replaces the v1
+    whole-subtree 512 KB block copy: HBM traffic scales with the leaves
+    a block actually touches, and the list spans subtree boundaries so
+    partially-filled flushes amortize across subtrees."""
     b = block
+    pid = pl.program_id(0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LEAF), 1)
 
-    rox = rays_ref[:, 0:1]
-    roy = rays_ref[:, 1:2]
-    roz = rays_ref[:, 2:3]
-    rdx = rays_ref[:, 3:4]
-    rdy = rays_ref[:, 4:5]
-    rdz = rays_ref[:, 5:6]
-    tmin = rays_ref[:, 6:7]
-    tmax = rays_ref[:, 7:8]
+    # lane-major (8, B) operand (cheap XLA concat), ONE on-core transpose
+    # per block to the (B, 1)-per-ray orientation the MT wants — see
+    # traverse_pallas2._kernel2
+    rays_t = jnp.transpose(rays_ref[:, :], (1, 0))  # (B, 8)
+    rox = rays_t[:, 0:1]
+    roy = rays_t[:, 1:2]
+    roz = rays_t[:, 2:3]
+    rdx = rays_t[:, 3:4]
+    rdy = rays_t[:, 4:5]
+    rdz = rays_t[:, 5:6]
+    tmin = rays_t[:, 6:7]
+    tmax = rays_t[:, 7:8]
 
-    tiny = 1e-20
+    olo = [bounds_ref[pid, k] for k in range(3)]
+    ohi = [bounds_ref[pid, 3 + k] for k in range(3)]
+    ilo = [bounds_ref[pid, 6 + k] for k in range(3)]
+    ihi = [bounds_ref[pid, 9 + k] for k in range(3)]
+    tlo = bounds_ref[pid, 12]
+    thi = bounds_ref[pid, 13]
 
-    def inv(d):
-        return jnp.where(d >= 0.0, 1.0, -1.0) / jnp.maximum(jnp.abs(d), tiny)
+    tb_ref[:, :] = tmax
+    row_ref[:, :] = jnp.full((b, 1), -1, jnp.int32)
+    u_ref[:, :] = jnp.zeros((b, 1), jnp.float32)
+    v_ref[:, :] = jnp.zeros((b, 1), jnp.float32)
 
-    ix, iy, iz = inv(rdx), inv(rdy), inv(rdz)
+    is_shadow = pid >= shadow_from if shadow_from >= 0 else None
 
-    is_shadow = pl.program_id(0) >= shadow_from if shadow_from >= 0 else None
+    def node_test(bmn3, bmx3, cap):
+        """Conservative scalar packet-vs-AABB test (interval slab +
+        origin-box expansion) — see traverse_pallas2._kernel2."""
+        U = jnp.minimum(thi, cap)
+        L = tlo
+        expand_ok = True
+        for k in range(3):
+            alo = bmn3[k] - ohi[k]
+            ahi = bmn3[k] - olo[k]
+            blo = bmx3[k] - ohi[k]
+            bhi = bmx3[k] - olo[k]
+            t0lo = jnp.minimum(
+                jnp.minimum(alo * ilo[k], alo * ihi[k]),
+                jnp.minimum(ahi * ilo[k], ahi * ihi[k]),
+            )
+            t0hi = jnp.maximum(
+                jnp.maximum(alo * ilo[k], alo * ihi[k]),
+                jnp.maximum(ahi * ilo[k], ahi * ihi[k]),
+            )
+            t1lo = jnp.minimum(
+                jnp.minimum(blo * ilo[k], blo * ihi[k]),
+                jnp.minimum(bhi * ilo[k], bhi * ihi[k]),
+            )
+            t1hi = jnp.maximum(
+                jnp.maximum(blo * ilo[k], blo * ihi[k]),
+                jnp.maximum(bhi * ilo[k], bhi * ihi[k]),
+            )
+            L = jnp.maximum(L, jnp.minimum(t0lo, t1lo))
+            U = jnp.minimum(U, jnp.maximum(t0hi, t1hi))
+            expand_ok = expand_ok & (
+                jnp.maximum(alo, -bhi) <= jnp.minimum(thi, cap)
+            )
+        return (L <= U) & expand_ok
 
-    def slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, cap):
-        tx0 = (bminx - rox) * ix
-        tx1 = (bmaxx - rox) * ix
-        ty0 = (bminy - roy) * iy
-        ty1 = (bmaxy - roy) * iy
-        tz0 = (bminz - roz) * iz
-        tz1 = (bmaxz - roz) * iz
-        tenter = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.maximum(jnp.minimum(tz0, tz1), tmin),
-        )
-        texit = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.minimum(jnp.maximum(tz0, tz1), jnp.minimum(tmax, cap)),
-        )
-        return jnp.any(tenter <= texit)
-
-    def leaf_isect(sub_id, leaf_local, carry):
-        """(B, 128) Moller-Trumbore over one leaf of the resident subtree
-        tile block (already DMA'd into tscr)."""
-        t_best, best_row, best_u, best_v = carry
-        tile = tscr[pl.ds(leaf_local * 16, 16), :]
+    def _mt_tile(tile, gid):
+        """(B, 128) Moller-Trumbore over one DMA'd leaf tile; updates the
+        best-hit VMEM refs. Arithmetic identical to v1 (bit-exact)."""
+        t_best = tb_ref[:, :]
         v0x = tile[0:1, :]
         v0y = tile[1:2, :]
         v0z = tile[2:3, :]
@@ -276,162 +319,187 @@ def _kernel_streamed(top_ref, subn_ref, tris_ref, rays_ref, out_ref,
         pick = lane_iota == lane_of_best
         u_pick = jnp.sum(jnp.where(pick, uu, 0.0), axis=1, keepdims=True)
         v_pick = jnp.sum(jnp.where(pick, vv, 0.0), axis=1, keepdims=True)
-        t_best = jnp.where(improved, tmin_row, t_best)
-        best_row = jnp.where(
-            improved,
-            (sub_id * SUB_LEAVES + leaf_local) * LEAF
-            + lane_of_best.astype(jnp.int32),
-            best_row,
+        tb_ref[:, :] = jnp.where(improved, tmin_row, t_best)
+        row_ref[:, :] = jnp.where(
+            improved, gid * LEAF + lane_of_best.astype(jnp.int32),
+            row_ref[:, :],
         )
-        best_u = jnp.where(improved, u_pick, best_u)
-        best_v = jnp.where(improved, v_pick, best_v)
-        return t_best, best_row, best_u, best_v
+        u_ref[:, :] = jnp.where(improved, u_pick, u_ref[:, :])
+        v_ref[:, :] = jnp.where(improved, v_pick, v_ref[:, :])
 
-    def visit_subtree(sub_id, carry):
-        """DMA the subtree's node block -> nscr (SMEM) and its whole leaf
-        tile block -> tscr (VMEM), then walk with a scalar cursor. One
-        latency hit per subtree; leaf visits read resident VMEM."""
-        t_best, best_row, best_u, best_v, cap = carry
-        dma_t = pltpu.make_async_copy(
-            tris_ref.at[pl.ds(sub_id * SUB_TILE_ROWS, SUB_TILE_ROWS), :],
-            tscr, sem_t,
+    def _tile_dma(slot, j):
+        gid = lst[j]
+        return pltpu.make_async_copy(
+            tris_ref.at[pl.ds(gid * 16, 16), :],
+            tscr.at[slot], sem_t.at[slot],
         )
-        dma_t.start()
+
+    def flush_list(count, cap):
+        """Double-buffered per-leaf tile DMA + MT; refreshes the scalar
+        pruning cap and the shadow resolved-count."""
+
+        @pl.when(count > 0)
+        def _():
+            _tile_dma(0, 0).start()
+
+        def lf(j, _):
+            slot = j % 2
+
+            @pl.when(j + 1 < count)
+            def _():
+                _tile_dma((j + 1) % 2, j + 1).start()
+
+            _tile_dma(slot, j).wait()
+            _mt_tile(tscr[slot], lst[j])
+            return 0
+
+        jax.lax.fori_loop(0, count, lf, 0, unroll=False)
+        cap = jnp.max(jnp.minimum(tb_ref[:, :], tmax))
+        nhit = jnp.sum(
+            ((row_ref[:, :] >= 0) | (tmax <= tmin)).astype(jnp.int32)
+        )
+        return jnp.int32(0), cap, nhit
+
+    def visit_subtree(sub_id, count, cap, nhit):
+        """DMA the subtree's packed node block -> SMEM scratch, walk it
+        with the scalar cursor, appending GLOBAL leaf ids to the list."""
         dma = pltpu.make_async_copy(
             subn_ref.at[pl.ds(sub_id * SUB_NODE_ROWS, SUB_NODE_ROWS), :],
             nscr, sem_n,
         )
         dma.start()
         dma.wait()
-        dma_t.wait()
 
         def in_cond(c):
             return c[0] < SUB_EXIT
 
         def in_body(c):
-            cur, t_best, best_row, best_u, best_v, cap = c
+            cur, count, cap, nhit = c
             r = cur // 16
             base = (cur % 16) * 8
-            bminx = nscr[r, base + 0]
-            bminy = nscr[r, base + 1]
-            bminz = nscr[r, base + 2]
-            bmaxx = nscr[r, base + 3]
-            bmaxy = nscr[r, base + 4]
-            bmaxz = nscr[r, base + 5]
+            bmn3 = (nscr[r, base + 0], nscr[r, base + 1], nscr[r, base + 2])
+            bmx3 = (nscr[r, base + 3], nscr[r, base + 4], nscr[r, base + 5])
             skip = nscr[r, base + 6].astype(jnp.int32)
-            leaf_id = nscr[r, base + 7].astype(jnp.int32)
-            any_live = slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, cap)
-            is_leaf = leaf_id >= 0
+            leaf_local = nscr[r, base + 7].astype(jnp.int32)
+            live = node_test(bmn3, bmx3, cap)
+            is_leaf = leaf_local >= 0
 
-            def do_leaf(carry):
-                return leaf_isect(sub_id, leaf_id, carry)
-
-            t_best, best_row, best_u, best_v = jax.lax.cond(
-                is_leaf & any_live, do_leaf, lambda c: c,
-                (t_best, best_row, best_u, best_v),
+            lst[count] = sub_id * SUB_LEAVES + leaf_local
+            count = count + (live & is_leaf).astype(jnp.int32)
+            nxt = jnp.where(live & ~is_leaf, cur + 1, skip)
+            count, cap, nhit = jax.lax.cond(
+                count >= LIST_CAP,
+                lambda args: flush_list(args[0], args[1]),
+                lambda args: args,
+                (count, cap, nhit),
             )
-            cap = jnp.max(jnp.minimum(t_best, tmax))
-            nxt = jnp.where(any_live & ~is_leaf, cur + 1, skip)
-            return (nxt, t_best, best_row, best_u, best_v, cap)
+            return (nxt, count, cap, nhit)
 
-        _, t_best, best_row, best_u, best_v, cap = jax.lax.while_loop(
-            in_cond, in_body,
-            (jnp.int32(0), t_best, best_row, best_u, best_v, cap),
+        _, count, cap, nhit = jax.lax.while_loop(
+            in_cond, in_body, (jnp.int32(0), count, cap, nhit)
         )
-        return t_best, best_row, best_u, best_v, cap
+        return count, cap, nhit
 
     def cond(c):
         cur = c[0]
         if is_shadow is not None:
-            return (cur < top_nodes) & (~is_shadow | (c[5] < b))
+            return (cur < top_nodes) & (~is_shadow | (c[3] < b))
         return cur < top_nodes
 
     def body(c):
-        cur, t_best, best_row, best_u, best_v, nhit, cap = c
-        bminx = top_ref[cur, 0]
-        bminy = top_ref[cur, 1]
-        bminz = top_ref[cur, 2]
-        bmaxx = top_ref[cur, 3]
-        bmaxy = top_ref[cur, 4]
-        bmaxz = top_ref[cur, 5]
+        cur, count, cap, nhit = c
+        bmn3 = (top_ref[cur, 0], top_ref[cur, 1], top_ref[cur, 2])
+        bmx3 = (top_ref[cur, 3], top_ref[cur, 4], top_ref[cur, 5])
         skip = top_ref[cur, 6].astype(jnp.int32)
         sub_id = top_ref[cur, 7].astype(jnp.int32)
-        any_live = slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, cap)
+        live = node_test(bmn3, bmx3, cap)
         is_sub = sub_id >= 0
 
-        def do_sub(carry):
-            return visit_subtree(sub_id, carry)
-
-        t_best, best_row, best_u, best_v, cap = jax.lax.cond(
-            is_sub & any_live, do_sub, lambda c: c,
-            (t_best, best_row, best_u, best_v, cap),
+        count, cap, nhit = jax.lax.cond(
+            live & is_sub,
+            lambda args: visit_subtree(sub_id, *args),
+            lambda args: args,
+            (count, cap, nhit),
         )
-        if shadow_from >= 0:
-            nhit = jnp.sum(
-                ((best_row >= 0) | (tmax <= tmin)).astype(jnp.int32)
-            )
-        nxt = jnp.where(any_live & ~is_sub, cur + 1, skip)
-        return (nxt, t_best, best_row, best_u, best_v, nhit, cap)
+        nxt = jnp.where(live & ~is_sub, cur + 1, skip)
+        return (nxt, count, cap, nhit)
 
-    init = (
-        jnp.int32(0),
-        tmax,
-        jnp.full((b, 1), -1, jnp.int32),
-        jnp.zeros((b, 1), jnp.float32),
-        jnp.zeros((b, 1), jnp.float32),
-        jnp.int32(0),
-        jnp.max(tmax),
-    )
-    _, t_best, best_row, best_u, best_v, _, _ = jax.lax.while_loop(
-        cond, body, init
-    )
+    init = (jnp.int32(0), jnp.int32(0), thi, jnp.int32(0))
+    _, count, cap, _ = jax.lax.while_loop(cond, body, init)
+    flush_list(count, cap)
 
-    out_ref[:, 0:1] = jnp.where(best_row < 0, jnp.float32(_INF), t_best)
-    out_ref[:, 1:2] = jax.lax.bitcast_convert_type(best_row, jnp.float32)
-    out_ref[:, 2:3] = best_u
-    out_ref[:, 3:4] = best_v
+    res = jnp.concatenate(
+        [
+            jnp.where(row_ref[:, :] < 0, jnp.float32(_INF), tb_ref[:, :]),
+            jax.lax.bitcast_convert_type(row_ref[:, :], jnp.float32),
+            u_ref[:, :],
+            v_ref[:, :],
+        ],
+        axis=1,
+    )
+    out_ref[:, :] = jnp.transpose(res, (1, 0))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("top_nodes", "block", "shadow_from")
+    jax.jit,
+    static_argnames=("top_nodes", "block", "shadow_from", "interpret"),
 )
 def _traverse_streamed(top_nodes_arr, sub_nodes, tri_tiles, rays,
-                       top_nodes: int, block: int, shadow_from: int = -1):
-    n = rays.shape[0]  # (Np, 8) sublane-major
+                       top_nodes: int, block: int, shadow_from: int = -1,
+                       interpret: bool = False):
+    from realtimepathtracingresearchframework_tpu.ops.traverse_pallas2 import (
+        block_bounds,
+    )
+
+    n = rays.shape[1]  # (8, Np) lane-major rows
+    bounds = block_bounds(rays, block)
     grid = (n // block,)
     kernel = functools.partial(
         _kernel_streamed, top_nodes=top_nodes, block=block,
         shadow_from=shadow_from,
     )
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # per-block packet bounds
         grid=grid,
-        out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
         in_specs=[
             pl.BlockSpec(
-                top_nodes_arr.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+                top_nodes_arr.shape, lambda i, b_: (0, 0),
+                memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, block), lambda i, b_: (0, i), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (block, 4), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (4, block), lambda i, b_: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
+            pltpu.SMEM((LIST_CAP,), jnp.int32),
             pltpu.SMEM((SUB_NODE_ROWS, 128), jnp.float32),
-            pltpu.VMEM((SUB_TILE_ROWS, 128), jnp.float32),
+            pltpu.VMEM((2, 16, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((block, 1), jnp.float32),
+            pltpu.VMEM((block, 1), jnp.int32),
+            pltpu.VMEM((block, 1), jnp.float32),
+            pltpu.VMEM((block, 1), jnp.float32),
         ],
-    )(top_nodes_arr, sub_nodes, tri_tiles, rays)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
+        interpret=interpret,
+    )(bounds, top_nodes_arr, sub_nodes, tri_tiles, rays)
 
 
 def _out_to_hit(bb: StreamedBVHBuffers, out, n, map_tri: bool):
     from realtimepathtracingresearchframework_tpu.ops.traverse import Hit
 
-    t, rowbits = out[:n, 0], out[:n, 1]
-    u, v = out[:n, 2], out[:n, 3]
+    t, rowbits = out[0, :n], out[1, :n]
+    u, v = out[2, :n], out[3, :n]
     row = jax.lax.bitcast_convert_type(rowbits, jnp.int32)
     if map_tri:
         tri = jnp.where(row < 0, -1, bb.row_tri[jnp.maximum(row, 0)])
@@ -517,14 +585,15 @@ def closest_hit_streamed(
         comps, t_min, t_max, inv_perm = _sort_queue(bb, comps, t_min, t_max)
     else:
         inv_perm = None
-    rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=False)
+    rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=True)
     out = _traverse_streamed(
         bb.top_nodes, bb.sub_nodes, bb.tri_tiles, rays,
         top_nodes=bb.num_top_nodes, block=block,
+        interpret=INTERPRET,
     )
-    out = out[:n]
+    out = out[:, :n]
     if inv_perm is not None:
-        out = out[inv_perm]
+        out = out[:, inv_perm]
     return _out_to_hit(bb, out, n, map_tri)
 
 
@@ -540,12 +609,13 @@ def occluded_streamed(
         comps, t_min, t_max, inv_perm = _sort_queue(bb, comps, t_min, t_max)
     else:
         inv_perm = None
-    rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=False)
+    rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=True)
     out = _traverse_streamed(
         bb.top_nodes, bb.sub_nodes, bb.tri_tiles, rays,
         top_nodes=bb.num_top_nodes, block=block, shadow_from=0,
+        interpret=INTERPRET,
     )
-    rowbits = out[:n, 1]
+    rowbits = out[1, :n]
     blocked = jax.lax.bitcast_convert_type(rowbits, jnp.int32) >= 0
     if inv_perm is not None:
         blocked = blocked[inv_perm]
@@ -575,21 +645,22 @@ def closest_and_occluded_streamed(
     else:
         inv_c = inv_s = None
     rays_c, n = _prep_rays(None, None, t_min_c, t_max_c, block,
-                           comps=comps_c, wide=False)
+                           comps=comps_c, wide=True)
     rays_s, n2 = _prep_rays(None, None, t_min_s, t_max_s, block,
-                            comps=comps_s, wide=False)
-    rays = jnp.concatenate([rays_c, rays_s], axis=0)
-    shadow_from = rays_c.shape[0] // block
+                            comps=comps_s, wide=True)
+    rays = jnp.concatenate([rays_c, rays_s], axis=1)
+    shadow_from = rays_c.shape[1] // block
     out = _traverse_streamed(
         bb.top_nodes, bb.sub_nodes, bb.tri_tiles, rays,
         top_nodes=bb.num_top_nodes, block=block, shadow_from=shadow_from,
+        interpret=INTERPRET,
     )
-    np_c = rays_c.shape[0]
-    out_c = out[:n]
+    np_c = rays_c.shape[1]
+    out_c = out[:, :n]
     if inv_c is not None:
-        out_c = out_c[inv_c]
+        out_c = out_c[:, inv_c]
     hit = _out_to_hit(bb, out_c, n, map_tri)
-    srowbits = out[np_c:np_c + n2, 1]
+    srowbits = out[1, np_c:np_c + n2]
     blocked = jax.lax.bitcast_convert_type(srowbits, jnp.int32) >= 0
     if inv_s is not None:
         blocked = blocked[inv_s]

@@ -20,6 +20,7 @@ command streams; ``jax.block_until_ready`` only at readback.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -734,6 +735,7 @@ class Renderer:
             streamed=bool(getattr(self, "_use_streamed", False)),
             enable_dof=bool(self.options.enable_raytraced_dof)
             and float(params.aperture_radius) > 0.0,
+            compact=bool(os.environ.get("RPTR_COMPACT")),
         )
 
     def render(self, config: FrameConfig, batch_spp: Optional[int] = None) -> RenderStats:

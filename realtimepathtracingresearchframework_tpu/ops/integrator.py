@@ -292,6 +292,14 @@ class IntegratorConfig(NamedTuple):
     # DIM_APERTURE_X/Y=4/5, DIM_CAMERA_END 2 -> 6).
     has_transmission: bool = True  # False drops all transmission BSDF
     # math (scene has no transmitting material; bit-identical there)
+    compact: bool = False  # live-first lane partition before each
+    # traversal dispatch past bounce 0 (traverse_pallas2._compact):
+    # dead lanes cluster into all-dead blocks the packet walk skips in
+    # one scalar step. Bit-invisible; pallas paths only. OFF by default:
+    # the generic XLA partition (1-D cumsum 9 ms + lane-dim gather 41 ms
+    # per 524K dispatch, measured v5e) dwarfs the saving on shallow
+    # scenes — the cornell frame regressed 108 -> 568 ms. Revisit with
+    # an MXU prefix-sum + SoA gathers if deep-scene profiles justify it.
 
 
 class FrameParams(NamedTuple):
@@ -368,7 +376,7 @@ def _hit_alpha_cut(ds: DeviceScene, tri, u, v, inst=None):
 
 
 def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
-                          rd: Vec3, t_min, t_max):
+                          rd: Vec3, t_min, t_max, compact: bool = False):
     if cfg.two_level:
         return tlas_mod.closest_hit_two_level(
             ds.tlas, v3.to_array(ro), v3.to_array(rd),
@@ -386,7 +394,7 @@ def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
     if cfg.use_pallas:
         return traverse_pallas.closest_hit_pallas(
             ds.bvh, None, None, t_min=t_min, t_max=t_max, comps=(*ro, *rd),
-            map_tri=not cfg.row_attrs,
+            map_tri=not cfg.row_attrs, compact=compact,
         )
     return closest_hit_threaded(
         ds.bvh, v3.to_array(ro), v3.to_array(rd), t_min=t_min, t_max=t_max
@@ -394,11 +402,11 @@ def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
 
 
 def closest_hit_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
-                      rd: Vec3, t_min, t_max):
+                      rd: Vec3, t_min, t_max, compact: bool = False):
     """Closest hit honoring alpha-cutout textures: re-traces past cut
     texels up to MAX_ALPHA_HOPS (the reference's candidate-hit loop).
     Static no-op unless ``cfg.alpha_test``."""
-    hit = _closest_hit_dispatch(ds, cfg, ro, rd, t_min, t_max)
+    hit = _closest_hit_dispatch(ds, cfg, ro, rd, t_min, t_max, compact=compact)
     if not (cfg.alpha_test and cfg.has_textures):
         return hit
     from realtimepathtracingresearchframework_tpu.ops.traverse import Hit
@@ -417,7 +425,9 @@ def closest_hit_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
         eps = jnp.abs(t) * 1e-4 + 1e-5
         nxt_tmin = jnp.where(cut, t + eps, t_min)
         nxt_tmax = jnp.where(cut, t_max, 0.0)  # settled lanes trace nothing
-        h = _closest_hit_dispatch(ds, cfg, ro, rd, nxt_tmin, nxt_tmax)
+        h = _closest_hit_dispatch(
+            ds, cfg, ro, rd, nxt_tmin, nxt_tmax, compact=True
+        )
         t = jnp.where(cut, h.t, t)
         tri = jnp.where(cut, h.tri, tri)
         u = jnp.where(cut, h.u, u)
@@ -440,7 +450,7 @@ def closest_hit_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
 
 
 def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3, rd: Vec3,
-                   t_min, t_max):
+                   t_min, t_max, compact: bool = False):
     """Shadow-ray visibility honoring alpha cutouts (any_hit.rahit): walks
     candidate hits until a solid blocker or segment end."""
     if cfg.two_level and not (cfg.alpha_test and cfg.has_textures):
@@ -459,7 +469,8 @@ def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3, rd: Vec3,
             )
         if cfg.use_pallas:
             return traverse_pallas.occluded_pallas(
-                ds.bvh, None, None, t_min=t_min, t_max=t_max, comps=(*ro, *rd)
+                ds.bvh, None, None, t_min=t_min, t_max=t_max,
+                comps=(*ro, *rd), compact=compact,
             )
         return occluded_threaded(
             ds.bvh, v3.to_array(ro), v3.to_array(rd), t_min=t_min, t_max=t_max
@@ -482,7 +493,9 @@ def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3, rd: Vec3,
         eps = jnp.abs(t) * 1e-4 + 1e-5
         nxt_tmin = jnp.where(live, t + eps, t_min)
         nxt_tmax = jnp.where(live, t_max, 0.0)
-        h = _closest_hit_dispatch(ds, cfg, ro, rd, nxt_tmin, nxt_tmax)
+        h = _closest_hit_dispatch(
+            ds, cfg, ro, rd, nxt_tmin, nxt_tmax, compact=True
+        )
         in_seg = (h.tri >= 0) & (h.t < t_max) & live
         cut = _hit_alpha_cut(
             ds, h.tri, h.u, h.v, h.inst if cfg.two_level else None
@@ -510,6 +523,7 @@ def _sample_direct_light(
     dir_sample,
     sel_sample,
     total_t,
+    compact: bool = False,
 ) -> Vec3:
     """sample_direct_light (mc/nee.glsl:32-90) + immediate visibility ray
     (the megakernel resolution of the candidate)."""
@@ -518,7 +532,8 @@ def _sample_direct_light(
         total_t,
     )
     blocked = occluded_alpha(
-        ds, cfg, hit_p, cand.dir, t_min=cand.eps, t_max=cand.shadow_tmax
+        ds, cfg, hit_p, cand.dir, t_min=cand.eps, t_max=cand.shadow_tmax,
+        compact=compact,
     )
     visible = (cand.traced & ~blocked) | cand.uncond
     zero3 = v3.splat(jnp.zeros_like(cand.eps))
@@ -675,7 +690,7 @@ def trace_paths(
         false_n,  # traced: pending visibility ray for this lane
     )
 
-    def visit_hit(carry):
+    def visit_hit(carry, compact=False):
         """Traverse + hit attributes + emitter MIS; shared by body/epilogue.
         Returns (carry w/ miss handled, hit shading context).
 
@@ -719,21 +734,26 @@ def trace_paths(
                     ds.bvh,
                     (*ro, *rd), t_min, tmax_eff,
                     (*ro, *nd), ntmin, ntmax_eff,
-                    map_tri=not cfg.row_attrs,
+                    map_tri=not cfg.row_attrs, compact=compact,
                 )
             else:
                 # XLA fallback / alpha-test / two-level paths: same
                 # deferred structure, separate traversals (bit-identical)
-                hit = closest_hit_alpha(ds, cfg, ro, rd, t_min, tmax_eff)
+                hit = closest_hit_alpha(
+                    ds, cfg, ro, rd, t_min, tmax_eff, compact=compact
+                )
                 blocked = occluded_alpha(
-                    ds, cfg, ro, nd, t_min=ntmin, t_max=ntmax_eff
+                    ds, cfg, ro, nd, t_min=ntmin, t_max=ntmax_eff,
+                    compact=compact,
                 )
             illum = v3.where(ntraced & ~blocked, illum + ncontrib, illum)
             pend = empty_pend
         else:
             # two-level dispatch (incl. alpha-tested candidate walks)
             # happens inside closest_hit_alpha
-            hit = closest_hit_alpha(ds, cfg, ro, rd, t_min, tmax_eff)
+            hit = closest_hit_alpha(
+                ds, cfg, ro, rd, t_min, tmax_eff, compact=compact
+            )
         was_miss = hit.tri < 0
 
         # ---- miss: sky (pt_megakernel.glsl:480-489)
@@ -909,7 +929,7 @@ def trace_paths(
         ctx = (p, n_sh, gn, mat, w_o)
         return carry, ctx
 
-    def scatter_tail(args):
+    def scatter_tail(args, compact=False):
         """NEE + BSDF sample + RR — skipped on the final bounce."""
         carry, ctx, bounce_i = args
         (ro, rd, t_min, illum, throughput, active, prev_pdf,
@@ -958,7 +978,7 @@ def trace_paths(
         else:
             nee_contrib = _sample_direct_light(
                 ds, cfg, p, n_sh, gn, mat, w_o, pos_sample, sel_sample,
-                total_t,
+                total_t, compact=compact,
             )
             illum = v3.where(active, illum + throughput * nee_contrib, illum)
 
@@ -1032,19 +1052,25 @@ def trace_paths(
         return out
 
     def bounce_body(i, carry):
+        # live-lane compaction engages once lanes can be dead: from
+        # bounce 1 (unrolled; bounce 0 is all-live) or always in the
+        # dynamic loop (the flag must be trace-static there)
+        compact = cfg.compact and ((i > 0) if isinstance(i, int) else True)
 
         def live_body(carry):
-            carry, ctx = visit_hit(carry)
+            carry, ctx = visit_hit(carry, compact=compact)
             if isinstance(i, int):
                 # unrolled: final-bounce cut resolved in Python
                 # (shade_base_material.glsl:56-57)
                 if i < cfg.max_path_depth - 1:
-                    carry = scatter_tail((carry, ctx, jnp.int32(i)))
+                    carry = scatter_tail(
+                        (carry, ctx, jnp.int32(i)), compact=compact
+                    )
             else:
                 # dynamic loop: scalar predicate, real branch
                 carry = jax.lax.cond(
                     i < cfg.max_path_depth - 1,
-                    scatter_tail,
+                    partial(scatter_tail, compact=compact),
                     lambda args: args[0],
                     (carry, ctx, jnp.asarray(i, jnp.int32)),
                 )

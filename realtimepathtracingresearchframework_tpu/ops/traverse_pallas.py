@@ -502,6 +502,7 @@ def _prep_rays(ro, rd, t_min, t_max, block, comps=None, wide=True):
 def closest_hit_pallas(
     bb: PallasBVHBuffers, ro, rd, t_min=0.0, t_max=_INF,
     block: int = DEFAULT_BLOCK, comps=None, map_tri: bool = True,
+    compact: bool = False,
 ):
     """map_tri=False returns the BVH ROW as the primitive id — for callers
     whose attribute tables are row-ordered. The row->tri mapping gather
@@ -513,7 +514,7 @@ def closest_hit_pallas(
     if isinstance(bb, traverse_pallas2.PallasBVH2Buffers):
         return traverse_pallas2.closest_hit_pallas2(
             bb, ro, rd, t_min=t_min, t_max=t_max, block=block, comps=comps,
-            map_tri=map_tri,
+            map_tri=map_tri, compact=compact,
         )
     wide = bb.tris_s.shape[1] == 16
     rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=wide)
@@ -539,6 +540,7 @@ def closest_and_occluded_pallas(
     comps_c, t_min_c, t_max_c,
     comps_s, t_min_s, t_max_s,
     block: int = DEFAULT_BLOCK, map_tri: bool = True,
+    compact: bool = False,
 ):
     """ONE launch for the wavefront's two per-bounce ray queues: the
     extension (next-bounce closest-hit) rays and the NEE occlusion rays,
@@ -556,7 +558,7 @@ def closest_and_occluded_pallas(
     if isinstance(bb, traverse_pallas2.PallasBVH2Buffers):
         return traverse_pallas2.closest_and_occluded_pallas2(
             bb, comps_c, t_min_c, t_max_c, comps_s, t_min_s, t_max_s,
-            block=block, map_tri=map_tri,
+            block=block, map_tri=map_tri, compact=compact,
         )
     wide = bb.tris_s.shape[1] == 16
     rays_c, n = _prep_rays(None, None, t_min_c, t_max_c, block,
@@ -591,13 +593,14 @@ def closest_and_occluded_pallas(
 
 def occluded_pallas(
     bb: PallasBVHBuffers, ro, rd, t_min=0.0, t_max=_INF,
-    block: int = DEFAULT_BLOCK, comps=None,
+    block: int = DEFAULT_BLOCK, comps=None, compact: bool = False,
 ):
     from realtimepathtracingresearchframework_tpu.ops import traverse_pallas2
 
     if isinstance(bb, traverse_pallas2.PallasBVH2Buffers):
         return traverse_pallas2.occluded_pallas2(
-            bb, ro, rd, t_min=t_min, t_max=t_max, block=block, comps=comps
+            bb, ro, rd, t_min=t_min, t_max=t_max, block=block, comps=comps,
+            compact=compact,
         )
     wide = bb.tris_s.shape[1] == 16
     rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=wide)

@@ -108,7 +108,10 @@ def pack_for_pallas2(tb: ThreadedBVH) -> PallasBVH2Buffers:
 def block_bounds(rays: jnp.ndarray, block: int) -> jnp.ndarray:
     """Per-block conservative packet bounds, computed in XLA (fuses into
     the ray-operand build). ``rays`` is (8, N) lane-major rows [ro3, rd3,
-    tmin, tmax]; returns (N // block, 16) f32 rows:
+    tmin, tmax]; returns (16, N // block) f32 — row-major so the
+    reduction output keeps the operand's lane layout (a (nb, 16) stack
+    transposes every reduction result: measured 4.4 ms per 524K rays
+    standalone). Rows:
       0-2 origin min, 3-5 origin max, 6-8 inv-dir min, 9-11 inv-dir max,
       12 tmin min, 13 tmax max, 14-15 pad.
     Dead lanes (tmax <= tmin) are excluded, so an all-dead block yields
@@ -128,28 +131,35 @@ def block_bounds(rays: jnp.ndarray, block: int) -> jnp.ndarray:
 
     d = r[3:6]
     inv = jnp.where(d >= 0.0, 1.0, -1.0) / jnp.maximum(jnp.abs(d), 1e-20)
-    cols = [mn(r[k]) for k in range(3)]
-    cols += [mx(r[k]) for k in range(3)]
-    cols += [mn(inv[k]) for k in range(3)]
-    cols += [mx(inv[k]) for k in range(3)]
-    cols += [mn(r[6]), mx(r[7])]
-    cols += [jnp.zeros((nb,), jnp.float32)] * 2
-    return jnp.stack(cols, axis=-1)
+    rows = [mn(r[k]) for k in range(3)]
+    rows += [mx(r[k]) for k in range(3)]
+    rows += [mn(inv[k]) for k in range(3)]
+    rows += [mx(inv[k]) for k in range(3)]
+    rows += [mn(r[6]), mx(r[7])]
+    rows += [jnp.zeros((nb,), jnp.float32)] * 2
+    return jnp.stack(rows, axis=0)
 
 
-def _mt_leaf(tile, rox, roy, roz, rdx, rdy, rdz, tmin, tmax, lane_iota,
+def _mt_leaf(tile_f, rox, roy, roz, rdx, rdy, rdz, tmin, tmax, sub_iota,
              leaf_id, t_best, best_row, best_u, best_v):
-    """(B, 128) Moller-Trumbore over one leaf tile — arithmetic identical
-    to the v1 lane kernel (bit-exact results)."""
-    v0x = tile[0:1, :]
-    v0y = tile[1:2, :]
-    v0z = tile[2:3, :]
-    e1x = tile[3:4, :]
-    e1y = tile[4:5, :]
-    e1z = tile[5:6, :]
-    e2x = tile[6:7, :]
-    e2y = tile[7:8, :]
-    e2z = tile[8:9, :]
+    """(128 tris, B rays) Moller-Trumbore over one leaf tile. Rays stay
+    LANE-major (1, B) end-to-end (zero whole-block transposes — v2's
+    original (B, 8)/(B, 128) orientation spent ~5 us/block on operand +
+    output relayout); the (16, 128) field-major tile is transposed to
+    (128, 16) tri-major once per visit, which is tiny next to the MT.
+    Arithmetic identical to the v1 wide kernel (bit-exact: min and
+    one-hot-sum reductions are order-independent)."""
+    tile = jnp.transpose(tile_f, (1, 0))  # (128 tris, 16 fields)
+    v0x = tile[:, 0:1]
+    v0y = tile[:, 1:2]
+    v0z = tile[:, 2:3]
+    e1x = tile[:, 3:4]
+    e1y = tile[:, 4:5]
+    e1z = tile[:, 5:6]
+    e2x = tile[:, 6:7]
+    e2y = tile[:, 7:8]
+    e2z = tile[:, 8:9]
+    # (128, 1) x (1, B) -> (128 tris, B rays)
     px = rdy * e2z - rdz * e2y
     py = rdz * e2x - rdx * e2z
     pz = rdx * e2y - rdy * e2x
@@ -173,22 +183,62 @@ def _mt_leaf(tile, rox, roy, roz, rdx, rdy, rdz, tmin, tmax, lane_iota,
         & (tt < jnp.minimum(t_best, tmax))
     )
     tt = jnp.where(hit, tt, _INF)
-    tmin_row = jnp.min(tt, axis=1, keepdims=True)  # (B, 1)
-    improved = tmin_row < t_best
-    is_best = (tt <= tmin_row) & hit
-    lane_of_best = jnp.min(
-        jnp.where(is_best, lane_iota, LEAF), axis=1, keepdims=True
+    tmin_col = jnp.min(tt, axis=0, keepdims=True)  # (1, B)
+    improved = tmin_col < t_best
+    is_best = (tt <= tmin_col) & hit
+    sub_of_best = jnp.min(
+        jnp.where(is_best, sub_iota, LEAF), axis=0, keepdims=True
     )
-    pick = lane_iota == lane_of_best
-    u_pick = jnp.sum(jnp.where(pick, uu, 0.0), axis=1, keepdims=True)
-    v_pick = jnp.sum(jnp.where(pick, vv, 0.0), axis=1, keepdims=True)
-    t_best = jnp.where(improved, tmin_row, t_best)
+    pick = sub_iota == sub_of_best
+    u_pick = jnp.sum(jnp.where(pick, uu, 0.0), axis=0, keepdims=True)
+    v_pick = jnp.sum(jnp.where(pick, vv, 0.0), axis=0, keepdims=True)
+    t_best = jnp.where(improved, tmin_col, t_best)
     best_row = jnp.where(
-        improved, leaf_id * LEAF + lane_of_best.astype(jnp.int32), best_row
+        improved, leaf_id * LEAF + sub_of_best.astype(jnp.int32), best_row
     )
     best_u = jnp.where(improved, u_pick, best_u)
     best_v = jnp.where(improved, v_pick, best_v)
     return t_best, best_row, best_u, best_v
+
+
+def _mt_leaf_any(tile_f, rox, roy, roz, rdx, rdy, rdz, tmin, tmax):
+    """(128 tris, B rays) Moller-Trumbore hit TEST over one leaf tile:
+    per-ray any-hit bool, no best tracking (the v1 ``any_hit`` walk's
+    cheap leaf test, vectorized over the flush list). Same lane-major
+    orientation as ``_mt_leaf``."""
+    tile = jnp.transpose(tile_f, (1, 0))  # (128 tris, 16 fields)
+    v0x = tile[:, 0:1]
+    v0y = tile[:, 1:2]
+    v0z = tile[:, 2:3]
+    e1x = tile[:, 3:4]
+    e1y = tile[:, 4:5]
+    e1z = tile[:, 5:6]
+    e2x = tile[:, 6:7]
+    e2y = tile[:, 7:8]
+    e2z = tile[:, 8:9]
+    px = rdy * e2z - rdz * e2y
+    py = rdz * e2x - rdx * e2z
+    pz = rdx * e2y - rdy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvx = rox - v0x
+    tvy = roy - v0y
+    tvz = roz - v0z
+    uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+    qx = tvy * e1z - tvz * e1y
+    qy = tvz * e1x - tvx * e1z
+    qz = tvx * e1y - tvy * e1x
+    vv = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+    tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    hit = (
+        (jnp.abs(det) > 1e-12)
+        & (uu >= 0.0)
+        & (vv >= 0.0)
+        & (uu + vv <= 1.0)
+        & (tt > tmin)
+        & (tt < tmax)
+    )
+    return jnp.any(hit, axis=0, keepdims=True)  # (1, B)
 
 
 def _kernel2(bounds_ref, nodes_ref, tris_ref, rays_ref, out_ref,
@@ -198,47 +248,47 @@ def _kernel2(bounds_ref, nodes_ref, tris_ref, rays_ref, out_ref,
     # bounds in SMEM, indexed by the grid position
     b = block
     pid = pl.program_id(0)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LEAF), 1)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (LEAF, 1), 0)
 
     # the operand arrives lane-major (8, B) — the orientation XLA can
     # produce with a plain concat of the integrator's SoA ray components
     # (a sublane-major (N, 8) stack is a relayout copy, ~1.4 ms/262K rays
-    # per launch). ONE on-core transpose per block moves it to the
-    # (B, 1)-per-ray orientation the tris-on-lanes MT wants.
-    rays_t = jnp.transpose(rays_ref[:, :], (1, 0))  # (B, 8)
-    rox = rays_t[:, 0:1]
-    roy = rays_t[:, 1:2]
-    roz = rays_t[:, 2:3]
-    rdx = rays_t[:, 3:4]
-    rdy = rays_t[:, 4:5]
-    rdz = rays_t[:, 5:6]
-    tmin = rays_t[:, 6:7]
-    tmax = rays_t[:, 7:8]
+    # per launch) — and STAYS lane-major: each component is a (1, B) row
+    # and the MT runs tris-on-sublanes x rays-on-lanes, so the kernel
+    # does zero whole-block transposes.
+    rox = rays_ref[0:1, :]
+    roy = rays_ref[1:2, :]
+    roz = rays_ref[2:3, :]
+    rdx = rays_ref[3:4, :]
+    rdy = rays_ref[4:5, :]
+    rdz = rays_ref[5:6, :]
+    tmin = rays_ref[6:7, :]
+    tmax = rays_ref[7:8, :]
 
     # block packet bounds: pure SMEM scalars
-    olo = [bounds_ref[pid, k] for k in range(3)]
-    ohi = [bounds_ref[pid, 3 + k] for k in range(3)]
-    ilo = [bounds_ref[pid, 6 + k] for k in range(3)]
-    ihi = [bounds_ref[pid, 9 + k] for k in range(3)]
-    tlo = bounds_ref[pid, 12]
-    thi = bounds_ref[pid, 13]
+    olo = [bounds_ref[k, pid] for k in range(3)]
+    ohi = [bounds_ref[3 + k, pid] for k in range(3)]
+    ilo = [bounds_ref[6 + k, pid] for k in range(3)]
+    ihi = [bounds_ref[9 + k, pid] for k in range(3)]
+    tlo = bounds_ref[12, pid]
+    thi = bounds_ref[13, pid]
 
     tb_ref[:, :] = tmax
-    row_ref[:, :] = jnp.full((b, 1), -1, jnp.int32)
-    u_ref[:, :] = jnp.zeros((b, 1), jnp.float32)
-    v_ref[:, :] = jnp.zeros((b, 1), jnp.float32)
+    row_ref[:, :] = jnp.full((1, b), -1, jnp.int32)
+    u_ref[:, :] = jnp.zeros((1, b), jnp.float32)
+    v_ref[:, :] = jnp.zeros((1, b), jnp.float32)
 
     is_shadow = pid >= shadow_from if shadow_from >= 0 else None
 
-    def flush_list(count, cap):
+    def flush_closest(count, cap):
         """Vector MT over the listed leaf tiles; refresh the scalar cap
-        (and the shadow resolved-count) — the walk's only vector work."""
+        — the walk's only vector work."""
 
         def lf(j, _):
             leaf_id = lst[j]
             tile = tris_ref[pl.ds(leaf_id * 16, 16), :]
             t_best, best_row, best_u, best_v = _mt_leaf(
-                tile, rox, roy, roz, rdx, rdy, rdz, tmin, tmax, lane_iota,
+                tile, rox, roy, roz, rdx, rdy, rdz, tmin, tmax, sub_iota,
                 leaf_id, tb_ref[:, :], row_ref[:, :], u_ref[:, :], v_ref[:, :],
             )
             tb_ref[:, :] = t_best
@@ -249,10 +299,39 @@ def _kernel2(bounds_ref, nodes_ref, tris_ref, rays_ref, out_ref,
 
         jax.lax.fori_loop(0, count, lf, 0, unroll=False)
         cap = jnp.max(jnp.minimum(tb_ref[:, :], tmax))
+        return jnp.int32(0), cap, jnp.int32(0)
+
+    def flush_shadow(count, cap):
+        """Any-hit flush: same MT hit test, but only a per-ray blocked
+        flag — no best tracking, no cap refresh. ONE scalar sync (the
+        resolved count that drives the walk's early exit)."""
+
+        def lf(j, _):
+            leaf_id = lst[j]
+            tile = tris_ref[pl.ds(leaf_id * 16, 16), :]
+            hit_any = _mt_leaf_any(
+                tile, rox, roy, roz, rdx, rdy, rdz, tmin,
+                jnp.minimum(tb_ref[:, :], tmax),
+            )
+            row_ref[:, :] = jnp.where(hit_any, leaf_id * LEAF, row_ref[:, :])
+            return 0
+
+        jax.lax.fori_loop(0, count, lf, 0, unroll=False)
         nhit = jnp.sum(
             ((row_ref[:, :] >= 0) | (tmax <= tmin)).astype(jnp.int32)
         )
         return jnp.int32(0), cap, nhit
+
+    if shadow_from < 0:
+        flush_list = flush_closest
+    elif shadow_from == 0:
+        flush_list = flush_shadow
+    else:
+
+        def flush_list(count, cap):
+            return jax.lax.cond(
+                is_shadow, flush_shadow, flush_closest, count, cap
+            )
 
     def cond(c):
         cur = c[0]
@@ -326,19 +405,22 @@ def _kernel2(bounds_ref, nodes_ref, tris_ref, rays_ref, out_ref,
     _, count, cap, _ = jax.lax.while_loop(cond, body, init)
     flush_list(count, cap)
 
-    # pack the (B, 1) result columns into lane-major (4, B) output rows
-    # (ONE on-core transpose) so XLA-side consumers slice rows, not
-    # strided columns
-    res = jnp.concatenate(
+    # results are already lane-major (1, B) rows — stack into the (4, B)
+    # output with a plain concat, zero transposes
+    out_ref[:, :] = jnp.concatenate(
         [
             jnp.where(row_ref[:, :] < 0, jnp.float32(_INF), tb_ref[:, :]),
             jax.lax.bitcast_convert_type(row_ref[:, :], jnp.float32),
             u_ref[:, :],
             v_ref[:, :],
         ],
-        axis=1,
+        axis=0,
     )
-    out_ref[:, :] = jnp.transpose(res, (1, 0))
+
+
+MAX_BLOCKS = 1024  # per-launch grid cap: the scalar-prefetch machinery's
+# SMEM bookkeeping scales with grid steps (measured OOM at 2048 blocks on
+# v5e); bigger queues split into multiple launches
 
 
 @functools.partial(
@@ -347,38 +429,92 @@ def _kernel2(bounds_ref, nodes_ref, tris_ref, rays_ref, out_ref,
 def _traverse2(nodes, tri_tiles, rays, num_nodes: int, block: int,
                shadow_from: int = -1, interpret: bool = False):
     n = rays.shape[1]  # (8, Np) lane-major rows
+    nb = n // block
+    if nb > MAX_BLOCKS:
+        outs = []
+        for s in range(0, nb, MAX_BLOCKS):
+            e = min(s + MAX_BLOCKS, nb)
+            if shadow_from < 0 or shadow_from - s >= e - s:
+                sf = -1  # all-closest slice
+            else:
+                sf = max(0, shadow_from - s)  # 0 = all-shadow slice
+            outs.append(
+                _traverse2(
+                    nodes, tri_tiles, rays[:, s * block:e * block],
+                    num_nodes=num_nodes, block=block, shadow_from=sf,
+                    interpret=interpret,
+                )
+            )
+        return jnp.concatenate(outs, axis=1)
+    # barrier: without it XLA fuses the bounds reduction into the RAY
+    # PRODUCER chain (camera/BSDF-sample math), re-running that whole
+    # chain a second time per dispatch inside the frame program
+    rays = jax.lax.optimization_barrier(rays)
     bounds = block_bounds(rays, block)
-    grid = (n // block,)
+    grid = (nb,)
     kernel = functools.partial(
         _kernel2, num_nodes=num_nodes, block=block, shadow_from=shadow_from,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # the per-block packet bounds
+    # bounds ride as a PLAIN whole-array SMEM operand (like the node
+    # table), NOT scalar prefetch: the PrefetchScalarGridSpec machinery
+    # measured ~1.5-2 ms extra fixed cost per dispatch and allocates
+    # per-grid-step SMEM bookkeeping (OOM at 2048 blocks)
+    return pl.pallas_call(
+        kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(nodes.shape, lambda i, b_: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(bounds.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(nodes.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                tri_tiles.shape, lambda i, b_: (0, 0), memory_space=pltpu.VMEM
+                tri_tiles.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((8, block), lambda i, b_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (4, block), lambda i, b_: (0, i), memory_space=pltpu.VMEM
+            (4, block), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.SMEM((LIST_CAP,), jnp.int32),
-            pltpu.VMEM((block, 1), jnp.float32),
-            pltpu.VMEM((block, 1), jnp.int32),
-            pltpu.VMEM((block, 1), jnp.float32),
-            pltpu.VMEM((block, 1), jnp.float32),
+            pltpu.VMEM((1, block), jnp.float32),
+            pltpu.VMEM((1, block), jnp.int32),
+            pltpu.VMEM((1, block), jnp.float32),
+            pltpu.VMEM((1, block), jnp.float32),
         ],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
         interpret=interpret,
     )(bounds, nodes, tri_tiles, rays)
+
+
+def _compact(rays):
+    """Stable live-first lane partition of a packed (8, Np) ray operand —
+    the TPU-native expression of the north-star wavefront design's
+    stream-compacted queues (SURVEY §7): with RR from depth 2 most lanes
+    are dead past bounce 3, and after this partition they cluster into
+    all-dead trailing blocks whose packet bounds are empty, so the v2
+    walk culls the ROOT node and exits in one scalar step per block.
+
+    Cost: one 1-D cumsum + one 1-D scatter (the permutation build) + one
+    (8, Np) gather here + one (4, Np) un-permute gather on the output —
+    fixed-shape ops, no data-dependent shapes, so the whole thing lives
+    inside the jitted pass program.
+
+    Returns (rays_sorted, pos): ``pos[i]`` is lane i's column in the
+    sorted operand; gathering ``out[:, pos]`` restores original order.
+    Per-ray results are EXACT under any block composition (a live ray's
+    leaves always pass the conservative packet test and the per-ray MT is
+    independent of its block mates), so compaction is bit-invisible."""
+    live = rays[7] > rays[6]
+    li = live.astype(jnp.int32)
+    n_live = jnp.sum(li)
+    pos_live = jnp.cumsum(li) - 1
+    pos_dead = n_live + jnp.cumsum(1 - li) - 1
+    pos = jnp.where(live, pos_live, pos_dead).astype(jnp.int32)
+    npd = rays.shape[1]
+    perm = jnp.zeros((npd,), jnp.int32).at[pos].set(
+        jnp.arange(npd, dtype=jnp.int32), unique_indices=True,
+        indices_are_sorted=False,
+    )
+    return rays[:, perm], pos
 
 
 def _out_to_hit(bb: PallasBVH2Buffers, out, n, map_tri: bool):
@@ -397,34 +533,41 @@ def _out_to_hit(bb: PallasBVH2Buffers, out, n, map_tri: bool):
 def closest_hit_pallas2(
     bb: PallasBVH2Buffers, ro, rd, t_min=0.0, t_max=_INF,
     block: int = DEFAULT_BLOCK, comps=None, map_tri: bool = True,
+    compact: bool = False,
 ):
     from realtimepathtracingresearchframework_tpu.ops.traverse_pallas import (
         _prep_rays,
     )
 
     rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=True)
+    if compact:
+        rays, pos = _compact(rays)
     out = _traverse2(
         bb.nodes, bb.tri_tiles, rays,
         num_nodes=bb.num_nodes, block=block, interpret=INTERPRET,
     )
+    if compact:
+        out = out[:, pos[:n]]
     return _out_to_hit(bb, out, n, map_tri)
 
 
 def occluded_pallas2(
     bb: PallasBVH2Buffers, ro, rd, t_min=0.0, t_max=_INF,
-    block: int = DEFAULT_BLOCK, comps=None,
+    block: int = DEFAULT_BLOCK, comps=None, compact: bool = False,
 ):
     from realtimepathtracingresearchframework_tpu.ops.traverse_pallas import (
         _prep_rays,
     )
 
     rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=True)
+    if compact:
+        rays, pos = _compact(rays)
     out = _traverse2(
         bb.nodes, bb.tri_tiles, rays,
         num_nodes=bb.num_nodes, block=block, shadow_from=0,
         interpret=INTERPRET,
     )
-    rowbits = out[1, :n]
+    rowbits = out[1, pos[:n]] if compact else out[1, :n]
     return jax.lax.bitcast_convert_type(rowbits, jnp.int32) >= 0
 
 
@@ -433,11 +576,13 @@ def closest_and_occluded_pallas2(
     comps_c, t_min_c, t_max_c,
     comps_s, t_min_s, t_max_s,
     block: int = DEFAULT_BLOCK, map_tri: bool = True,
+    compact: bool = False,
 ):
     """ONE launch for the wavefront's two per-bounce queues (see
     traverse_pallas.closest_and_occluded_pallas): block-aligned halves of
     a single operand; occlusion blocks take the any-hit early exit via
-    the ``shadow_from`` block predicate."""
+    the ``shadow_from`` block predicate. ``compact`` partitions each half
+    live-first (see ``_compact``) so dead lanes form skipped blocks."""
     from realtimepathtracingresearchframework_tpu.ops.traverse_pallas import (
         _prep_rays,
     )
@@ -446,6 +591,9 @@ def closest_and_occluded_pallas2(
                            comps=comps_c, wide=True)
     rays_s, n2 = _prep_rays(None, None, t_min_s, t_max_s, block,
                             comps=comps_s, wide=True)
+    if compact:
+        rays_c, pos_c = _compact(rays_c)
+        rays_s, pos_s = _compact(rays_s)
     rays = jnp.concatenate([rays_c, rays_s], axis=1)
     shadow_from = rays_c.shape[1] // block
     out = _traverse2(
@@ -454,7 +602,14 @@ def closest_and_occluded_pallas2(
         interpret=INTERPRET,
     )
     np_c = rays_c.shape[1]
-    hit = _out_to_hit(bb, out[:, :n], n, map_tri)
-    srowbits = out[1, np_c:np_c + n2]
-    blocked = jax.lax.bitcast_convert_type(srowbits, jnp.int32) >= 0
+    out_c = out[:, :np_c]
+    srow = out[1, np_c:]
+    if compact:
+        out_c = out_c[:, pos_c[:n]]
+        srow = srow[pos_s[:n2]]
+    else:
+        out_c = out_c[:, :n]
+        srow = srow[:n2]
+    hit = _out_to_hit(bb, out_c, n, map_tri)
+    blocked = jax.lax.bitcast_convert_type(srow, jnp.int32) >= 0
     return hit, blocked

@@ -38,6 +38,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from realtimepathtracingresearchframework_tpu.ops.bvh import build_threaded_bvh
+from realtimepathtracingresearchframework_tpu.ops.traverse_pallas2 import (
+    _mt_leaf,
+    block_bounds,
+)
 
 try:  # pallas requires the TPU backend; keep CPU test runs importable
     from jax.experimental import pallas as pl
@@ -203,40 +207,37 @@ def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
                      *, top_nodes: int, block: int, shadow_from: int = -1):
     """v2 walk (see ops/traverse_pallas2.py): pure-scalar top + subtree
     walks against per-block conservative packet bounds (scalar-prefetch
-    operand), leaf hits collected into an SMEM list of GLOBAL leaf ids,
-    flushed as double-buffered per-leaf DMA (8 KB tile HBM->VMEM) +
-    batched (B, 128) Moller-Trumbore. The per-leaf DMA replaces the v1
-    whole-subtree 512 KB block copy: HBM traffic scales with the leaves
-    a block actually touches, and the list spans subtree boundaries so
-    partially-filled flushes amortize across subtrees."""
+    operand), leaf hits collected into an SMEM list of LOCAL leaf ids
+    and flushed as batched (B, 128) Moller-Trumbore from the subtree's
+    RESIDENT 512 KB tile block, whose HBM->VMEM DMA is started at
+    subtree entry and overlapped with the node walk."""
     b = block
     pid = pl.program_id(0)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LEAF), 1)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (LEAF, 1), 0)
 
-    # lane-major (8, B) operand (cheap XLA concat), ONE on-core transpose
-    # per block to the (B, 1)-per-ray orientation the MT wants — see
-    # traverse_pallas2._kernel2
-    rays_t = jnp.transpose(rays_ref[:, :], (1, 0))  # (B, 8)
-    rox = rays_t[:, 0:1]
-    roy = rays_t[:, 1:2]
-    roz = rays_t[:, 2:3]
-    rdx = rays_t[:, 3:4]
-    rdy = rays_t[:, 4:5]
-    rdz = rays_t[:, 5:6]
-    tmin = rays_t[:, 6:7]
-    tmax = rays_t[:, 7:8]
+    # lane-major (8, B) operand (cheap XLA concat) stays lane-major:
+    # (1, B) component rows, tris-on-sublanes MT — identical arithmetic
+    # to traverse_pallas2._mt_leaf (shared function => bit-equal t)
+    rox = rays_ref[0:1, :]
+    roy = rays_ref[1:2, :]
+    roz = rays_ref[2:3, :]
+    rdx = rays_ref[3:4, :]
+    rdy = rays_ref[4:5, :]
+    rdz = rays_ref[5:6, :]
+    tmin = rays_ref[6:7, :]
+    tmax = rays_ref[7:8, :]
 
-    olo = [bounds_ref[pid, k] for k in range(3)]
-    ohi = [bounds_ref[pid, 3 + k] for k in range(3)]
-    ilo = [bounds_ref[pid, 6 + k] for k in range(3)]
-    ihi = [bounds_ref[pid, 9 + k] for k in range(3)]
-    tlo = bounds_ref[pid, 12]
-    thi = bounds_ref[pid, 13]
+    olo = [bounds_ref[k, pid] for k in range(3)]
+    ohi = [bounds_ref[3 + k, pid] for k in range(3)]
+    ilo = [bounds_ref[6 + k, pid] for k in range(3)]
+    ihi = [bounds_ref[9 + k, pid] for k in range(3)]
+    tlo = bounds_ref[12, pid]
+    thi = bounds_ref[13, pid]
 
     tb_ref[:, :] = tmax
-    row_ref[:, :] = jnp.full((b, 1), -1, jnp.int32)
-    u_ref[:, :] = jnp.zeros((b, 1), jnp.float32)
-    v_ref[:, :] = jnp.zeros((b, 1), jnp.float32)
+    row_ref[:, :] = jnp.full((1, b), -1, jnp.int32)
+    u_ref[:, :] = jnp.zeros((1, b), jnp.float32)
+    v_ref[:, :] = jnp.zeros((1, b), jnp.float32)
 
     is_shadow = pid >= shadow_from if shadow_from >= 0 else None
 
@@ -275,106 +276,68 @@ def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
         return (L <= U) & expand_ok
 
     def _mt_tile(tile, gid):
-        """(B, 128) Moller-Trumbore over one DMA'd leaf tile; updates the
-        best-hit VMEM refs. Arithmetic identical to v1 (bit-exact)."""
-        t_best = tb_ref[:, :]
-        v0x = tile[0:1, :]
-        v0y = tile[1:2, :]
-        v0z = tile[2:3, :]
-        e1x = tile[3:4, :]
-        e1y = tile[4:5, :]
-        e1z = tile[5:6, :]
-        e2x = tile[6:7, :]
-        e2y = tile[7:8, :]
-        e2z = tile[8:9, :]
-        px = rdy * e2z - rdz * e2y
-        py = rdz * e2x - rdx * e2z
-        pz = rdx * e2y - rdy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-        tvx = rox - v0x
-        tvy = roy - v0y
-        tvz = roz - v0z
-        uu = (tvx * px + tvy * py + tvz * pz) * inv_det
-        qx = tvy * e1z - tvz * e1y
-        qy = tvz * e1x - tvx * e1z
-        qz = tvx * e1y - tvy * e1x
-        vv = (rdx * qx + rdy * qy + rdz * qz) * inv_det
-        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-        hit = (
-            (jnp.abs(det) > 1e-12)
-            & (uu >= 0.0)
-            & (vv >= 0.0)
-            & (uu + vv <= 1.0)
-            & (tt > tmin)
-            & (tt < jnp.minimum(t_best, tmax))
+        """Lane-major Moller-Trumbore over one resident leaf tile —
+        the SAME function as the resident v2 kernel (bit-equal t where
+        the winning triangle agrees); ``gid`` is the GLOBAL leaf index
+        so best rows are global rows."""
+        t_best, best_row, best_u, best_v = _mt_leaf(
+            tile, rox, roy, roz, rdx, rdy, rdz, tmin, tmax, sub_iota,
+            gid, tb_ref[:, :], row_ref[:, :], u_ref[:, :], v_ref[:, :],
         )
-        tt = jnp.where(hit, tt, _INF)
-        tmin_row = jnp.min(tt, axis=1, keepdims=True)
-        improved = tmin_row < t_best
-        is_best = (tt <= tmin_row) & hit
-        lane_of_best = jnp.min(
-            jnp.where(is_best, lane_iota, LEAF), axis=1, keepdims=True
+        tb_ref[:, :] = t_best
+        row_ref[:, :] = best_row
+        u_ref[:, :] = best_u
+        v_ref[:, :] = best_v
+
+    def visit_subtree(sub_id, cap, nhit):
+        """One subtree visit: start the WHOLE 512 KB tile-block DMA
+        (HBM->VMEM) and the 4 KB node-block DMA (HBM->SMEM) together,
+        walk the nodes with the scalar cursor while the tiles transfer
+        (the walk hides most of the copy), collect LOCAL leaf ids into
+        the SMEM list, and flush batched (B, 128) Moller-Trumbore from
+        the RESIDENT tile block. One tile DMA + one wait per subtree
+        visit regardless of how many leaves the block touches — measured
+        decisively better than per-leaf 8 KB DMAs for divergent bounce
+        waves (which visit most leaves of every entered subtree)."""
+        tdma = pltpu.make_async_copy(
+            tris_ref.at[pl.ds(sub_id * SUB_TILE_ROWS, SUB_TILE_ROWS), :],
+            tscr, sem_t,
         )
-        pick = lane_iota == lane_of_best
-        u_pick = jnp.sum(jnp.where(pick, uu, 0.0), axis=1, keepdims=True)
-        v_pick = jnp.sum(jnp.where(pick, vv, 0.0), axis=1, keepdims=True)
-        tb_ref[:, :] = jnp.where(improved, tmin_row, t_best)
-        row_ref[:, :] = jnp.where(
-            improved, gid * LEAF + lane_of_best.astype(jnp.int32),
-            row_ref[:, :],
-        )
-        u_ref[:, :] = jnp.where(improved, u_pick, u_ref[:, :])
-        v_ref[:, :] = jnp.where(improved, v_pick, v_ref[:, :])
-
-    def _tile_dma(slot, j):
-        gid = lst[j]
-        return pltpu.make_async_copy(
-            tris_ref.at[pl.ds(gid * 16, 16), :],
-            tscr.at[slot], sem_t.at[slot],
-        )
-
-    def flush_list(count, cap):
-        """Double-buffered per-leaf tile DMA + MT; refreshes the scalar
-        pruning cap and the shadow resolved-count."""
-
-        @pl.when(count > 0)
-        def _():
-            _tile_dma(0, 0).start()
-
-        def lf(j, _):
-            slot = j % 2
-
-            @pl.when(j + 1 < count)
-            def _():
-                _tile_dma((j + 1) % 2, j + 1).start()
-
-            _tile_dma(slot, j).wait()
-            _mt_tile(tscr[slot], lst[j])
-            return 0
-
-        jax.lax.fori_loop(0, count, lf, 0, unroll=False)
-        cap = jnp.max(jnp.minimum(tb_ref[:, :], tmax))
-        nhit = jnp.sum(
-            ((row_ref[:, :] >= 0) | (tmax <= tmin)).astype(jnp.int32)
-        )
-        return jnp.int32(0), cap, nhit
-
-    def visit_subtree(sub_id, count, cap, nhit):
-        """DMA the subtree's packed node block -> SMEM scratch, walk it
-        with the scalar cursor, appending GLOBAL leaf ids to the list."""
-        dma = pltpu.make_async_copy(
+        tdma.start()
+        ndma = pltpu.make_async_copy(
             subn_ref.at[pl.ds(sub_id * SUB_NODE_ROWS, SUB_NODE_ROWS), :],
             nscr, sem_n,
         )
-        dma.start()
-        dma.wait()
+        ndma.start()
+        ndma.wait()
+
+        def flush(count, cap, nhit, waited):
+            """MT over the listed leaf tiles; waits the subtree tile DMA
+            exactly once across all flushes of this visit."""
+
+            @pl.when(~waited)
+            def _():
+                tdma.wait()
+
+            def lf(j, _):
+                ll = lst[j]
+                _mt_tile(
+                    tscr[pl.ds(ll * 16, 16), :], sub_id * SUB_LEAVES + ll
+                )
+                return 0
+
+            jax.lax.fori_loop(0, count, lf, 0, unroll=False)
+            cap = jnp.max(jnp.minimum(tb_ref[:, :], tmax))
+            nhit = jnp.sum(
+                ((row_ref[:, :] >= 0) | (tmax <= tmin)).astype(jnp.int32)
+            )
+            return jnp.int32(0), cap, nhit, jnp.full((), True)
 
         def in_cond(c):
             return c[0] < SUB_EXIT
 
         def in_body(c):
-            cur, count, cap, nhit = c
+            cur, count, cap, nhit, waited = c
             r = cur // 16
             base = (cur % 16) * 8
             bmn3 = (nscr[r, base + 0], nscr[r, base + 1], nscr[r, base + 2])
@@ -384,30 +347,34 @@ def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
             live = node_test(bmn3, bmx3, cap)
             is_leaf = leaf_local >= 0
 
-            lst[count] = sub_id * SUB_LEAVES + leaf_local
+            lst[count] = leaf_local
             count = count + (live & is_leaf).astype(jnp.int32)
             nxt = jnp.where(live & ~is_leaf, cur + 1, skip)
-            count, cap, nhit = jax.lax.cond(
+            count, cap, nhit, waited = jax.lax.cond(
                 count >= LIST_CAP,
-                lambda args: flush_list(args[0], args[1]),
+                lambda args: flush(*args),
                 lambda args: args,
-                (count, cap, nhit),
+                (count, cap, nhit, waited),
             )
-            return (nxt, count, cap, nhit)
+            return (nxt, count, cap, nhit, waited)
 
-        _, count, cap, nhit = jax.lax.while_loop(
-            in_cond, in_body, (jnp.int32(0), count, cap, nhit)
+        _, count, cap, nhit, waited = jax.lax.while_loop(
+            in_cond, in_body,
+            (jnp.int32(0), jnp.int32(0), cap, nhit, jnp.full((), False)),
         )
-        return count, cap, nhit
+        # final flush ALWAYS runs: consumes the tile DMA wait when no
+        # in-walk flush happened (semaphore balance), flushes the tail
+        _, cap, nhit, _ = flush(count, cap, nhit, waited)
+        return cap, nhit
 
     def cond(c):
         cur = c[0]
         if is_shadow is not None:
-            return (cur < top_nodes) & (~is_shadow | (c[3] < b))
+            return (cur < top_nodes) & (~is_shadow | (c[2] < b))
         return cur < top_nodes
 
     def body(c):
-        cur, count, cap, nhit = c
+        cur, cap, nhit = c
         bmn3 = (top_ref[cur, 0], top_ref[cur, 1], top_ref[cur, 2])
         bmx3 = (top_ref[cur, 3], top_ref[cur, 4], top_ref[cur, 5])
         skip = top_ref[cur, 6].astype(jnp.int32)
@@ -415,29 +382,27 @@ def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
         live = node_test(bmn3, bmx3, cap)
         is_sub = sub_id >= 0
 
-        count, cap, nhit = jax.lax.cond(
+        cap, nhit = jax.lax.cond(
             live & is_sub,
             lambda args: visit_subtree(sub_id, *args),
             lambda args: args,
-            (count, cap, nhit),
+            (cap, nhit),
         )
         nxt = jnp.where(live & ~is_sub, cur + 1, skip)
-        return (nxt, count, cap, nhit)
+        return (nxt, cap, nhit)
 
-    init = (jnp.int32(0), jnp.int32(0), thi, jnp.int32(0))
-    _, count, cap, _ = jax.lax.while_loop(cond, body, init)
-    flush_list(count, cap)
+    init = (jnp.int32(0), thi, jnp.int32(0))
+    _, cap, _ = jax.lax.while_loop(cond, body, init)
 
-    res = jnp.concatenate(
+    out_ref[:, :] = jnp.concatenate(
         [
             jnp.where(row_ref[:, :] < 0, jnp.float32(_INF), tb_ref[:, :]),
             jax.lax.bitcast_convert_type(row_ref[:, :], jnp.float32),
             u_ref[:, :],
             v_ref[:, :],
         ],
-        axis=1,
+        axis=0,
     )
-    out_ref[:, :] = jnp.transpose(res, (1, 0))
 
 
 @functools.partial(
@@ -447,49 +412,48 @@ def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
 def _traverse_streamed(top_nodes_arr, sub_nodes, tri_tiles, rays,
                        top_nodes: int, block: int, shadow_from: int = -1,
                        interpret: bool = False):
-    from realtimepathtracingresearchframework_tpu.ops.traverse_pallas2 import (
-        block_bounds,
-    )
-
     n = rays.shape[1]  # (8, Np) lane-major rows
+    # barrier: keep the bounds reduction off the ray-producer chain (see
+    # traverse_pallas2._traverse2)
+    rays = jax.lax.optimization_barrier(rays)
     bounds = block_bounds(rays, block)
     grid = (n // block,)
     kernel = functools.partial(
         _kernel_streamed, top_nodes=top_nodes, block=block,
         shadow_from=shadow_from,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # per-block packet bounds
+    # bounds as a plain whole-array SMEM operand — see _traverse2
+    return pl.pallas_call(
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                top_nodes_arr.shape, lambda i, b_: (0, 0),
+                (16, n // block), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                top_nodes_arr.shape, lambda i: (0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
-                (8, block), lambda i, b_: (0, i), memory_space=pltpu.VMEM
+                (8, block), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (4, block), lambda i, b_: (0, i), memory_space=pltpu.VMEM
+            (4, block), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.SMEM((LIST_CAP,), jnp.int32),
             pltpu.SMEM((SUB_NODE_ROWS, 128), jnp.float32),
-            pltpu.VMEM((2, 16, 128), jnp.float32),
+            pltpu.VMEM((SUB_TILE_ROWS, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((block, 1), jnp.float32),
-            pltpu.VMEM((block, 1), jnp.int32),
-            pltpu.VMEM((block, 1), jnp.float32),
-            pltpu.VMEM((block, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((1, block), jnp.float32),
+            pltpu.VMEM((1, block), jnp.int32),
+            pltpu.VMEM((1, block), jnp.float32),
+            pltpu.VMEM((1, block), jnp.float32),
         ],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
         interpret=interpret,
     )(bounds, top_nodes_arr, sub_nodes, tri_tiles, rays)
@@ -533,8 +497,14 @@ def _part1by2(x):
 
 
 def _coherence_key(bb: StreamedBVHBuffers, comps):
-    """u32 sort key: 21-bit origin morton (128^3 grid over the scene box,
-    from the top-tree root AABB) high, 3-bit direction octant low."""
+    """u32 sort key: 3-bit direction octant HIGH, 21-bit origin morton
+    (128^3 grid over the scene box, from the top-tree root AABB) low.
+
+    Octant-major matters for the v2 scalar packet walk: its per-block
+    inverse-direction INTERVAL test degenerates when a block mixes
+    direction signs (the interval spans zero), so blocks must be
+    octant-pure first, origin-local second. (The old per-ray vector
+    kernel preferred origin-major; measured 3.8x there.)"""
     rox, roy, roz, rdx, rdy, rdz = comps
     lo = bb.top_nodes[0, 0:3]
     hi = bb.top_nodes[0, 3:6]
@@ -553,15 +523,23 @@ def _coherence_key(bb: StreamedBVHBuffers, comps):
         | (rdy < 0.0).astype(jnp.uint32) << 1
         | (rdz < 0.0).astype(jnp.uint32)
     )
-    return (morton << 3) | octant
+    return (octant << 21) | morton
 
 
 def _sort_queue(bb, comps, t_min, t_max):
-    """Sort one ray queue by the coherence key. Returns (sorted comps,
-    sorted t_min/t_max, inverse permutation). Stable sort + permutation
+    """Sort one ray queue by the coherence key, DEAD LANES LAST (bit 31:
+    a dead lane's block membership only wastes walk work, so clustering
+    them lets whole blocks short-circuit — the streamed twin of
+    traverse_pallas2._compact). Returns (sorted comps, sorted
+    t_min/t_max, inverse permutation). Stable sort + permutation
     gathers: deterministic and bit-exact."""
     n = comps[0].shape[0]
     key = _coherence_key(bb, comps)
+    dead = ~(
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+        > jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    )
+    key = key | (dead.astype(jnp.uint32) << 31)
     perm = jnp.argsort(key, stable=True)
     inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(
         jnp.arange(n, dtype=jnp.int32)

@@ -141,6 +141,44 @@ def test_resident_v2_merged_dispatch_matches_separate(rng):
     assert np.array_equal(np.asarray(blocked_m), np.asarray(blocked_s))
 
 
+def test_compacted_dispatch_bit_identical(rng):
+    """Live-first lane compaction must be bit-invisible: per-ray results
+    are independent of block composition (VERDICT r2 #1 — wavefront
+    stream compaction)."""
+    v0, e1, e2 = _terrain(24)
+    tb = bvh_mod.build_threaded_bvh(v0, e1, e2, leaf_size=128)
+    bb = tp2.pack_for_pallas2(tb)
+    ro, rd = _rays(1024, rng, "incoherent")
+    # kill ~70% of lanes (tmax <= tmin), scattered randomly
+    alive = rng.uniform(size=1024) < 0.3
+    tmax = np.where(alive, 2.0e32, 0.0).astype(np.float32)
+    ro_d, rd_d = jnp.asarray(ro), jnp.asarray(rd)
+    tmax_d = jnp.asarray(tmax)
+
+    h0 = tp2.closest_hit_pallas2(bb, ro_d, rd_d, t_max=tmax_d)
+    h1 = tp2.closest_hit_pallas2(bb, ro_d, rd_d, t_max=tmax_d, compact=True)
+    assert np.array_equal(np.asarray(h0.t), np.asarray(h1.t))
+    assert np.array_equal(np.asarray(h0.tri), np.asarray(h1.tri))
+    assert np.array_equal(np.asarray(h0.u), np.asarray(h1.u))
+
+    o0 = tp2.occluded_pallas2(bb, ro_d, rd_d, t_max=tmax_d)
+    o1 = tp2.occluded_pallas2(bb, ro_d, rd_d, t_max=tmax_d, compact=True)
+    assert np.array_equal(np.asarray(o0), np.asarray(o1))
+
+    comps = tuple(jnp.asarray(x) for x in (ro[:, 0], ro[:, 1], ro[:, 2],
+                                           rd[:, 0], rd[:, 1], rd[:, 2]))
+    hm0, bm0 = tp2.closest_and_occluded_pallas2(
+        bb, comps, 0.0, tmax_d, comps, 0.0, jnp.asarray(tmax * 0.5)
+    )
+    hm1, bm1 = tp2.closest_and_occluded_pallas2(
+        bb, comps, 0.0, tmax_d, comps, 0.0, jnp.asarray(tmax * 0.5),
+        compact=True,
+    )
+    assert np.array_equal(np.asarray(hm0.t), np.asarray(hm1.t))
+    assert np.array_equal(np.asarray(hm0.tri), np.asarray(hm1.tri))
+    assert np.array_equal(np.asarray(bm0), np.asarray(bm1))
+
+
 @pytest.mark.parametrize("sort", [False, True])
 def test_streamed_matches_resident_v2(rng, sort):
     # >1 subtree (24x24 grid -> 1058 tris is one chunk; use offset copies

@@ -1380,7 +1380,56 @@ class Renderer:
         arr = [aovs.albedo_roughness, aovs.normal_depth, aovs.motion_jitter][aov_index]
         return np.asarray(jax.block_until_ready(arr))
 
+    # rendering-core modules eligible for hot reload, in dependency order
+    # (leaves first). The analogue of the reference's shader-source dep
+    # staleness check + glslc recompile (gpu_programs.cpp:180-229).
+    _HOT_RELOAD_MODULES = (
+        "ops.vec3", "ops.rng", "ops.sobol", "ops.pointsets",
+        "ops.smallgather", "ops.texture_atlas", "ops.bsdf_gltf",
+        "ops.nee", "ops.resolve", "ops.aov", "ops.taa",
+        "ops.traverse", "ops.traverse_pallas", "ops.traverse_pallas2",
+        "ops.traverse_stream", "ops.tlas", "ops.integrator",
+    )
+
     def hot_reload(self) -> None:
-        """Drop all compiled pipelines; next frame re-traces
-        (render_vulkan.cpp:2646-2648)."""
+        """Reload edited rendering-core Python modules, then drop all
+        compiled pipelines so the next frame traces the NEW bytecode
+        (render_vulkan.cpp:2646-2648; staleness-checked source recompile
+        like gpu_programs.cpp:180-229). Modules are reloaded in
+        dependency order only when their source mtime is newer than the
+        loaded module, and the few integrator symbols this module binds
+        by name are rebound afterwards."""
+        import importlib
+        import sys
+
+        pkg = "realtimepathtracingresearchframework_tpu"
+        stale = False
+        for rel in self._HOT_RELOAD_MODULES:
+            name = f"{pkg}.{rel}"
+            mod = sys.modules.get(name)
+            if mod is None or not getattr(mod, "__file__", None):
+                continue
+            try:
+                src_mtime = os.path.getmtime(mod.__file__)
+            except OSError:
+                continue
+            loaded = getattr(mod, "__hot_mtime__", None)
+            if loaded is None and not stale:
+                mod.__hot_mtime__ = src_mtime
+                continue
+            if stale or (loaded is not None and src_mtime > loaded):
+                importlib.reload(mod)
+                mod.__hot_mtime__ = os.path.getmtime(mod.__file__)
+                stale = True  # reload everything downstream of an edit
+        if stale:
+            integ = sys.modules[f"{pkg}.ops.integrator"]
+            g = globals()
+            for sym in (
+                "DeviceScene", "FrameParams", "IntegratorConfig",
+                "MaterialBuffers", "ShadingBuffers", "ViewBuffers",
+                "_swizzle_tables", "image_to_planes", "make_pass_fn",
+                "planes_to_image", "render_tile", "render_tile_host",
+            ):
+                g[sym] = getattr(integ, sym)
         self._render_fns.clear()
+        self._pass_fns.clear()

@@ -34,8 +34,36 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/rptr_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+import subprocess  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def _ensure_native_built() -> None:
+    """Build native/librptr_native.so if a toolchain is available, so the
+    ctypes fast path is tested rather than silently skipped (the analogue
+    of the reference building ext/libvkr into every configuration)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lib = os.path.join(repo, "native", "build", "librptr_native.so")
+    src = os.path.join(repo, "native", "vkr_decode.cpp")
+    if os.path.exists(lib) and os.path.getmtime(lib) >= os.path.getmtime(src):
+        return
+    try:
+        subprocess.run(
+            ["cmake", "-S", os.path.join(repo, "native"), "-B",
+             os.path.join(repo, "native", "build"), "-G", "Ninja"],
+            check=True, capture_output=True, timeout=120,
+        )
+        subprocess.run(
+            ["cmake", "--build", os.path.join(repo, "native", "build")],
+            check=True, capture_output=True, timeout=300,
+        )
+    except Exception:
+        pass  # no toolchain: test_native.py keeps its skip marker
+
+
+_ensure_native_built()
 
 
 @pytest.fixture

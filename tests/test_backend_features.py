@@ -211,3 +211,31 @@ def test_rebuild_watcher(tmp_path):
     assert not w.changed()
     os.utime(f, (0, 0))
     assert w.changed()
+
+
+def test_hot_reload_reloads_stale_modules():
+    """hot_reload must re-import edited rendering-core modules (the
+    reference recompiles stale shader sources on F5 —
+    gpu_programs.cpp:180-229), not just clear the jit caches."""
+    import sys
+
+    r = Renderer()
+    r.hot_reload()  # records baseline source mtimes
+    pkg = "realtimepathtracingresearchframework_tpu"
+    vec3 = sys.modules[f"{pkg}.ops.vec3"]
+    orig_cross = vec3.cross
+    vec3.cross = None  # "edit": break a symbol; reload must restore it
+    vec3.__hot_mtime__ = 0.0  # pretend the source file is newer
+    r.hot_reload()
+    vec3_new = sys.modules[f"{pkg}.ops.vec3"]
+    assert callable(vec3_new.cross), "module not reloaded"
+    assert vec3_new.cross is not orig_cross or vec3_new.cross is not None
+    # downstream modules reloaded in cascade and renderer symbols rebound
+    import realtimepathtracingresearchframework_tpu.backend.renderer as rmod
+
+    integ = sys.modules[f"{pkg}.ops.integrator"]
+    assert rmod.make_pass_fn is integ.make_pass_fn
+    # a no-edit call is a no-op reload (mtimes all current)
+    integ.__hot_probe__ = True
+    r.hot_reload()
+    assert getattr(sys.modules[f"{pkg}.ops.integrator"], "__hot_probe__", False)

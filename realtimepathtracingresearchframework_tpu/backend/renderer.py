@@ -1087,6 +1087,40 @@ class Renderer:
         )
         return np.asarray(img)
 
+    def render_debug_image(self, config: FrameConfig) -> np.ndarray:
+        """DEBUG_MODE heatmap image for one sample, selected by
+        ``options.debug_mode`` (render_params.glsl.h:63-70): any-hit
+        (alpha-test) evaluation counts over the full path / primary
+        visibility only, or per-pixel bounce count — the debug_mode_buffer
+        readback (hit.rchit:459-463). Returns (H, W) int32."""
+        from realtimepathtracingresearchframework_tpu.ops.integrator import (
+            render_debug_host,
+        )
+
+        if int(self.options.debug_mode) == 0:
+            raise ValueError("options.debug_mode is DEBUG_MODE_OFF")
+        params = config.params
+        pos, du, dv, tl = config.camera.view_basis(self.fb_width, self.fb_height)
+        view = ViewBuffers(
+            cam_pos=jnp.asarray(pos),
+            cam_du=jnp.asarray(du),
+            cam_dv=jnp.asarray(dv),
+            cam_dir_top_left=jnp.asarray(tl),
+        )
+        fp = FrameParams(
+            rr_path_depth=jnp.int32(params.rr_path_depth),
+            glossy_only_mode=jnp.int32(params.glossy_only_mode),
+            sample_offset=jnp.uint32(self.frame_id),
+            shot_offset=jnp.uint32(self.shot_offset),
+        )
+        cfg = self._integrator_config(params)._replace(
+            debug_mode=int(self.options.debug_mode)
+        )
+        img = render_debug_host(
+            self.device_scene, cfg, fp, view, self.fb_width, self.fb_height
+        )
+        return np.asarray(img)
+
     # ------------------------------------------------------------------
     # Checkpoint / resume (SURVEY §5.4: imstate persists config; the
     # accumulation state itself is explicitly checkpointable arrays)

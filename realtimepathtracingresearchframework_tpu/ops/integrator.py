@@ -292,6 +292,10 @@ class IntegratorConfig(NamedTuple):
     # DIM_APERTURE_X/Y=4/5, DIM_CAMERA_END 2 -> 6).
     has_transmission: bool = True  # False drops all transmission BSDF
     # math (scene has no transmitting material; bit-identical there)
+    debug_mode: int = 0  # DEBUG_MODE_* heatmaps (render_params.glsl.h:63-70):
+    # 1/2 = any-hit (alpha-test) evaluation count full-path/primary-only
+    # (any_hit.glsl:43-59), 3 = bounce count (hit.rchit:462-463). When set,
+    # trace_paths returns a 4th per-lane count array for the debug image.
     compact: bool = False  # live-first lane partition before each
     # traversal dispatch past bounce 0 (traverse_pallas2._compact):
     # dead lanes cluster into all-dead blocks the packet walk skips in
@@ -348,6 +352,12 @@ def _sky_illum(ds: DeviceScene, rd: Vec3, prev_pdf, cfg: IntegratorConfig) -> Ve
 MAX_ALPHA_HOPS = 4  # candidate-hit re-trace budget (generate_candidate_hit)
 ALPHA_CUTOFF = 0.5  # punch-through threshold
 
+# DEBUG_MODE_* values — keep in sync with backend/params.py (the X-macro
+# names of render_params.glsl.h:63-70)
+_DBG_ANY_FULL = 1
+_DBG_ANY_PRIMARY = 2
+_DBG_BOUNCE = 3
+
 
 def _hit_alpha_cut(ds: DeviceScene, tri, u, v, inst=None):
     """True where the hit texel is alpha-cut — the any-hit alpha test
@@ -372,7 +382,10 @@ def _hit_alpha_cut(ds: DeviceScene, tri, u, v, inst=None):
     flags = mc[_M_FLAGS].astype(jnp.int32)
     a = sample_atlas(ds.atlas, bc_tid, uv, jnp.zeros_like(u))[..., 3]
     can_cut = (bc_tid >= 0) & ((flags & BASE_MATERIAL_NOALPHA) == 0)
-    return (tri >= 0) & can_cut & (a < ALPHA_CUTOFF)
+    # second result: lanes where an any-hit evaluation actually happened
+    # (candidate on alpha-testable material) — the DEBUG_MODE_ANY_HIT_*
+    # counting event (any_hit.glsl:43-59)
+    return (tri >= 0) & can_cut & (a < ALPHA_CUTOFF), (tri >= 0) & can_cut
 
 
 def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
@@ -402,17 +415,22 @@ def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
 
 
 def closest_hit_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
-                      rd: Vec3, t_min, t_max, compact: bool = False):
+                      rd: Vec3, t_min, t_max, compact: bool = False,
+                      count_evals: bool = False):
     """Closest hit honoring alpha-cutout textures: re-traces past cut
     texels up to MAX_ALPHA_HOPS (the reference's candidate-hit loop).
-    Static no-op unless ``cfg.alpha_test``."""
+    Static no-op unless ``cfg.alpha_test``. With ``count_evals`` returns
+    ``(hit, evals)`` where evals is the per-lane any-hit evaluation count
+    (DEBUG_MODE_ANY_HIT_*, any_hit.glsl:43-59)."""
     hit = _closest_hit_dispatch(ds, cfg, ro, rd, t_min, t_max, compact=compact)
     if not (cfg.alpha_test and cfg.has_textures):
+        if count_evals:
+            return hit, jnp.zeros_like(hit.tri)
         return hit
     from realtimepathtracingresearchframework_tpu.ops.traverse import Hit
 
     inst0 = hit.inst if cfg.two_level else jnp.zeros_like(hit.tri)
-    cut0 = _hit_alpha_cut(
+    cut0, ev0 = _hit_alpha_cut(
         ds, hit.tri, hit.u, hit.v, inst0 if cfg.two_level else None
     )
 
@@ -421,7 +439,7 @@ def closest_hit_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
         return (i < MAX_ALPHA_HOPS) & jnp.any(c[6])
 
     def body(c):
-        i, t, tri, u, v, inst, cut = c
+        i, t, tri, u, v, inst, cut, ev = c
         eps = jnp.abs(t) * 1e-4 + 1e-5
         nxt_tmin = jnp.where(cut, t + eps, t_min)
         nxt_tmax = jnp.where(cut, t_max, 0.0)  # settled lanes trace nothing
@@ -434,51 +452,65 @@ def closest_hit_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
         v = jnp.where(cut, h.v, v)
         if cfg.two_level:
             inst = jnp.where(cut, h.inst, inst)
-        cut = cut & _hit_alpha_cut(
+        new_cut, evd = _hit_alpha_cut(
             ds, tri, u, v, inst if cfg.two_level else None
         )
-        return (i + 1, t, tri, u, v, inst, cut)
+        ev = ev + (cut & evd).astype(ev.dtype)
+        cut = cut & new_cut
+        return (i + 1, t, tri, u, v, inst, cut, ev)
 
-    _, t, tri, u, v, inst, cut = jax.lax.while_loop(
+    _, t, tri, u, v, inst, cut, ev = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), hit.t, hit.tri, hit.u, hit.v, inst0, cut0),
+        (jnp.int32(0), hit.t, hit.tri, hit.u, hit.v, inst0, cut0,
+         ev0.astype(jnp.int32)),
     )
     # hops exhausted while still cut: treat as opaque (reference behavior)
     if cfg.two_level:
-        return tlas_mod.TwoLevelHit(t=t, tri=tri, u=u, v=v, inst=inst)
-    return Hit(t=t, tri=tri, u=u, v=v)
+        hit = tlas_mod.TwoLevelHit(t=t, tri=tri, u=u, v=v, inst=inst)
+    else:
+        hit = Hit(t=t, tri=tri, u=u, v=v)
+    if count_evals:
+        return hit, ev
+    return hit
 
 
 def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3, rd: Vec3,
-                   t_min, t_max, compact: bool = False):
+                   t_min, t_max, compact: bool = False,
+                   count_evals: bool = False):
     """Shadow-ray visibility honoring alpha cutouts (any_hit.rahit): walks
-    candidate hits until a solid blocker or segment end."""
-    if cfg.two_level and not (cfg.alpha_test and cfg.has_textures):
-        return tlas_mod.occluded_two_level(
-            ds.tlas, v3.to_array(ro), v3.to_array(rd), t_min, t_max
-        )
+    candidate hits until a solid blocker or segment end. With
+    ``count_evals`` returns ``(blocked, evals)`` (see closest_hit_alpha)."""
     if not (cfg.alpha_test and cfg.has_textures):
-        if cfg.streamed:
+        if cfg.two_level:
+            blocked = tlas_mod.occluded_two_level(
+                ds.tlas, v3.to_array(ro), v3.to_array(rd), t_min, t_max
+            )
+        elif cfg.streamed:
             from realtimepathtracingresearchframework_tpu.ops import (
                 traverse_stream,
             )
 
-            return traverse_stream.occluded_streamed(
+            blocked = traverse_stream.occluded_streamed(
                 ds.bvh, None, None, t_min=t_min, t_max=t_max,
                 comps=(*ro, *rd), sort=True,
             )
-        if cfg.use_pallas:
-            return traverse_pallas.occluded_pallas(
+        elif cfg.use_pallas:
+            blocked = traverse_pallas.occluded_pallas(
                 ds.bvh, None, None, t_min=t_min, t_max=t_max,
                 comps=(*ro, *rd), compact=compact,
             )
-        return occluded_threaded(
-            ds.bvh, v3.to_array(ro), v3.to_array(rd), t_min=t_min, t_max=t_max
-        )
+        else:
+            blocked = occluded_threaded(
+                ds.bvh, v3.to_array(ro), v3.to_array(rd),
+                t_min=t_min, t_max=t_max,
+            )
+        if count_evals:
+            return blocked, jnp.zeros(blocked.shape, jnp.int32)
+        return blocked
 
     hit = _closest_hit_dispatch(ds, cfg, ro, rd, t_min, t_max)
     in_seg = (hit.tri >= 0) & (hit.t < t_max)
-    cut0 = _hit_alpha_cut(
+    cut0, ev0 = _hit_alpha_cut(
         ds, hit.tri, hit.u, hit.v, hit.inst if cfg.two_level else None
     )
     blocked0 = in_seg & ~cut0
@@ -489,7 +521,7 @@ def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3, rd: Vec3,
         return (i < MAX_ALPHA_HOPS) & jnp.any(c[3])
 
     def body(c):
-        i, t, blocked, live = c
+        i, t, blocked, live, ev = c
         eps = jnp.abs(t) * 1e-4 + 1e-5
         nxt_tmin = jnp.where(live, t + eps, t_min)
         nxt_tmax = jnp.where(live, t_max, 0.0)
@@ -497,19 +529,25 @@ def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3, rd: Vec3,
             ds, cfg, ro, rd, nxt_tmin, nxt_tmax, compact=True
         )
         in_seg = (h.tri >= 0) & (h.t < t_max) & live
-        cut = _hit_alpha_cut(
+        cut, evd = _hit_alpha_cut(
             ds, h.tri, h.u, h.v, h.inst if cfg.two_level else None
         )
+        ev = ev + (live & evd).astype(ev.dtype)
         blocked = blocked | (in_seg & ~cut)
         live = in_seg & cut
         t = jnp.where(live, h.t, t)
-        return (i + 1, t, blocked, live)
+        return (i + 1, t, blocked, live, ev)
 
-    _, _, blocked, live = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), hit.t, blocked0, live0)
+    _, _, blocked, live, ev = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), hit.t, blocked0, live0,
+         (in_seg & ev0).astype(jnp.int32)),
     )
     # hops exhausted while still inside cut geometry: treat as blocked
-    return blocked | live
+    blocked = blocked | live
+    if count_evals:
+        return blocked, ev
+    return blocked
 
 
 def _sample_direct_light(
@@ -524,6 +562,7 @@ def _sample_direct_light(
     sel_sample,
     total_t,
     compact: bool = False,
+    count_evals: bool = False,
 ) -> Vec3:
     """sample_direct_light (mc/nee.glsl:32-90) + immediate visibility ray
     (the megakernel resolution of the candidate)."""
@@ -533,11 +572,16 @@ def _sample_direct_light(
     )
     blocked = occluded_alpha(
         ds, cfg, hit_p, cand.dir, t_min=cand.eps, t_max=cand.shadow_tmax,
-        compact=compact,
+        compact=compact, count_evals=count_evals,
     )
+    if count_evals:
+        blocked, ev = blocked
     visible = (cand.traced & ~blocked) | cand.uncond
     zero3 = v3.splat(jnp.zeros_like(cand.eps))
-    return v3.where(visible, cand.contrib, zero3)
+    contrib = v3.where(visible, cand.contrib, zero3)
+    if count_evals:
+        return contrib, ev
+    return contrib
 
 
 def _nee_candidate(
@@ -711,6 +755,9 @@ def trace_paths(
             _i += 1
         if cfg.has_textures:
             foot = carry[_i]
+        dbg_anyhit = cfg.debug_mode in (_DBG_ANY_FULL, _DBG_ANY_PRIMARY)
+        if cfg.debug_mode:
+            dbg = carry[-1]
         rays = rays + active.astype(rays.dtype)  # per-lane ray counter
         tmax_eff = jnp.where(active, T_MAX, 0.0)
         if cfg.wavefront:
@@ -740,20 +787,35 @@ def trace_paths(
                 # XLA fallback / alpha-test / two-level paths: same
                 # deferred structure, separate traversals (bit-identical)
                 hit = closest_hit_alpha(
-                    ds, cfg, ro, rd, t_min, tmax_eff, compact=compact
+                    ds, cfg, ro, rd, t_min, tmax_eff, compact=compact,
+                    count_evals=dbg_anyhit,
                 )
                 blocked = occluded_alpha(
                     ds, cfg, ro, nd, t_min=ntmin, t_max=ntmax_eff,
-                    compact=compact,
+                    compact=compact, count_evals=dbg_anyhit,
                 )
+                if dbg_anyhit:
+                    hit, ev_c = hit
+                    blocked, ev_s = blocked
+                    if cfg.debug_mode == _DBG_ANY_FULL:
+                        dbg = dbg + ev_c + ev_s
+                    else:  # primary-only: camera-visibility evals
+                        dbg = dbg + jnp.where(bounce_count == 0, ev_c, 0)
             illum = v3.where(ntraced & ~blocked, illum + ncontrib, illum)
             pend = empty_pend
         else:
             # two-level dispatch (incl. alpha-tested candidate walks)
             # happens inside closest_hit_alpha
             hit = closest_hit_alpha(
-                ds, cfg, ro, rd, t_min, tmax_eff, compact=compact
+                ds, cfg, ro, rd, t_min, tmax_eff, compact=compact,
+                count_evals=dbg_anyhit,
             )
+            if dbg_anyhit:
+                hit, ev_c = hit
+                if cfg.debug_mode == _DBG_ANY_FULL:
+                    dbg = dbg + ev_c
+                else:
+                    dbg = dbg + jnp.where(bounce_count == 0, ev_c, 0)
         was_miss = hit.tri < 0
 
         # ---- miss: sky (pt_megakernel.glsl:480-489)
@@ -926,6 +988,8 @@ def trace_paths(
             carry = carry + (pend,)
         if cfg.has_textures:
             carry = carry + (foot,)
+        if cfg.debug_mode:
+            carry = carry + (dbg,)
         ctx = (p, n_sh, gn, mat, w_o)
         return carry, ctx
 
@@ -940,6 +1004,8 @@ def trace_paths(
             _i += 1
         if cfg.has_textures:
             foot = carry[_i]
+        if cfg.debug_mode:
+            dbg = carry[-1]
         p, n_sh, gn, mat, w_o = ctx
 
         # ---- RNG draws in reference order (shade_base_material.glsl:60-84)
@@ -976,10 +1042,14 @@ def trace_paths(
                 cand.traced & active,
             )
         else:
+            dbg_full = cfg.debug_mode == _DBG_ANY_FULL
             nee_contrib = _sample_direct_light(
                 ds, cfg, p, n_sh, gn, mat, w_o, pos_sample, sel_sample,
-                total_t, compact=compact,
+                total_t, compact=compact, count_evals=dbg_full,
             )
+            if dbg_full:
+                nee_contrib, ev_s = nee_contrib
+                dbg = dbg + ev_s
             illum = v3.where(active, illum + throughput * nee_contrib, illum)
 
         # glossy-only debug mode (shade_base_material.glsl:69-70)
@@ -1049,6 +1119,8 @@ def trace_paths(
             out = out + (pend,)
         if cfg.has_textures:
             out = out + (foot,)
+        if cfg.debug_mode:
+            out = out + (dbg,)
         return out
 
     def bounce_body(i, carry):
@@ -1114,6 +1186,8 @@ def trace_paths(
                 jnp.broadcast_to(f, (n,)) for f in footprint0
             )
         carry = carry + (footprint0,)
+    if cfg.debug_mode:
+        carry = carry + (jnp.zeros((n,), jnp.int32),)  # debug counter
     if cfg.unroll:
         for i in range(cfg.max_path_depth):
             carry = bounce_body(i, carry)
@@ -1143,6 +1217,11 @@ def trace_paths(
 
         illum = jax.lax.cond(jnp.any(ntraced), flush, lambda x: x, illum)
     alpha = jnp.where(bounce_count == 0, 0.0, 1.0)
+    if cfg.debug_mode:
+        # DEBUG_MODE_* image value (hit.rchit:459-463): any-hit evaluation
+        # count (epilogue NEE flush not counted) or bounce count
+        dbg = bounce_count if cfg.debug_mode == _DBG_BOUNCE else carry[-1]
+        return illum, alpha, rays_traced, dbg
     return illum, alpha, rays_traced
 
 
@@ -1584,6 +1663,49 @@ def render_ray_stats_host(
     ]
     img = jnp.concatenate(counts)[inv].reshape(height, width)
     return img
+
+
+def make_debug_fn(ds: DeviceScene, cfg: IntegratorConfig, width: int, height: int):
+    """Per-pixel DEBUG_MODE heatmap pass (render_params.glsl.h:63-70;
+    counts written per pixel like the r16f debug_mode_buffer,
+    hit.rchit:459-463). ``cfg.debug_mode`` selects the counter."""
+    assert cfg.debug_mode != 0
+    dims = jnp.array([width, height], jnp.float32)
+
+    @jax.jit
+    def debug_fn(fp, view, px, py, valid, sample_index):
+        state = pointsets.make_state(
+            cfg.rng_variant, sample_index, fp.shot_offset, px, py, width,
+            bufs=ds.rng,
+        )
+        state, ro, rd = camera_setup(ds, cfg, fp, view, px, py, dims, state)
+        _, _, _, dbg = trace_paths(
+            ds, cfg, fp, ro, rd, state, lane_mask=valid,
+            footprint0=camera_footprint0(cfg, fp, view, dims, rd),
+        )
+        return jnp.where(valid, dbg, 0)
+
+    return debug_fn
+
+
+def render_debug_host(
+    ds: DeviceScene,
+    cfg: IntegratorConfig,
+    fp: FrameParams,
+    view: ViewBuffers,
+    width: int,
+    height: int,
+    debug_fn=None,
+):
+    """One-sample DEBUG_MODE count image (H, W) int32."""
+    if debug_fn is None:
+        debug_fn = make_debug_fn(ds, cfg, width, height)
+    px_c, py_c, valid_c, inv, nc, chunk = _swizzle_tables(width, height)
+    counts = [
+        debug_fn(fp, view, px_c[c], py_c[c], valid_c[c], fp.sample_offset)
+        for c in range(nc)
+    ]
+    return jnp.concatenate(counts)[inv].reshape(height, width)
 
 
 @partial(jax.jit, static_argnames=("width", "tile_h"))

@@ -239,3 +239,56 @@ def test_hot_reload_reloads_stale_modules():
     integ.__hot_probe__ = True
     r.hot_reload()
     assert getattr(sys.modules[f"{pkg}.ops.integrator"], "__hot_probe__", False)
+
+
+def test_debug_mode_heatmaps():
+    """DEBUG_MODE_* heatmap images (render_params.glsl.h:63-70): bounce
+    count on an opaque scene, any-hit evaluation counts on an
+    alpha-tested scene (zero on opaque — the any-hit shader only runs on
+    alpha-testable candidates, any_hit.glsl:43-59)."""
+    from realtimepathtracingresearchframework_tpu.backend.params import (
+        DEBUG_MODE_ANY_HIT_COUNT_FULL_PATH,
+        DEBUG_MODE_ANY_HIT_COUNT_PRIMARY_VISIBILITY,
+        DEBUG_MODE_BOUNCE_COUNT,
+    )
+
+    r = _small_renderer(w=16, h=16)
+    cfg = _config()
+    r.configure_for(r.options.replace(debug_mode=DEBUG_MODE_BOUNCE_COUNT))
+    img = r.render_debug_image(cfg)
+    assert img.shape == (16, 16)
+    # most primaries hit (the open cornell front lets edge rays escape)
+    assert (img >= 1).mean() > 0.8
+    assert img.max() <= cfg.params.max_path_depth
+
+    # opaque scene: any-hit count is identically zero
+    r.configure_for(
+        r.options.replace(debug_mode=DEBUG_MODE_ANY_HIT_COUNT_FULL_PATH)
+    )
+    assert r.render_debug_image(cfg).max() == 0
+
+    # alpha-tested scene: nonzero counts; primary-only <= full-path
+    from tests.test_alpha_test import _alpha_scene
+
+    r2 = Renderer()
+    r2.initialize(16, 16)
+    r2.set_scene(_alpha_scene(alpha_checker=True))
+    cam = OrientedCamera.look_at([0, 0, 3], [0, 0, -1], fovy=45)
+    acfg = FrameConfig(camera=cam, params=RenderParams(max_path_depth=2))
+    r2.configure_for(
+        r2.options.replace(debug_mode=DEBUG_MODE_ANY_HIT_COUNT_FULL_PATH)
+    )
+    full = r2.render_debug_image(acfg)
+    assert full.max() >= 1, "alpha-tested candidates not counted"
+    r2.configure_for(
+        r2.options.replace(
+            debug_mode=DEBUG_MODE_ANY_HIT_COUNT_PRIMARY_VISIBILITY
+        )
+    )
+    prim = r2.render_debug_image(acfg)
+    assert prim.max() >= 1
+    assert (prim <= full).all()
+
+    r.configure_for(r.options.replace(debug_mode=0))
+    with pytest.raises(ValueError):
+        r.render_debug_image(cfg)

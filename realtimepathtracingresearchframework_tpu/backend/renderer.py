@@ -627,6 +627,14 @@ class Renderer:
         self._has_transmission = any(
             float(m.specular_transmission) > 0.0 for m in scene.materials
         )
+        # THIN_TRANSMISSION_HIT materials (vulkan/CMakeLists.txt:38-39)
+        from realtimepathtracingresearchframework_tpu.models.material import (
+            BASE_MATERIAL_THIN,
+        )
+
+        self._has_thin = any(
+            (m.flags & BASE_MATERIAL_THIN) for m in scene.materials
+        )
         self._tris = tris
         self._shading = shading
         self._materials = MaterialBuffers.from_table(mat_table)
@@ -735,6 +743,7 @@ class Renderer:
             streamed=bool(getattr(self, "_use_streamed", False)),
             enable_dof=bool(self.options.enable_raytraced_dof)
             and float(params.aperture_radius) > 0.0,
+            thin_transmission=bool(getattr(self, "_has_thin", False)),
             compact=bool(os.environ.get("RPTR_COMPACT")),
         )
 

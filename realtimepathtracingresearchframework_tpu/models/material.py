@@ -26,6 +26,10 @@ BASE_MATERIAL_ONESIDED = 0x02
 BASE_MATERIAL_VOLUME = 0x04
 BASE_MATERIAL_EXTENDED = 0x08
 BASE_MATERIAL_NEURAL = 0x10
+# repo-internal: the THIN_TRANSMISSION_HIT hit-group assignment
+# (vulkan/CMakeLists.txt:38-39) expressed as a material flag — on TPU the
+# hit "shader" is selected data-driven rather than via the SBT
+BASE_MATERIAL_THIN = 0x20
 
 
 @dataclass

@@ -268,6 +268,16 @@ class Scene:
                 mat.metallic = 0.0
                 mat.specular = 0.0
                 mat.specular_transmission = 0.0
+            elif "_SHADERMATERIAL_THIN_TRANSMISSION" in uname:
+                # THIN_TRANSMISSION_HIT (vulkan/CMakeLists.txt:38-39):
+                # transmission keeps the material roughness, reflective
+                # specular takes sqrt(clearcoat_gloss)
+                from realtimepathtracingresearchframework_tpu.models.material import (  # noqa: E501
+                    BASE_MATERIAL_THIN,
+                )
+
+                mat.specular_transmission = max(mat.specular_transmission, 1.0)
+                mat.flags |= BASE_MATERIAL_THIN
             elif "_SHADERMATERIAL_TRANSMISSION" in uname:
                 mat.specular_transmission = max(mat.specular_transmission, 1.0)
             self.materials.append(mat)

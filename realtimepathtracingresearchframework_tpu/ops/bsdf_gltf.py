@@ -48,6 +48,10 @@ class GLTFMaterial(NamedTuple):
     specular_transmission: jnp.ndarray
     transmission_color: object  # like base_color
     onesided: jnp.ndarray  # bool
+    transmission_roughness: object = None  # thin-transmission mode only
+    # (GLTF_SUPPORT_TRANSMISSION_ROUGHNESS, gltf_bsdf.glsl:26-67): the
+    # transmission lobe keeps the material roughness while the reflective
+    # specular lobe takes sqrt(clearcoat_gloss); None = single roughness
 
 
 def _mat_to_soa(mat: GLTFMaterial) -> GLTFMaterial:
@@ -132,6 +136,18 @@ def gltf_specular_alpha(mat: GLTFMaterial):
     return jnp.maximum(mat.roughness * mat.roughness, MIN_ALPHA)
 
 
+def gltf_transmission_alpha(mat: GLTFMaterial):
+    """Thin-transmission GGX alpha (gltf_bsdf.glsl:279-282): falls back
+    to the specular alpha on lanes without active transmission
+    (gltf_bsdf.glsl:456-461)."""
+    ta = jnp.maximum(
+        mat.transmission_roughness * mat.transmission_roughness, MIN_ALPHA
+    )
+    return jnp.where(
+        mat.specular_transmission > 0.0, ta, gltf_specular_alpha(mat)
+    )
+
+
 def cos_half_angle(cos_angle):
     return (1.0 + cos_angle) / jnp.sqrt(jnp.maximum(2.0 + 2.0 * cos_angle, 1e-12))
 
@@ -164,8 +180,10 @@ def _half_vector_v(mat, n: Vec3, w_o: Vec3, w_i: Vec3, i_dot_n, o_dot_n, ior,
 
 
 def gltf_bsdf_v(mat: GLTFMaterial, n: Vec3, w_o: Vec3, w_i: Vec3,
-                enable_transmission=True) -> Vec3:
-    """Full BSDF value (gltf_bsdf.glsl:294-391). SoA core."""
+                enable_transmission=True, thin=False) -> Vec3:
+    """Full BSDF value (gltf_bsdf.glsl:294-391). SoA core. ``thin``
+    enables the separate transmission roughness
+    (GLTF_SUPPORT_TRANSMISSION_ROUGHNESS, gltf_bsdf.glsl:329-334)."""
     i_dot_n = v3.dot(n, w_i)
     o_dot_n = v3.dot(n, w_o)
     ior = jnp.where(o_dot_n < 0.0, 1.0 / mat.ior, mat.ior)
@@ -180,6 +198,8 @@ def gltf_bsdf_v(mat: GLTFMaterial, n: Vec3, w_o: Vec3, w_i: Vec3,
 
     f0 = gltf_specular_basecolor(mat, mat.ior)
     alpha = gltf_specular_alpha(mat)
+    if thin:
+        alpha = jnp.where(transmit, gltf_transmission_alpha(mat), alpha)
     spec_refl = gtr_2(v3.dot(n, w_h), alpha) * smith_visibility_ggx(
         o_dot_n, i_dot_n, alpha
     )
@@ -244,7 +264,7 @@ def _component_weights_v(mat, ior, odh, vis, enable_transmission=True):
 
 
 def gltf_wpdf_v(mat: GLTFMaterial, n: Vec3, w_o: Vec3, w_i: Vec3,
-                enable_transmission=True):
+                enable_transmission=True, thin=False):
     """Approximate MIS weight-pdf (gltf_wpdf, gltf_bsdf.glsl:414-497)."""
     i_dot_n = v3.dot(n, w_i)
     o_dot_n = v3.dot(n, w_o)
@@ -261,14 +281,26 @@ def gltf_wpdf_v(mat: GLTFMaterial, n: Vec3, w_o: Vec3, w_i: Vec3,
 
     alpha = gltf_specular_alpha(mat)
     vis_spec = 2.0 * jnp.abs(i_dot_n) / smith_visibility_den1(i_dot_n, alpha * alpha)
+    if thin:
+        # the transmission layer's visibility + pdf use its own alpha
+        # (gltf_bsdf.glsl:455-473)
+        talpha = gltf_transmission_alpha(mat)
+        vis_trans = 2.0 * jnp.abs(i_dot_n) / smith_visibility_den1(
+            i_dot_n, talpha * talpha
+        )
+    else:
+        vis_trans = vis_spec
     aodh = jnp.abs(o_dot_h)
     w0, w1, w2 = _component_weights_v(
         mat, ior, (aodh, aodh, aodh),
-        (jnp.ones_like(vis_spec), vis_spec, vis_spec),
+        (jnp.ones_like(vis_spec), vis_spec, vis_trans),
         enable_transmission,
     )
 
-    specular = gtr_2_vndf_pdf(o_dot_n, cos_theta_h, alpha)
+    pdf_alpha = (
+        jnp.where(transmit, talpha, alpha) if thin else alpha
+    )
+    specular = gtr_2_vndf_pdf(o_dot_n, cos_theta_h, pdf_alpha)
     pdf_refl = diffuse_pdf * w0 + specular * w1
     if enable_transmission:
         compression = 2.0 * o_dot_h / (i_dot_h * ior + o_dot_h)
@@ -283,7 +315,7 @@ def gltf_wpdf_v(mat: GLTFMaterial, n: Vec3, w_o: Vec3, w_i: Vec3,
 
 def sample_gltf_brdf_v(
     mat: GLTFMaterial, n: Vec3, w_o: Vec3, v_x: Vec3, v_y: Vec3,
-    dir_sample, lobe_sample, enable_transmission=True,
+    dir_sample, lobe_sample, enable_transmission=True, thin=False,
 ):
     """Sample the BSDF (sample_gltf_brdf, gltf_bsdf.glsl:500-652). SoA core.
 
@@ -315,22 +347,35 @@ def sample_gltf_brdf_v(
         0.0,
     )
     if enable_transmission:
-        # transmission candidate (shares the specular half vector; no
-        # separate transmission roughness,
-        # GLTF_SUPPORT_TRANSMISSION_ROUGHNESS off)
-        refr, _tir = v3.refract(-w_o_up, w_h_spec_local, 1.0 / ior)
-        trans_i_dot_n = jnp.where(mat.onesided, -refr.z, spec_i_dot_n)
+        if thin:
+            # thin mode samples a SEPARATE transmission half vector with
+            # the transmission alpha from the same 2-D sample
+            # (gltf_bsdf.glsl:551-563)
+            talpha = gltf_transmission_alpha(mat)
+            w_h_trans_local = sample_gtr_2_vndf_v(w_o_up, talpha, up)
+        else:
+            talpha = alpha
+            w_h_trans_local = w_h_spec_local
+        refr, _tir = v3.refract(-w_o_up, w_h_trans_local, 1.0 / ior)
+        trans_i_dot_n = jnp.where(
+            mat.onesided, -refr.z,
+            v3.reflect(-w_o_up, w_h_trans_local).z if thin else spec_i_dot_n,
+        )
         vis_trans = jnp.where(
             (trans_i_dot_n > 0.0) & (mat.specular_transmission > 0.0),
             2.0 * trans_i_dot_n
-            / smith_visibility_den1(trans_i_dot_n, alpha * alpha),
+            / smith_visibility_den1(trans_i_dot_n, talpha * talpha),
             0.0,
+        )
+        odh_trans = (
+            v3.dot(w_o_up, w_h_trans_local) if thin else odh_spec
         )
     else:
         vis_trans = jnp.zeros_like(vis_spec)
+        odh_trans = odh_spec
 
     w0, w1, w2 = _component_weights_v(
-        mat, ior, (odh_diffuse, odh_spec, odh_spec),
+        mat, ior, (odh_diffuse, odh_spec, odh_trans),
         (jnp.ones_like(vis_spec), vis_spec, vis_trans),
         enable_transmission,
     )
@@ -355,11 +400,18 @@ def sample_gltf_brdf_v(
     # memory at ~3.7ms per 262K lanes)
     wsel = jnp.where(component == 0, w0, jnp.where(component == 1, w1, w2))
 
-    # build w_i per component
+    # build w_i per component (thin: transmission lanes use their own
+    # half vector — gltf_bsdf.glsl:580-585)
+    if enable_transmission and thin:
+        w_h_pick_local = v3.where(
+            component == 2, w_h_trans_local, w_h_spec_local
+        )
+    else:
+        w_h_pick_local = w_h_spec_local
     w_h_local_signed = Vec3(
-        w_h_spec_local.x,
-        w_h_spec_local.y,
-        w_h_spec_local.z * jnp.where(o_dot_n < 0.0, -1.0, 1.0),
+        w_h_pick_local.x,
+        w_h_pick_local.y,
+        w_h_pick_local.z * jnp.where(o_dot_n < 0.0, -1.0, 1.0),
     )
     cos_theta_h_spec = w_h_local_signed.z
     w_h_world = (
@@ -395,7 +447,11 @@ def sample_gltf_brdf_v(
     cos_theta_h = jnp.where(is_diff, v3.dot(n, w_h_sel), cos_theta_h_spec)
 
     diffuse_pdf = M_1_PI * jnp.abs(i_dot_n)
-    specular = gtr_2_vndf_pdf(o_dot_n, cos_theta_h, alpha)
+    pdf_alpha = (
+        jnp.where(component == 2, talpha, alpha)
+        if (enable_transmission and thin) else alpha
+    )
+    specular = gtr_2_vndf_pdf(o_dot_n, cos_theta_h, pdf_alpha)
     pdf_refl = diffuse_pdf * w0 + specular * w1
     if enable_transmission:
         i_dot_h = jnp.where(
@@ -410,8 +466,8 @@ def sample_gltf_brdf_v(
     pdf = jnp.where(mat.ior > 1.0, pdf, diffuse_pdf)
     pdf = jnp.where(ok & (pdf > 0.0), pdf, 0.0)
 
-    f = gltf_bsdf_v(mat, n, w_o, w_i, enable_transmission)
-    mis_wpdf = gltf_wpdf_v(mat, n, w_o, w_i, enable_transmission)
+    f = gltf_bsdf_v(mat, n, w_o, w_i, enable_transmission, thin)
+    mis_wpdf = gltf_wpdf_v(mat, n, w_o, w_i, enable_transmission, thin)
     good = pdf > 0.0
     weight = v3.where(
         good,

@@ -85,6 +85,7 @@ class MaterialBuffers(NamedTuple):
     base_color_tex: jnp.ndarray  # i32, -1 = constant
     specular_tex: jnp.ndarray  # .g roughness, .b metallic (scene.cpp:946-951)
     normal_tex: jnp.ndarray
+    clearcoat_gloss: jnp.ndarray  # thin-transmission reflective roughness²
 
     @staticmethod
     def from_table(table) -> "MaterialBuffers":
@@ -100,6 +101,7 @@ class MaterialBuffers(NamedTuple):
             base_color_tex=jnp.asarray(table.base_color_tex),
             specular_tex=jnp.asarray(table.specular_tex),
             normal_tex=jnp.asarray(table.normal_tex),
+            clearcoat_gloss=jnp.asarray(table.clearcoat_gloss),
         )
 
 
@@ -160,6 +162,7 @@ _M_BASE = 0  # 3 wide
 _M_ROUGH, _M_SPEC, _M_METAL, _M_IOR = 3, 4, 5, 6
 _M_STRANS, _M_EMIT = 7, 8
 _M_FLAGS, _M_BCTEX, _M_SPTEX, _M_NMTEX = 9, 10, 11, 12  # float values
+_M_CCGLOSS = 13  # clearcoat_gloss (thin-transmission reflective roughness)
 
 
 def pack_attr_table(tris: TriBuffers, shading: ShadingBuffers) -> jnp.ndarray:
@@ -198,6 +201,7 @@ def pack_material_table(mats: MaterialBuffers) -> jnp.ndarray:
         as_f32(mats.base_color_tex),
         as_f32(mats.specular_tex),
         as_f32(mats.normal_tex),
+        as_f32(mats.clearcoat_gloss),
     ]
     packed = jnp.concatenate(cols, axis=1)
     pad = MAT_W - packed.shape[1]
@@ -241,20 +245,38 @@ def _fetch_cols(tbl_t, idx):
     return tuple(g[k] for k in range(w))
 
 
-def _material_from_cols(c) -> GLTFMaterial:
+def _material_from_cols(c, thin: bool = False) -> GLTFMaterial:
     """Unpack fetched material columns (tuple of (N,) arrays) into a SoA
-    GLTFMaterial (Vec3 colors)."""
+    GLTFMaterial (Vec3 colors). ``thin``: apply the THIN_TRANSMISSION
+    load rule (load_material, gltf_bsdf.glsl:47-56) on lanes flagged
+    BASE_MATERIAL_THIN — transmission keeps the material roughness while
+    the reflective specular lobe takes sqrt(clearcoat_gloss)."""
     base = Vec3(c[_M_BASE], c[_M_BASE + 1], c[_M_BASE + 2])
     flags = c[_M_FLAGS].astype(jnp.int32)
+    roughness = c[_M_ROUGH]
+    transmission_roughness = None
+    if thin:
+        from realtimepathtracingresearchframework_tpu.models.material import (
+            BASE_MATERIAL_THIN,
+        )
+
+        thin_lane = (
+            ((flags & BASE_MATERIAL_THIN) != 0)
+            & (c[_M_STRANS] > 0.0)
+            & (c[_M_IOR] > 1.0)
+        )
+        transmission_roughness = roughness
+        roughness = jnp.where(thin_lane, jnp.sqrt(c[_M_CCGLOSS]), roughness)
     return GLTFMaterial(
         base_color=base,
         metallic=c[_M_METAL],
         specular=c[_M_SPEC],
-        roughness=c[_M_ROUGH],
+        roughness=roughness,
         ior=c[_M_IOR],
         specular_transmission=c[_M_STRANS],
         transmission_color=base,
         onesided=(flags & BASE_MATERIAL_ONESIDED) != 0,
+        transmission_roughness=transmission_roughness,
     )
 
 
@@ -292,6 +314,9 @@ class IntegratorConfig(NamedTuple):
     # DIM_APERTURE_X/Y=4/5, DIM_CAMERA_END 2 -> 6).
     has_transmission: bool = True  # False drops all transmission BSDF
     # math (scene has no transmitting material; bit-identical there)
+    thin_transmission: bool = False  # scene has BASE_MATERIAL_THIN
+    # materials (THIN_TRANSMISSION_HIT, vulkan/CMakeLists.txt:38-39):
+    # enables the separate transmission-roughness BSDF path
     debug_mode: int = 0  # DEBUG_MODE_* heatmaps (render_params.glsl.h:63-70):
     # 1/2 = any-hit (alpha-test) evaluation count full-path/primary-only
     # (any_hit.glsl:43-59), 3 = bounce count (hit.rchit:462-463). When set,
@@ -658,8 +683,10 @@ def _nee_candidate(
     shadow_tmax = jnp.maximum(light_dist - eps, eps)
     shadow_tmax_eff = jnp.where(candidate & seg_ok, shadow_tmax, eps)
 
-    bsdf_pdf = gltf_wpdf_v(mat, hit_n, w_o, light_dir, cfg.has_transmission)
-    f = gltf_bsdf_v(mat, hit_n, w_o, light_dir, cfg.has_transmission)
+    bsdf_pdf = gltf_wpdf_v(mat, hit_n, w_o, light_dir, cfg.has_transmission,
+                           cfg.thin_transmission)
+    f = gltf_bsdf_v(mat, hit_n, w_o, light_dir, cfg.has_transmission,
+                    cfg.thin_transmission)
     w = nee_mod.nee_mis_heuristic(1.0, mis_pdf, 1.0, bsdf_pdf)
     contrib = illum * f * (w * jnp.abs(v3.dot(light_dir, hit_n)))
     base_ok = candidate & (bsdf_pdf >= 0.0)
@@ -876,8 +903,10 @@ def trace_paths(
             [(_M_BASE, _M_NMTEX + 1)] if cfg.has_textures
             else [(_M_BASE, _M_BCTEX)]
         )
+        if cfg.thin_transmission:
+            mat_ranges = mat_ranges + [(_M_CCGLOSS, _M_CCGLOSS + 1)]
         mc = _fetch_cols_ranges(ds.mat_packed, mid, mat_ranges)
-        mat = _material_from_cols(mc)
+        mat = _material_from_cols(mc, thin=cfg.thin_transmission)
 
         p = ro + rd * hit.t
         w_o = -rd
@@ -1062,7 +1091,7 @@ def trace_paths(
         vx, vy = nee_mod.ortho_frame_v(n_sh)
         weight, w_i, spdf, mis_wpdf = sample_gltf_brdf_v(
             mat, n_sh, w_o, vx, vy, dir_sample, lobe_sample,
-            cfg.has_transmission,
+            cfg.has_transmission, cfg.thin_transmission,
         )
         valid_dir = v3.dot(w_i, n_sh) * v3.dot(w_i, gn) > 0.0
         weight_zero = (weight.x == 0.0) & (weight.y == 0.0) & (weight.z == 0.0)

@@ -292,3 +292,68 @@ def test_debug_mode_heatmaps():
     r.configure_for(r.options.replace(debug_mode=0))
     with pytest.raises(ValueError):
         r.render_debug_image(cfg)
+
+
+def test_thin_transmission_material_renders():
+    """_SHADERMATERIAL_THIN_TRANSMISSION (THIN_TRANSMISSION_HIT,
+    vulkan/CMakeLists.txt:38-39): the keyword sets the thin flag, the
+    renderer enables the thin BSDF path, and a rough thin pane scatters
+    transmitted light differently from the plain transmission path."""
+    from realtimepathtracingresearchframework_tpu.models import procedural, vkr
+    from realtimepathtracingresearchframework_tpu.models.material import (
+        BASE_MATERIAL_THIN,
+    )
+    from realtimepathtracingresearchframework_tpu.models.scene import Scene
+
+    def pane_scene(name):
+        wall = procedural.make_mesh(
+            "wall",
+            procedural._quad([-4, -4, -1], [4, -4, -1], [4, 4, -1], [-4, 4, -1]),
+        )
+        pane = procedural.make_mesh(
+            "pane",
+            procedural._quad([-2, -2, 1], [2, -2, 1], [2, 2, 1], [-2, 2, 1]),
+        )
+        mats = [
+            vkr.VkrMaterial(
+                name="wall",
+                emitter_base_color=np.array([1.0, 1.0, 1.0], np.float32),
+                emission_intensity=5.0,
+            ),
+            vkr.VkrMaterial(
+                name=name,
+                base_color=np.array([1.0, 1.0, 1.0], np.float32),
+                ior_eta=1.5,
+            ),
+        ]
+        vs = procedural.identity_scene([wall, pane], mats)
+        scene = Scene.from_vkr_scene(vs)
+        scene.parameterized_meshes[1].material_offset = 1
+        # the .vks format carries roughness via textures; set the
+        # translated material's constants directly for the test
+        scene.materials[1].roughness = 0.7
+        scene.materials[1].clearcoat_gloss = 0.0025  # sqrt -> 0.05
+        return scene
+
+    thin_scene = pane_scene("glass_SHADERMATERIAL_THIN_TRANSMISSION")
+    assert thin_scene.materials[1].flags & BASE_MATERIAL_THIN
+    assert thin_scene.materials[1].specular_transmission == 1.0
+    plain_scene = pane_scene("glass_SHADERMATERIAL_TRANSMISSION")
+    assert not (plain_scene.materials[1].flags & BASE_MATERIAL_THIN)
+
+    cam = OrientedCamera.look_at([0, 0, 3], [0, 0, -1], fovy=45)
+    cfg = FrameConfig(camera=cam, params=RenderParams(max_path_depth=3))
+    imgs = []
+    for sc in (thin_scene, plain_scene):
+        r = Renderer()
+        r.initialize(16, 16)
+        r.set_scene(sc)
+        for _ in range(4):
+            r.render(cfg)
+        img = np.asarray(r.accum)[..., :3]
+        assert np.isfinite(img).all()
+        assert img.max() > 0.05, "no light transmitted through the pane"
+        imgs.append(img)
+    assert not np.allclose(imgs[0], imgs[1]), (
+        "thin transmission did not change shading"
+    )

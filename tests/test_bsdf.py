@@ -260,3 +260,92 @@ def test_transmission_specialization_bit_exact():
         for a, b in zip(jax.tree_util.tree_leaves(general),
                         jax.tree_util.tree_leaves(specialized)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_thin_transmission_identity_and_divergence():
+    """thin=True with transmission_roughness == roughness must be
+    bit-exact vs thin=False (the separate alphas coincide); with a rough
+    transmission lobe under a polished reflection lobe the transmission
+    directions must spread while reflections sharpen — the
+    THIN_TRANSMISSION_HIT behavior (GLTF_SUPPORT_TRANSMISSION_ROUGHNESS,
+    gltf_bsdf.glsl:47-56,551-563)."""
+    import jax
+
+    from realtimepathtracingresearchframework_tpu.ops import bsdf_gltf as B
+    from realtimepathtracingresearchframework_tpu.ops import vec3 as v3
+    from realtimepathtracingresearchframework_tpu.ops.vec3 import Vec3
+
+    n_pts = 4096
+    rs = np.random.RandomState(7)
+
+    def rvec():
+        a = rs.normal(size=(3, n_pts)).astype(np.float32)
+        a /= np.linalg.norm(a, axis=0, keepdims=True)
+        return Vec3(*[jnp.asarray(a[i]) for i in range(3)])
+
+    def runi():
+        return jnp.asarray(rs.uniform(0, 1, n_pts).astype(np.float32))
+
+    n, w_o, w_i = rvec(), rvec(), rvec()
+    rough = runi()
+    mat = B.GLTFMaterial(
+        base_color=Vec3(runi(), runi(), runi()),
+        metallic=jnp.zeros((n_pts,), jnp.float32),
+        specular=jnp.ones((n_pts,), jnp.float32),
+        roughness=rough,
+        ior=jnp.full((n_pts,), 1.5, jnp.float32),
+        specular_transmission=jnp.ones((n_pts,), jnp.float32),
+        transmission_color=Vec3(runi(), runi(), runi()),
+        onesided=jnp.asarray(rs.uniform(size=n_pts) < 0.5),
+        transmission_roughness=rough,  # == roughness -> identity
+    )
+    vx, vy = nee_mod.ortho_frame_v(n)
+    ds_, ls_ = (runi(), runi()), (runi(), runi())
+
+    pairs = [
+        (jax.jit(lambda: B.gltf_bsdf_v(mat, n, w_o, w_i, True, True))(),
+         jax.jit(lambda: B.gltf_bsdf_v(mat, n, w_o, w_i, True, False))()),
+        (jax.jit(lambda: B.gltf_wpdf_v(mat, n, w_o, w_i, True, True))(),
+         jax.jit(lambda: B.gltf_wpdf_v(mat, n, w_o, w_i, True, False))()),
+        (jax.jit(lambda: B.sample_gltf_brdf_v(
+            mat, n, w_o, vx, vy, ds_, ls_, True, True))(),
+         jax.jit(lambda: B.sample_gltf_brdf_v(
+             mat, n, w_o, vx, vy, ds_, ls_, True, False))()),
+    ]
+    # the separate alphas coincide, so any difference is pure XLA fusion/
+    # FMA-contraction reassociation from the thin graph recomputing the
+    # same dots (amplified through the weight's division) — a few-ulp
+    # sanity bound, not a bit-parity contract
+    for thin_out, plain_out in pairs:
+        for a, b in zip(jax.tree_util.tree_leaves(thin_out),
+                        jax.tree_util.tree_leaves(plain_out)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-5, atol=1e-6
+            )
+
+    # divergence: rough transmission under a polished reflective layer
+    up = Vec3(*[jnp.asarray(np.tile(v, n_pts).astype(np.float32))
+                for v in (0.0, 0.0, 1.0)])
+    w_o_up = v3.normalize(Vec3(runi() * 0.5 + 0.2, runi() * 0.1,
+                               runi() * 0.5 + 0.5))
+    thin_mat = mat._replace(
+        roughness=jnp.full((n_pts,), 0.05, jnp.float32),  # polished refl
+        transmission_roughness=jnp.full((n_pts,), 0.8, jnp.float32),
+        onesided=jnp.ones((n_pts,), bool),
+    )
+    vx2, vy2 = nee_mod.ortho_frame_v(up)
+    w_thin = jax.jit(lambda: B.sample_gltf_brdf_v(
+        thin_mat, up, w_o_up, vx2, vy2, ds_, ls_, True, True))()
+    w_plain = jax.jit(lambda: B.sample_gltf_brdf_v(
+        thin_mat, up, w_o_up, vx2, vy2, ds_, ls_, True, False))()
+    wi_t, wi_p = w_thin[1], w_plain[1]
+    trans_t = np.asarray(v3.dot(wi_t, up)) < 0
+    trans_p = np.asarray(v3.dot(wi_p, up)) < 0
+    assert trans_t.any() and trans_p.any()
+    # transmitted directions must differ (separate rough half vectors)
+    joint = trans_t & trans_p
+    dt = np.asarray(v3.dot(wi_t, wi_p))[joint]
+    assert (dt < 0.9999).mean() > 0.5, "thin transmission lobe unchanged"
+    # all outputs finite
+    for a in jax.tree_util.tree_leaves(w_thin):
+        assert np.isfinite(np.asarray(a)).all()

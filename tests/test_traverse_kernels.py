@@ -212,3 +212,53 @@ def test_streamed_matches_resident_v2(rng, sort):
         tp2.occluded_pallas2(bb, jnp.asarray(ro), jnp.asarray(rd), t_max=6.0)
     )
     assert np.array_equal(blocked_s, blocked_r)
+
+
+@pytest.mark.parametrize("rounds", [0, 1, 3])
+def test_binned_matches_resident_v2(rng, rounds):
+    """Subtree-binned streamed traversal (ops/traverse_binned.py): same
+    winning triangle/occlusion as the resident v2 kernel for any round
+    count (rounds=0 = pure cleanup dispatch), bit-equal t where the
+    winner agrees."""
+    from realtimepathtracingresearchframework_tpu.ops import (
+        traverse_binned as tbin,
+    )
+
+    v0, e1, e2 = _terrain(32)
+    copies = [v0 + np.array([9.0 * i, 0.0, 0.3 * i], np.float32)
+              for i in range(9)]
+    v0 = np.concatenate(copies)
+    e1 = np.concatenate([e1] * 9)
+    e2 = np.concatenate([e2] * 9)
+    sb = ts.pack_streamed(v0, e1, e2)
+    assert sb.sub_nodes.shape[0] // ts.SUB_NODE_ROWS >= 3
+    tb = bvh_mod.build_threaded_bvh(v0, e1, e2, leaf_size=128)
+    bb = tp2.pack_for_pallas2(tb)
+
+    tbin.INTERPRET = True
+    try:
+        n = 256
+        ro, rd = _rays(n, rng, "incoherent")
+        ro[:, 0] += rng.uniform(0, 72, n).astype(np.float32)  # spread bins
+        comps = tuple(jnp.asarray(x) for x in (ro[:, 0], ro[:, 1], ro[:, 2],
+                                               rd[:, 0], rd[:, 1], rd[:, 2]))
+        hs = tbin.closest_hit_binned(
+            sb, None, None, comps=comps, block=256, rounds=rounds
+        )
+        hr = tp2.closest_hit_pallas2(bb, jnp.asarray(ro), jnp.asarray(rd))
+        tri_s = np.asarray(hs.tri)
+        tri_r = np.asarray(hr.tri)
+        assert np.array_equal(tri_s, tri_r)
+        agree = tri_s == tri_r
+        assert np.array_equal(np.asarray(hs.t)[agree], np.asarray(hr.t)[agree])
+
+        blocked_s = np.asarray(tbin.occluded_binned(
+            sb, None, None, comps=comps, t_max=6.0, block=256, rounds=rounds
+        ))
+        blocked_r = np.asarray(
+            tp2.occluded_pallas2(bb, jnp.asarray(ro), jnp.asarray(rd),
+                                 t_max=6.0)
+        )
+        assert np.array_equal(blocked_s, blocked_r)
+    finally:
+        tbin.INTERPRET = False

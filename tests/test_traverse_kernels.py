@@ -306,3 +306,39 @@ def test_binned_multislot_matches_resident_v2(rng):
         assert np.array_equal(
             np.asarray(hs.t)[agree], np.asarray(hr.t)[agree]
         )
+
+
+@pytest.mark.parametrize("leaf_size", [32, 64])
+def test_resident_v2_narrow_leaves(rng, leaf_size):
+    """Narrow-leaf v2 layout (leaf_size 32/64 sharing 128-lane tiles):
+    winner parity vs the threaded reference, bit-equal t vs the 128-leaf
+    v2 build where the winning triangle is the same primitive."""
+    v0, e1, e2 = _terrain(24)
+    tbn = bvh_mod.build_threaded_bvh(v0, e1, e2, leaf_size=leaf_size)
+    bbn = tp2.pack_for_pallas2(tbn)
+    assert bbn.leaf_size == leaf_size
+    ro, rd = _rays(1024, rng, "incoherent")
+    ro_d, rd_d = jnp.asarray(ro), jnp.asarray(rd)
+
+    hn = tp2.closest_hit_pallas2(bbn, ro_d, rd_d)
+    href = closest_hit_threaded(
+        threaded_to_device(bvh_mod.build_threaded_bvh(v0, e1, e2, leaf_size=4)),
+        ro_d, rd_d, leaf_size=4,
+    )
+    _assert_tri_parity(hn, href, f"narrow/{leaf_size}")
+
+    # occlusion with tight segments through the narrow layout
+    t_ref = np.asarray(href.t)
+    tmax = np.where(np.isfinite(t_ref) & (t_ref < 1e30), t_ref * 0.999, 1e30)
+    on = np.asarray(
+        tp2.occluded_pallas2(bbn, ro_d, rd_d, t_max=jnp.asarray(tmax))
+    )
+    oref = np.asarray(
+        occluded_threaded(
+            threaded_to_device(
+                bvh_mod.build_threaded_bvh(v0, e1, e2, leaf_size=4)
+            ),
+            ro_d, rd_d, t_max=jnp.asarray(tmax), leaf_size=4,
+        )
+    )
+    assert np.array_equal(on, oref)

@@ -8,7 +8,8 @@ plus ``--img``, ``--upscale``, ``--config``, ``--frame``, ``--eye``,
 ``--profiling [--profiling-fps, --profiling-img]``, ``--data-capture``,
 ``--exr/--pfm/--png``, ``--resource-dir``, ``--spp``, ``--max-depth``.
 
-Scenes: ``.vks`` paths, or the builtin procedural names ``cornell`` /
+Scenes: ``.vks`` paths, or builtin procedural names ``cornell`` /
+``village`` / ``terrain[:grid]`` /
 ``triangle`` (the reference ships no assets; these drive the validation
 configs of BASELINE.md).
 """
@@ -54,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fov", type=float, default=65.0)
     p.add_argument("--camera", type=int, default=-1, help="scene camera index")
     p.add_argument("--device", "--vulkan-device", type=int, default=0)
+    p.add_argument(
+        "--devices", type=int, default=1,
+        help="render across N chips: swizzle chunks round-robin over "
+             "per-device pass programs, scene replicated (SURVEY 5.8)",
+    )
     p.add_argument("--disable-ui", action="store_true")
     p.add_argument("--freeze-frame", action="store_true")
     p.add_argument("--deduplicate-scene", action="store_true")
@@ -116,6 +122,11 @@ def load_scene(names, resource_dir=None) -> Scene:
             scene.append_vkr_scene(procedural.cornell_box())
         elif name == "triangle":
             scene.append_vkr_scene(procedural.single_triangle())
+        elif name == "village":
+            scene.append_vkr_scene(procedural.village())
+        elif name.startswith("terrain"):
+            grid = int(name.split(":", 1)[1]) if ":" in name else 500
+            scene.append_vkr_scene(procedural.terrain(grid=grid))
         else:
             path = name
             if resource_dir and not os.path.exists(path):
@@ -183,7 +194,18 @@ def main(argv=None) -> int:
     bundle.app.render_upscale_factor = args.upscale
     camera = bundle.scene.camera.to_camera()
 
-    renderer = Renderer()
+    import jax
+
+    if args.devices > 1:
+        avail = jax.devices()
+        if args.devices > len(avail):
+            throw_error(
+                "--devices %d but only %d devices available",
+                args.devices, len(avail),
+            )
+        renderer = Renderer(devices=avail[: args.devices])
+    else:
+        renderer = Renderer(device=jax.devices()[args.device])
     renderer.set_variant(args.variant)
     opts = renderer.options.replace(
         render_upscale_factor=args.upscale,
@@ -211,13 +233,18 @@ def main(argv=None) -> int:
     )
     config = FrameConfig(camera=camera, params=params)
     # async pipeline warmup (render_vulkan.cpp:139-155): overlap the jit
-    # compile of the hot pass program with remaining startup work. Joined
-    # at exit — a daemon thread mid-compile during interpreter teardown
+    # compile of the hot pass program with remaining startup work — only
+    # ahead of the interactive viewer; headless modes start rendering
+    # immediately, so a concurrent warmup would just trace the same
+    # program twice (and race the first frame's compile). Joined at
+    # exit — a daemon thread mid-compile during interpreter teardown
     # crashes XLA's thread pool.
-    warmup_thread = renderer.warmup_async(params)
-    import atexit
+    headless = bool(args.validation or args.profiling or args.data_capture)
+    if not headless:
+        warmup_thread = renderer.warmup_async(params)
+        import atexit
 
-    atexit.register(lambda: warmup_thread.join(timeout=600))
+        atexit.register(lambda: warmup_thread.join(timeout=600))
 
     if args.validation:
         modes.run_validation(

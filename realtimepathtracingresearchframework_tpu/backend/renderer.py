@@ -138,8 +138,22 @@ class Renderer:
     # delayed GPU timestamps
     SYNC_INTERVAL = 16
 
-    def __init__(self, device=None):
-        self.device = device or jax.devices()[0]
+    def __init__(self, device=None, devices=None):
+        """``devices``: render across several chips — the frame's swizzle
+        chunks round-robin over per-device pass programs with the scene
+        REPLICATED into every chip's HBM (SURVEY §5.8: data-parallel over
+        rays, collectives only at framebuffer assembly). Uses the same
+        host-dispatched fast-path architecture as single-chip rendering;
+        image-domain paths (TAA/reprojection/upscale) fall back to the
+        first device."""
+        self.devices = (
+            list(devices) if devices else ([device] if device else None)
+        )
+        if self.devices is None:
+            self.devices = [jax.devices()[0]]
+        self.device = self.devices[0]
+        self._multi = len(self.devices) > 1
+        self._device_scenes = None  # per-device replicas when _multi
         self.fb_width = 0
         self.fb_height = 0
         self.options = RenderBackendOptions()
@@ -198,13 +212,17 @@ class Renderer:
         self._frames_since_sync = 0
         self._timing_synced = False
 
-    def _u32_const(self, v: int):
+    def _u32_const(self, v: int, device_index: int = 0):
         """Cached device u32 scalar (recurring per-frame operands would
-        otherwise each pay a host->device transfer on the relay)."""
-        c = self._u32_cache.get(v)
+        otherwise each pay a host->device transfer on the relay).
+        ``device_index`` commits the scalar to that render device."""
+        key = (v, device_index)
+        c = self._u32_cache.get(key)
         if c is None:
             c = jnp.uint32(v)
-            self._u32_cache[v] = c
+            if device_index or self._multi:
+                c = jax.device_put(c, self.devices[device_index])
+            self._u32_cache[key] = c
         return c
 
     # ------------------------------------------------------------------
@@ -318,6 +336,17 @@ class Renderer:
             join_chunk_planes,
         )
 
+        if self._multi:
+            # cross-device chunks: assemble on the host — the framebuffer
+            # all-gather of the thin communication plan (SURVEY §5.8)
+            return tuple(
+                jnp.asarray(
+                    np.concatenate(
+                        [np.asarray(c[k]) for c in self._acc_chunks]
+                    )
+                )
+                for k in range(4)
+            )
         return join_chunk_planes(self._acc_chunks)
 
     @property
@@ -429,13 +458,21 @@ class Renderer:
             try:
                 pass_fn = self._pass_fns.get(pkey)
                 if pass_fn is None:
-                    pass_fn = make_pass_fn(
-                        self.device_scene, cfg, self.fb_width, self.fb_height
-                    )
+                    if self._multi:
+                        pass_fn = [
+                            make_pass_fn(
+                                ds_d, cfg, self.fb_width, self.fb_height
+                            )
+                            for ds_d in self._device_scenes
+                        ]
+                    else:
+                        pass_fn = make_pass_fn(
+                            self.device_scene, cfg,
+                            self.fb_width, self.fb_height,
+                        )
                 px_c, py_c, valid_c, _inv, _nc, chunk = _swizzle_tables(
                     self.fb_width, self.fb_height
                 )
-                zero = jnp.zeros((chunk,), jnp.float32)
                 fp = FrameParams(
                     rr_path_depth=jnp.int32(params.rr_path_depth),
                     glossy_only_mode=jnp.int32(0),
@@ -449,12 +486,19 @@ class Renderer:
                     jnp.asarray(pos), jnp.asarray(du), jnp.asarray(dv),
                     jnp.asarray(tl),
                 )
-                out = pass_fn(
-                    fp, view, (zero, zero + 0, zero + 0, zero + 0),
-                    px_c[0], py_c[0], valid_c[0], jnp.uint32(0),
-                    jnp.uint32(0),
-                )
-                jax.block_until_ready(out)
+                fns = pass_fn if self._multi else [pass_fn]
+                for di, fn in enumerate(fns):
+                    dev = self.devices[di]
+                    put = (lambda x: jax.device_put(x, dev)) if self._multi \
+                        else (lambda x: x)
+                    zero = put(jnp.zeros((chunk,), jnp.float32))
+                    out = fn(
+                        put(fp), put(view),
+                        (zero, zero + 0, zero + 0, zero + 0),
+                        put(px_c[0]), put(py_c[0]), put(valid_c[0]),
+                        put(jnp.uint32(0)), put(jnp.uint32(0)),
+                    )
+                    jax.block_until_ready(out)
                 self._pass_fns[pkey] = pass_fn
             except Exception as e:  # warmup is best-effort
                 warning("warmup_async failed: %s", e)
@@ -738,6 +782,12 @@ class Renderer:
             attr_packed=pack_attr_table(self._tris, self._shading),
             mat_packed=pack_material_table(self._materials),
         )
+        if self._multi:
+            # replicate the scene into every device's HBM (SURVEY §5.8:
+            # scene arrays + flattened BVH replicated per chip)
+            self._device_scenes = [
+                jax.device_put(self.device_scene, d) for d in self.devices
+            ]
         self._device_scene_revision += 1
         self._render_fns.clear()
         self._pass_fns.clear()
@@ -868,9 +918,18 @@ class Renderer:
         pass_fn = self._pass_fns.get(pkey)
         if pass_fn is None:
             self._pass_fns.clear()  # stale scene closures
-            pass_fn = make_pass_fn(
-                self.device_scene, cfg, self.fb_width, self.fb_height
-            )
+            if self._multi:
+                # one pass program per device, each capturing that
+                # device's scene replica (round-robin chunk dispatch —
+                # the host-dispatch fast path scaled across chips)
+                pass_fn = [
+                    make_pass_fn(ds_d, cfg, self.fb_width, self.fb_height)
+                    for ds_d in self._device_scenes
+                ]
+            else:
+                pass_fn = make_pass_fn(
+                    self.device_scene, cfg, self.fb_width, self.fb_height
+                )
             self._pass_fns[pkey] = pass_fn
 
         fast = (
@@ -887,6 +946,30 @@ class Renderer:
             px_c, py_c, valid_c, _inv, nc, chunk = _swizzle_tables(
                 self.fb_width, self.fb_height
             )
+            ndev = len(self.devices)
+            if self._multi:
+                # chunk c renders on devices[c % ndev]: commit its swizzle
+                # tables there once (cached per framebuffer size)
+                skey = (self.fb_width, self.fb_height)
+                cached = getattr(self, "_swz_multi", None)
+                if cached is None or cached[0] != skey:
+                    px_c = [
+                        jax.device_put(px_c[c], self.devices[c % ndev])
+                        for c in range(nc)
+                    ]
+                    py_c = [
+                        jax.device_put(py_c[c], self.devices[c % ndev])
+                        for c in range(nc)
+                    ]
+                    valid_c = [
+                        jax.device_put(valid_c[c], self.devices[c % ndev])
+                        for c in range(nc)
+                    ]
+                    self._swz_multi = (skey, px_c, py_c, valid_c)
+                else:
+                    _, px_c, py_c, valid_c = cached
+                fp_dev = [jax.device_put(fp, d) for d in self.devices]
+                view_dev = [jax.device_put(view, d) for d in self.devices]
             chunks_ok = (
                 self._planar
                 and self._acc_chunks is not None
@@ -904,7 +987,10 @@ class Renderer:
                     )
                     self._acc_chunks = [
                         tuple(
-                            jnp.asarray(pl[k, c * chunk:(c + 1) * chunk])
+                            jax.device_put(
+                                jnp.asarray(pl[k, c * chunk:(c + 1) * chunk]),
+                                self.devices[c % ndev],
+                            )
                             for k in range(4)
                         )
                         for c in range(nc)
@@ -912,7 +998,11 @@ class Renderer:
                 else:
                     self._acc_chunks = [
                         tuple(
-                            jnp.zeros((chunk,), jnp.float32) for _ in range(4)
+                            jax.device_put(
+                                jnp.zeros((chunk,), jnp.float32),
+                                self.devices[c % ndev],
+                            )
+                            for _ in range(4)
                         )
                         for c in range(nc)
                     ]
@@ -923,17 +1013,32 @@ class Renderer:
                 params.reprojection_mode == REPROJECTION_MODE_DISCARD_HISTORY
             )
             base_k = 0 if discard else self.frame_id
-            blend_base = jnp.uint32(base_k)
             rays_l = []
-            for s in range(spp):
-                s_dev = self._u32_const(s)
-                for c in range(nc):
-                    self._acc_chunks[c], nr = pass_fn(
-                        fp, view, self._acc_chunks[c],
-                        px_c[c], py_c[c], valid_c[c],
-                        s_dev, blend_base,
-                    )
-                    rays_l.append(nr)
+            if self._multi:
+                blend_dev = [
+                    jax.device_put(jnp.uint32(base_k), d)
+                    for d in self.devices
+                ]
+                for s in range(spp):
+                    for c in range(nc):
+                        di = c % ndev
+                        self._acc_chunks[c], nr = pass_fn[di](
+                            fp_dev[di], view_dev[di], self._acc_chunks[c],
+                            px_c[c], py_c[c], valid_c[c],
+                            self._u32_const(s, di), blend_dev[di],
+                        )
+                        rays_l.append(nr)
+            else:
+                blend_base = jnp.uint32(base_k)
+                for s in range(spp):
+                    s_dev = self._u32_const(s)
+                    for c in range(nc):
+                        self._acc_chunks[c], nr = pass_fn(
+                            fp, view, self._acc_chunks[c],
+                            px_c[c], py_c[c], valid_c[c],
+                            s_dev, blend_base,
+                        )
+                        rays_l.append(nr)
             self._fb_planes = None  # display resolve deferred to readback
             self._resolve_args = (
                 jnp.float32(params.exposure),
@@ -978,7 +1083,10 @@ class Renderer:
 
         new_accum, rays = render_tile_host(
             self.device_scene, cfg, fp, view, self.fb_width, self.fb_height,
-            spp, pass_fn=pass_fn,
+            spp,
+            # image-domain paths (TAA/reprojection/upscale) run single-
+            # device: use the first device's pass program
+            pass_fn=pass_fn[0] if self._multi else pass_fn,
         )
         if self._planar:
             # leaving the planar fast path: image-domain history

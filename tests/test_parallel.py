@@ -127,3 +127,57 @@ def test_2d_mesh_matches_single_device():
 
     np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
     assert int(rays1) == int(rays2)
+
+
+def test_multi_device_renderer_bit_identical():
+    """Renderer(devices=[...]) round-robins swizzle chunks over
+    per-device pass programs with the scene replicated (SURVEY 5.8) and
+    must produce BIT-IDENTICAL frames to the single-device fast path —
+    the multi-chip product path (VERDICT r2 #9)."""
+    import jax
+
+    from realtimepathtracingresearchframework_tpu.backend.params import (
+        RenderParams,
+    )
+    from realtimepathtracingresearchframework_tpu.backend.renderer import (
+        FrameConfig,
+        Renderer,
+    )
+    from realtimepathtracingresearchframework_tpu.models import procedural
+    from realtimepathtracingresearchframework_tpu.models.camera import (
+        OrientedCamera,
+    )
+    from realtimepathtracingresearchframework_tpu.models.scene import Scene
+
+    devs = jax.devices()
+    assert len(devs) >= 4, "conftest forces an 8-device CPU mesh"
+
+    cam = OrientedCamera.look_at([0, 1.0, 3.2], [0, 1.0, 0.0], fovy=50)
+    cfg = FrameConfig(camera=cam, params=RenderParams(max_path_depth=3))
+
+    def run(devices):
+        r = Renderer(devices=devices)
+        r.initialize(64, 64)
+        r.set_scene(Scene.from_vkr_scene(procedural.cornell_box()))
+        for _ in range(2):
+            r.render(cfg)
+        return np.asarray(r.accum), np.asarray(r.framebuffer), r
+
+    ref, fb_ref, _ = run(None)
+    for n in (2, 4):
+        acc, fb, r = run(devs[:n])
+        assert r._multi
+        np.testing.assert_array_equal(acc, ref)
+        np.testing.assert_array_equal(fb, fb_ref)
+    # checkpoint/readback still works across devices
+    import tempfile, os as _os
+
+    _, _, r4 = run(devs[:4])
+    with tempfile.TemporaryDirectory() as td:
+        path = _os.path.join(td, "ck.npz")
+        r4.save_state(path)
+        r5 = Renderer()
+        r5.initialize(64, 64)
+        r5.set_scene(Scene.from_vkr_scene(procedural.cornell_box()))
+        r5.load_state(path)
+        assert r5.frame_id == 2

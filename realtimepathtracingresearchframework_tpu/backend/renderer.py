@@ -532,7 +532,8 @@ class Renderer:
     def _build_tlas_buffers(self, transforms):
         """TLAS + instance tables for one frame (the TLAS rebuild/refit of
         default_update_tlas, render_vulkan.cpp:1219-1366): instance-count
-        work only, the BLASes are untouched."""
+        work only, the BLASes are untouched. Also repacks the Pallas
+        two-level layout's TLAS side when that kernel is enabled."""
         from realtimepathtracingresearchframework_tpu.ops import tlas as tlas_mod
 
         mesh_ids, mat_offsets = self._inst_binding
@@ -541,6 +542,15 @@ class Renderer:
         tables = tlas_mod.build_instance_tables(
             self._blas, mesh_ids, mat_offsets, transforms
         )
+        if getattr(self, "_use_tlas_pallas", False):
+            from realtimepathtracingresearchframework_tpu.ops import (
+                traverse_tlas,
+            )
+
+            self._tlas_pallas = traverse_tlas.pack_two_level_pallas(
+                self._blas_pallas_static, mesh_ids, self._blas.tri_base,
+                nodes, row_inst, tables,
+            )
         return tlas_mod.TwoLevelBuffers(
             tlas_nodes=jnp.asarray(nodes),
             tlas_row_inst=jnp.asarray(row_inst),
@@ -580,6 +590,32 @@ class Renderer:
             t0 = time.perf_counter()
             with ProfilingScope("build BLAS set"):
                 self._blas = tlas_mod.build_blas_set(mesh_tris)
+                # Pallas two-level kernel when the scalar-side tables fit
+                # SMEM (ops/traverse_tlas.py budgets); XLA walk otherwise
+                from realtimepathtracingresearchframework_tpu.ops import (
+                    traverse_tlas,
+                )
+
+                n_nodes = sum(
+                    2 * (-(-len(v0) // 128)) + 1 for v0, _, _ in mesh_tris
+                ) + 2 * len(mesh_ids)
+                self._use_tlas_pallas = (
+                    traverse_tlas.HAVE_PALLAS
+                    and (
+                        self.device.platform != "cpu"
+                        or os.environ.get("RPTR_FORCE_TLAS_PALLAS")
+                    )
+                    and not os.environ.get("RPTR_FORCE_XLA_TRAVERSAL")
+                    and n_nodes <= traverse_tlas.MAX_TOTAL_NODES
+                    and len(mesh_ids) <= traverse_tlas.MAX_INSTANCES
+                )
+                if self._use_tlas_pallas:
+                    self._blas_pallas_static = traverse_tlas.pack_blas_pallas(
+                        mesh_tris
+                    )
+                else:
+                    self._blas_pallas_static = None
+                    self._tlas_pallas = None
             self.timers.add(
                 ProfilingMarker.BUILD_BLAS, (time.perf_counter() - t0) * 1e3
             )
@@ -781,6 +817,10 @@ class Renderer:
             tlas=self._tlas_buffers if getattr(self, "_use_two_level", False) else None,
             attr_packed=pack_attr_table(self._tris, self._shading),
             mat_packed=pack_material_table(self._materials),
+            tlas_pallas=(
+                self._tlas_pallas
+                if getattr(self, "_use_tlas_pallas", False) else None
+            ),
         )
         if self._multi:
             # replicate the scene into every device's HBM (SURVEY §5.8:
@@ -818,6 +858,7 @@ class Renderer:
             rng_variant=int(self.options.rng_variant),
             alpha_test=bool(getattr(self, "_has_alpha", False)),
             two_level=bool(getattr(self, "_use_two_level", False)),
+            tlas_pallas=bool(getattr(self, "_use_tlas_pallas", False)),
             row_attrs=bool(self._use_pallas),
             streamed=bool(getattr(self, "_use_streamed", False)),
             enable_dof=bool(self.options.enable_raytraced_dof)
@@ -1545,7 +1586,11 @@ class Renderer:
                 ProfilingMarker.UPDATE_TLAS, (time.perf_counter() - t0) * 1e3
             )
             self.device_scene = self.device_scene._replace(
-                tlas=self._tlas_buffers
+                tlas=self._tlas_buffers,
+                tlas_pallas=(
+                    self._tlas_pallas
+                    if getattr(self, "_use_tlas_pallas", False) else None
+                ),
             )
             self._device_scene_revision += 1
             self._pass_fns.clear()
@@ -1684,7 +1729,8 @@ class Renderer:
         "ops.smallgather", "ops.texture_atlas", "ops.bsdf_gltf",
         "ops.nee", "ops.resolve", "ops.aov", "ops.taa",
         "ops.traverse", "ops.traverse_pallas", "ops.traverse_pallas2",
-        "ops.traverse_stream", "ops.tlas", "ops.integrator",
+        "ops.traverse_stream", "ops.traverse_binned", "ops.traverse_tlas",
+        "ops.tlas", "ops.integrator",
     )
 
     def hot_reload(self) -> None:

@@ -133,6 +133,7 @@ class DeviceScene(NamedTuple):
     tlas: object = None  # TwoLevelBuffers when cfg.two_level (else None)
     attr_packed: object = None  # (T, ATTR_W) f32 fused per-tri attribute rows
     mat_packed: object = None  # (M, MAT_W) f32 fused material rows
+    tlas_pallas: object = None  # TlasPallasBuffers when cfg.tlas_pallas
 
 
 # ---------------------------------------------------------------------------
@@ -305,6 +306,8 @@ class IntegratorConfig(NamedTuple):
     rng_variant: int = 0  # RNG_VARIANT_* (render_params.glsl.h:34-43)
     alpha_test: bool = False  # any-hit alpha-cutout emulation
     two_level: bool = False  # BLAS/TLAS instanced traversal (ops/tlas.py)
+    tlas_pallas: bool = False  # Pallas two-level kernel
+    # (ops/traverse_tlas.py) instead of the XLA nested walk
     row_attrs: bool = False  # attribute tables are BVH-row-ordered (pallas)
     streamed: bool = False  # HBM-streamed Pallas traversal (big scenes,
     # ops/traverse_stream.py); mutually exclusive with use_pallas
@@ -416,6 +419,15 @@ def _hit_alpha_cut(ds: DeviceScene, tri, u, v, inst=None):
 def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
                           rd: Vec3, t_min, t_max, compact: bool = False):
     if cfg.two_level:
+        if cfg.tlas_pallas:
+            from realtimepathtracingresearchframework_tpu.ops import (
+                traverse_tlas,
+            )
+
+            return traverse_tlas.closest_hit_tlas_pallas(
+                ds.tlas_pallas, None, None, t_min=t_min, t_max=t_max,
+                comps=(*ro, *rd),
+            )
         return tlas_mod.closest_hit_two_level(
             ds.tlas, v3.to_array(ro), v3.to_array(rd),
             t_min=t_min, t_max=t_max,
@@ -507,9 +519,19 @@ def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3, rd: Vec3,
     ``count_evals`` returns ``(blocked, evals)`` (see closest_hit_alpha)."""
     if not (cfg.alpha_test and cfg.has_textures):
         if cfg.two_level:
-            blocked = tlas_mod.occluded_two_level(
-                ds.tlas, v3.to_array(ro), v3.to_array(rd), t_min, t_max
-            )
+            if cfg.tlas_pallas:
+                from realtimepathtracingresearchframework_tpu.ops import (
+                    traverse_tlas,
+                )
+
+                blocked = traverse_tlas.occluded_tlas_pallas(
+                    ds.tlas_pallas, None, None, t_min=t_min, t_max=t_max,
+                    comps=(*ro, *rd),
+                )
+            else:
+                blocked = tlas_mod.occluded_two_level(
+                    ds.tlas, v3.to_array(ro), v3.to_array(rd), t_min, t_max
+                )
         elif cfg.streamed:
             from realtimepathtracingresearchframework_tpu.ops import (
                 traverse_binned,

@@ -342,3 +342,104 @@ def test_resident_v2_narrow_leaves(rng, leaf_size):
         )
     )
     assert np.array_equal(on, oref)
+
+
+def _instanced_scene(rng):
+    """Two unique meshes, several rotated/scaled/translated instances."""
+    from realtimepathtracingresearchframework_tpu.ops import tlas as tlas_mod
+
+    v0a, e1a, e2a = _terrain(12)  # 242 tris
+    th = np.linspace(0, 2 * np.pi, 24, dtype=np.float32)
+    ring = np.stack([np.cos(th), np.sin(th), 0 * th], axis=-1)
+    tris_b = np.stack(
+        [ring[:-1], ring[1:], np.zeros_like(ring[:-1])], axis=1
+    ).astype(np.float32)  # fan of 23 tris
+    v0b = tris_b[:, 0]
+    e1b = tris_b[:, 1] - tris_b[:, 0]
+    e2b = tris_b[:, 2] - tris_b[:, 0]
+    mesh_tris = [(v0a, e1a, e2a), (v0b, e1b, e2b)]
+
+    n_inst = 9
+    mesh_ids = np.array([i % 2 for i in range(n_inst)], np.int32)
+    mats = np.zeros(n_inst, np.int32)
+    transforms = np.zeros((n_inst, 3, 4), np.float32)
+    for i in range(n_inst):
+        ang = rng.uniform(0, 2 * np.pi)
+        c, s = np.cos(ang), np.sin(ang)
+        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        scale = rng.uniform(0.5, 2.0)
+        transforms[i, :, :3] = rot * scale
+        transforms[i, :, 3] = rng.uniform(-8, 8, 3).astype(np.float32)
+
+    blas = tlas_mod.build_blas_set(mesh_tris)
+    aabbs = tlas_mod.instance_world_aabbs(blas, mesh_ids, transforms)
+    nodes, row_inst = tlas_mod.build_tlas_nodes(aabbs)
+    tables = tlas_mod.build_instance_tables(
+        blas, mesh_ids, mats, transforms
+    )
+    tb = tlas_mod.TwoLevelBuffers(
+        tlas_nodes=jnp.asarray(nodes),
+        tlas_row_inst=jnp.asarray(row_inst),
+        blas_nodes=jnp.asarray(blas.nodes),
+        blas_tri_rows=jnp.asarray(blas.tri_rows),
+        blas_row_tri=jnp.asarray(blas.row_tri),
+        **tables,
+    )
+    return mesh_tris, mesh_ids, blas, nodes, row_inst, tables, tb
+
+
+def test_tlas_pallas_matches_xla_two_level(rng):
+    """Pallas two-level traversal (ops/traverse_tlas.py) vs the XLA
+    nested walk: same winning shading row / instance, world-t close
+    (identical parametrization, different association order), and exact
+    occlusion verdicts — the use_two_level -> xla cliff removed."""
+    from realtimepathtracingresearchframework_tpu.ops import (
+        tlas as tlas_mod,
+        traverse_tlas as tt,
+    )
+
+    mesh_tris, mesh_ids, blas, nodes, row_inst, tables, tb = (
+        _instanced_scene(rng)
+    )
+    static = tt.pack_blas_pallas(mesh_tris)
+    bb = tt.pack_two_level_pallas(
+        static, mesh_ids, blas.tri_base, nodes, row_inst, tables
+    )
+
+    n = 512
+    ro = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    ro_d, rd_d = jnp.asarray(ro), jnp.asarray(rd)
+
+    tt.INTERPRET = True
+    try:
+        hp = tt.closest_hit_tlas_pallas(bb, ro_d, rd_d, block=256)
+        hx = tlas_mod.closest_hit_two_level(tb, ro_d, rd_d)
+        tri_p = np.asarray(hp.tri)
+        tri_x = np.asarray(hx.tri)
+        match = (tri_p == tri_x).mean()
+        assert match > 0.998, f"tri mismatch {1 - match:.4%}"
+        agree = (tri_p == tri_x) & (tri_x >= 0)
+        tp_ = np.asarray(hp.t)[agree]
+        tx_ = np.asarray(hx.t)[agree]
+        assert np.allclose(tp_, tx_, rtol=1e-5, atol=1e-6)
+        assert np.array_equal(
+            np.asarray(hp.inst)[agree], np.asarray(hx.inst)[agree]
+        )
+
+        t_ref = np.asarray(hx.t)
+        tmax = np.where(
+            np.isfinite(t_ref) & (t_ref < 1e30), t_ref * 0.999, 25.0
+        )
+        op = np.asarray(
+            tt.occluded_tlas_pallas(bb, ro_d, rd_d, t_max=jnp.asarray(tmax),
+                                    block=256)
+        )
+        ox = np.asarray(
+            tlas_mod.occluded_two_level(tb, ro_d, rd_d,
+                                        t_max=jnp.asarray(tmax))
+        )
+        assert np.array_equal(op, ox)
+    finally:
+        tt.INTERPRET = False

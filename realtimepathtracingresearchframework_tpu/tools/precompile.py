@@ -1,0 +1,190 @@
+"""AOT program-lattice precompiler.
+
+The reference precompiles its shader-variant x option cross-product at
+BUILD time into a content-addressed cache (gpu_programs.cmake:228-374,
+cache key gpu_programs.cpp:34-120), so a user never waits on shader
+compiles at startup. XLA programs are shape-specific, so the TPU
+analogue precompiles per (scene archetype, resolution, variant, option)
+cell into JAX's persistent compilation cache — run this once per
+deployment (or after an upgrade) and every later process start hits the
+cache instead of the compiler.
+
+Cells compile CONCURRENTLY on background threads: the axon compile
+service overlaps compiles, so wall time is ~max over the lattice, not
+the sum (same trick as the reference's std::async pipeline builds,
+render_vulkan.cpp:139-155).
+
+Usage:
+    python -m realtimepathtracingresearchframework_tpu.tools.precompile \
+        --scenes cornell,village,terrain:500 --img 1920 1080 \
+        --variants megakernel,wavefront --cache-dir /tmp/rptr_jax_cache
+
+.vks paths are accepted as scene names; resolutions repeat (--img W H
+--img W H ...). Prints one line per cell and a JSON summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rptr-precompile",
+        description="Precompile the render-program lattice into the "
+        "persistent JAX compilation cache",
+    )
+    p.add_argument(
+        "--scenes", default="cornell,village,terrain:500",
+        help="comma list: cornell|village|terrain[:grid]|triangle|/path.vks",
+    )
+    p.add_argument(
+        "--img", nargs=2, type=int, action="append", metavar=("W", "H"),
+        default=None, help="resolution cell(s); default 1920x1080 + 512x384",
+    )
+    p.add_argument(
+        "--variants", default="PT_MEGAKERNEL,PT_WAVEFRONT",
+        help="comma list of integrator variants to compile",
+    )
+    p.add_argument(
+        "--rng", default="uniform",
+        help="comma list of RNG pointsets (uniform,bn,sobol,z_sbl)",
+    )
+    p.add_argument("--max-depth", type=int, default=9)
+    p.add_argument("--spp", type=int, default=1)
+    p.add_argument(
+        "--cache-dir", default=os.environ.get(
+            "RPTR_CACHE_DIR", "/tmp/rptr_jax_cache"
+        ),
+    )
+    p.add_argument(
+        "--jobs", type=int, default=0,
+        help="max concurrent compile threads (0 = all cells at once)",
+    )
+    return p
+
+
+def _cache_entries(cache_dir: str) -> int:
+    try:
+        return len(
+            [f for f in os.listdir(cache_dir) if not f.startswith(".")]
+        )
+    except OSError:
+        return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from realtimepathtracingresearchframework_tpu.app.cli import load_scene
+    from realtimepathtracingresearchframework_tpu.backend.params import (
+        RenderParams,
+        SceneConfig,
+    )
+    from realtimepathtracingresearchframework_tpu.backend.renderer import (
+        FrameConfig,
+        Renderer,
+    )
+    from realtimepathtracingresearchframework_tpu.models.camera import (
+        OrientedCamera,
+    )
+
+    rng_names = ["uniform", "bn", "sobol", "z_sbl"]
+    resolutions = [tuple(r) for r in (args.img or [])] or [
+        (1920, 1080), (512, 384)
+    ]
+    scene_names = [s for s in args.scenes.split(",") if s]
+    variants = [v for v in args.variants.split(",") if v]
+    rngs = [r for r in args.rng.split(",") if r]
+
+    before = _cache_entries(args.cache_dir)
+
+    # scenes load once; renderers per (scene, resolution, variant, rng)
+    scenes = {name: load_scene([name]) for name in scene_names}
+    sc_cfg = SceneConfig(sun_dir=(0.35, 0.8, 0.3), turbidity=3.0)
+
+    cells = []
+    for name in scene_names:
+        for (w, h) in resolutions:
+            for var in variants:
+                for rng in rngs:
+                    cells.append((name, w, h, var, rng))
+
+    times = {}
+    errors = {}
+    sem = threading.Semaphore(args.jobs) if args.jobs > 0 else None
+
+    def compile_cell(cell):
+        name, w, h, var, rng = cell
+        if sem:
+            sem.acquire()
+        t0 = time.perf_counter()
+        try:
+            r = Renderer()
+            r.options = r.options.replace(
+                rng_variant=rng_names.index(rng)
+            )
+            r.initialize(w, h)
+            r.set_scene(scenes[name], scene_config=sc_cfg)
+            if not r.set_variant(var):
+                raise ValueError(f"unknown variant {var!r}")
+            cfg = FrameConfig(
+                camera=OrientedCamera.look_at(
+                    [0, 2.0, 8.0], [0, 0.5, 0.0], fovy=55
+                ),
+                params=RenderParams(
+                    batch_spp=args.spp, max_path_depth=args.max_depth
+                ),
+                scene_config=sc_cfg,
+            )
+            r.render(cfg)
+            jax.block_until_ready(r.framebuffer)
+            times[cell] = time.perf_counter() - t0
+        except Exception as e:  # pragma: no cover - surfaced in summary
+            errors[cell] = str(e)[:200]
+        finally:
+            if sem:
+                sem.release()
+
+    t0 = time.perf_counter()
+    threads = [
+        threading.Thread(target=compile_cell, args=(c,)) for c in cells
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    for cell in cells:
+        name, w, h, var, rng = cell
+        tag = f"{name} {w}x{h} {var} rng={rng}"
+        if cell in errors:
+            print(f"  FAIL {tag}: {errors[cell]}", file=sys.stderr)
+        else:
+            print(f"  ok   {tag}: {times[cell]:.1f}s")
+
+    after = _cache_entries(args.cache_dir)
+    print(json.dumps({
+        "cells": len(cells),
+        "failed": len(errors),
+        "wall_s": round(wall, 1),
+        "cache_dir": args.cache_dir,
+        "cache_entries_before": before,
+        "cache_entries_after": after,
+    }))
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

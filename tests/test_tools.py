@@ -55,3 +55,22 @@ def test_blender_export_core(tmp_path):
     assert back.num_triangles == 1
     assert back.materials[0].name == "Mat"
     np.testing.assert_allclose(back.materials[0].base_color, [0.5, 0.2, 0.1], atol=1e-6)
+
+
+def test_precompile_tool(tmp_path, capsys):
+    """AOT lattice precompiler (gpu_programs.cmake:228-374 analogue):
+    one tiny cell compiles into a fresh persistent cache and the JSON
+    summary reports the entry delta."""
+    import json
+
+    from realtimepathtracingresearchframework_tpu.tools import precompile
+
+    cache = str(tmp_path / "cache")
+    assert precompile.main([
+        "--scenes", "cornell", "--img", "16", "16",
+        "--variants", "PT_MEGAKERNEL", "--max-depth", "2",
+        "--cache-dir", cache,
+    ]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["cells"] == 1 and summary["failed"] == 0
+    assert summary["cache_entries_after"] > 0

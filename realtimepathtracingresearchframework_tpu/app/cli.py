@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--taa", action="store_true", help="enable TAA resolve")
     p.add_argument(
+        "--aniso", type=int, default=0, metavar="TAPS",
+        help="anisotropic texture filtering taps (0 = isotropic mip)",
+    )
+    p.add_argument(
         "--use-tlas",
         action="store_true",
         help="two-level BLAS/TLAS instanced traversal (animation fast path)",
@@ -215,6 +219,7 @@ def main(argv=None) -> int:
         rng_variant=["uniform", "bn", "sobol", "z_sbl"].index(args.rng),
         enable_taa=args.taa,
         use_tlas=args.use_tlas,
+        aniso_taps=args.aniso,
     )
     renderer.options = opts
     renderer.initialize(args.img[0], args.img[1])

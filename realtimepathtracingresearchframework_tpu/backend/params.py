@@ -96,6 +96,7 @@ RENDER_BACKEND_OPTION_STAGES = {
     "enable_taa": RBO_STAGES_CPU_ONLY,
     "enable_raytraced_dof": RBO_STAGES_CPU_ONLY,
     "debug_mode": RBO_STAGES_INTEGRATOR,
+    "aniso_taps": RBO_STAGES_INTEGRATOR,
 }
 
 
@@ -123,6 +124,10 @@ class RenderBackendOptions:
     # two-level BLAS/TLAS instanced traversal (ops/tlas.py): per-mesh object
     # BVHs + instance TLAS; animation rebuilds only the instance-count TLAS
     use_tlas: bool = False
+    # anisotropic texture filtering taps (0 = isotropic mip): the
+    # textureGrad filtering the reference's sampler hardware provides;
+    # on TPU each tap is a full gather set, so it is opt-in
+    aniso_taps: int = 0
 
     def replace(self, **kw) -> "RenderBackendOptions":
         return dataclasses.replace(self, **kw)

@@ -399,6 +399,8 @@ class Renderer:
             )
         if options.render_upscale_factor < 1:
             adj["render_upscale_factor"] = 1
+        if not (0 <= options.aniso_taps <= 16):
+            adj["aniso_taps"] = min(max(int(options.aniso_taps), 0), 16)
         return (not adj), (options.replace(**adj) if adj else options)
 
     def configure_for(self, options: RenderBackendOptions) -> bool:
@@ -864,6 +866,8 @@ class Renderer:
             enable_dof=bool(self.options.enable_raytraced_dof)
             and float(params.aperture_radius) > 0.0,
             thin_transmission=bool(getattr(self, "_has_thin", False)),
+            aniso_taps=int(self.options.aniso_taps)
+            if not getattr(self, "_use_two_level", False) else 0,
             compact=bool(os.environ.get("RPTR_COMPACT")),
         )
 

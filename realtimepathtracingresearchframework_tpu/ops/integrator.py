@@ -64,6 +64,7 @@ from realtimepathtracingresearchframework_tpu.ops import traverse_pallas
 from realtimepathtracingresearchframework_tpu.ops.texture_atlas import (
     TextureAtlas,
     sample_atlas,
+    sample_atlas_aniso,
 )
 
 RAY_EPSILON = 5.0e-6  # vulkan/gpu_params.glsl:28
@@ -304,6 +305,10 @@ class IntegratorConfig(NamedTuple):
     wavefront: bool = False  # stream-compact ray queues between bounces
     has_textures: bool = False  # trace the texture-lookup stage
     rng_variant: int = 0  # RNG_VARIANT_* (render_params.glsl.h:34-43)
+    aniso_taps: int = 0  # anisotropic texture taps (0 = isotropic mip);
+    # the textureGrad filtering the reference's sampler hardware does —
+    # each tap costs a full gather set, so this is opt-in on TPU.
+    # Ignored under two_level (attr rows hold object-space edges there).
     alpha_test: bool = False  # any-hit alpha-cutout emulation
     two_level: bool = False  # BLAS/TLAS instanced traversal (ops/tlas.py)
     tlas_pallas: bool = False  # Pallas two-level kernel
@@ -994,15 +999,54 @@ def trace_paths(
                     jnp.maximum(footprint_world * density * base_w, 1.0)
                 )
 
+            if cfg.aniso_taps > 0 and not cfg.two_level:
+                # exact anisotropic UV derivatives: project the
+                # (elongated, path-scaled) world footprint vectors onto
+                # the triangle's UV parametrization via the edge metric
+                # (the duvdxy the reference feeds textureGrad). Attr rows
+                # hold world-space E1/E2 on the flattened path.
+                e1v = Vec3(c[_A_E1], c[_A_E1 + 1], c[_A_E1 + 2])
+                e2v = Vec3(c[_A_E2], c[_A_E2 + 1], c[_A_E2 + 2])
+                g11 = v3.dot(e1v, e1v)
+                g12 = v3.dot(e1v, e2v)
+                g22 = v3.dot(e2v, e2v)
+                det = jnp.maximum(g11 * g22 - g12 * g12, 1e-20)
+                du1 = c[_A_UV1] - c[_A_UV0]
+                dv1 = c[_A_UV1 + 1] - c[_A_UV0 + 1]
+                du2 = c[_A_UV2] - c[_A_UV0]
+                dv2 = c[_A_UV2 + 1] - c[_A_UV0 + 1]
+
+                def duv_of(dp):
+                    w = dp * total_t
+                    p1 = v3.dot(w, e1v)
+                    p2 = v3.dot(w, e2v)
+                    a = (p1 * g22 - p2 * g12) / det
+                    b = (p2 * g11 - p1 * g12) / det
+                    return jnp.stack(
+                        [a * du1 + b * du2, a * dv1 + b * dv2], axis=-1
+                    )
+
+                duvdx = duv_of(dpdx_e)
+                duvdy = duv_of(dpdy_e)
+
+                def tex_sample(tid):
+                    return sample_atlas_aniso(
+                        ds.atlas, tid, uv, duvdx, duvdy,
+                        taps=int(cfg.aniso_taps),
+                    )
+            else:
+                def tex_sample(tid):
+                    return sample_atlas(ds.atlas, tid, uv, tex_mip(tid))
+
             bc_tid = mc[_M_BCTEX].astype(jnp.int32)
-            bc = sample_atlas(ds.atlas, bc_tid, uv, tex_mip(bc_tid))
+            bc = tex_sample(bc_tid)
             base = v3.where(
                 bc_tid >= 0, v3.from_array(bc[..., :3]), mat.base_color
             )
             mat = mat._replace(base_color=base, transmission_color=base)
 
             sp_tid = mc[_M_SPTEX].astype(jnp.int32)
-            sp = sample_atlas(ds.atlas, sp_tid, uv, tex_mip(sp_tid))
+            sp = tex_sample(sp_tid)
             has_sp = sp_tid >= 0
             mat = mat._replace(
                 roughness=jnp.where(has_sp, sp[..., 1], mat.roughness),
@@ -1012,7 +1056,7 @@ def trace_paths(
             # normal mapping in the uv tangent frame
             # (pt_megakernel.glsl:636-648)
             nm_tid = mc[_M_NMTEX].astype(jnp.int32)
-            nm = sample_atlas(ds.atlas, nm_tid, uv, tex_mip(nm_tid))
+            nm = tex_sample(nm_tid)
             tn = Vec3(
                 (nm[..., 0] * 2.0 - 1.0) * fp.bump_scale,
                 (nm[..., 1] * 2.0 - 1.0) * fp.bump_scale,

@@ -137,3 +137,51 @@ def footprint_mip(atlas: TextureAtlas, tex_id, footprint_world, texels_per_world
     triangle's texel density (texels per world unit at mip 0)."""
     texels = footprint_world * texels_per_world
     return jnp.log2(jnp.maximum(texels, 1.0))
+
+
+def sample_atlas_aniso(atlas: TextureAtlas, tex_id, uv, duvdx, duvdy,
+                       taps: int):
+    """Anisotropic footprint sample (the textureGrad-style filtering the
+    reference gets from the sampler hardware, rt/material_textures.glsl
+    + rt/footprint.glsl): ``taps`` bilinear samples distributed along
+    the major footprint axis at the mip matching the MINOR axis, so
+    grazing views keep detail across the narrow direction instead of
+    blurring isotropically.
+
+    duvdx/duvdy are (N,2) UV-space footprint derivative vectors. The
+    effective minor length is clamped to major/taps (hardware MAX_ANISO
+    clamp) so the tap line always covers the footprint. TPU has no
+    sampler hardware, so each tap is a full gather set — callers gate
+    this behind an option (cost scales linearly with taps)."""
+    tid = jnp.maximum(tex_id, 0)
+    d0 = atlas.desc[tid, 0]
+    wf = d0[..., 1].astype(jnp.float32)
+    hf = d0[..., 2].astype(jnp.float32)
+
+    # base-mip texel-space footprint vectors
+    ex_u = duvdx[..., 0] * wf
+    ex_v = duvdx[..., 1] * hf
+    ey_u = duvdy[..., 0] * wf
+    ey_v = duvdy[..., 1] * hf
+    lx = jnp.sqrt(ex_u * ex_u + ex_v * ex_v)
+    ly = jnp.sqrt(ey_u * ey_u + ey_v * ey_v)
+    x_major = lx >= ly
+    lmaj = jnp.maximum(lx, ly)
+    lmin = jnp.minimum(lx, ly)
+    # MAX_ANISO = taps: mip covers major/taps when the ratio exceeds it
+    lmin_eff = jnp.maximum(lmin, lmaj / jnp.float32(max(taps, 1)))
+    mip = jnp.log2(jnp.maximum(lmin_eff, 1.0))
+
+    # major axis in UV space (not texel space: sample offsets are UV)
+    mu = jnp.where(x_major, duvdx[..., 0], duvdy[..., 0])
+    mv = jnp.where(x_major, duvdx[..., 1], duvdy[..., 1])
+    acc = None
+    for i in range(taps):
+        s = (i + 0.5) / taps - 0.5
+        p = sample_atlas(
+            atlas, tex_id,
+            jnp.stack([uv[..., 0] + mu * s, uv[..., 1] + mv * s], axis=-1),
+            mip,
+        )
+        acc = p if acc is None else acc + p
+    return acc * (1.0 / taps)

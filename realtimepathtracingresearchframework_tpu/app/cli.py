@@ -101,6 +101,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="anisotropic texture filtering taps (0 = isotropic mip)",
     )
     p.add_argument(
+        "--quantized-geometry", action="store_true",
+        help="streamed path: 16-bit quantized leaf tiles decoded "
+             "in-kernel (half the HBM footprint on large scenes)",
+    )
+    p.add_argument(
         "--use-tlas",
         action="store_true",
         help="two-level BLAS/TLAS instanced traversal (animation fast path)",
@@ -220,6 +225,7 @@ def main(argv=None) -> int:
         enable_taa=args.taa,
         use_tlas=args.use_tlas,
         aniso_taps=args.aniso,
+        quantized_geometry=args.quantized_geometry,
     )
     renderer.options = opts
     renderer.initialize(args.img[0], args.img[1])

@@ -97,6 +97,7 @@ RENDER_BACKEND_OPTION_STAGES = {
     "enable_raytraced_dof": RBO_STAGES_CPU_ONLY,
     "debug_mode": RBO_STAGES_INTEGRATOR,
     "aniso_taps": RBO_STAGES_INTEGRATOR,
+    "quantized_geometry": RBO_STAGES_CPU_ONLY,
 }
 
 
@@ -128,6 +129,11 @@ class RenderBackendOptions:
     # textureGrad filtering the reference's sampler hardware provides;
     # on TPU each tap is a full gather set, so it is opt-in
     aniso_taps: int = 0
+    # device-side quantized geometry for the streamed path: leaf tiles
+    # store per-subtree 16-bit vertex codes decoded in-kernel (the
+    # scene.cpp:622-644 quantized upload + dequantize.glsl analogue) —
+    # half the HBM footprint / per-visit DMA bytes on large scenes
+    quantized_geometry: bool = False
 
     def replace(self, **kw) -> "RenderBackendOptions":
         return dataclasses.replace(self, **kw)

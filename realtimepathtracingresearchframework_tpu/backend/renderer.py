@@ -646,7 +646,8 @@ class Renderer:
 
             with ProfilingScope("build streamed BVH"):
                 self._streamed = traverse_stream.pack_streamed(
-                    flat.v0, flat.e1, flat.e2
+                    flat.v0, flat.e1, flat.e2,
+                    quantize=bool(self.options.quantized_geometry),
                 )
             self._topology = None
             self._bvh = None
@@ -1615,7 +1616,8 @@ class Renderer:
             )
 
             self._streamed = traverse_stream.pack_streamed(
-                flat.v0, flat.e1, flat.e2
+                flat.v0, flat.e1, flat.e2,
+                quantize=bool(self.options.quantized_geometry),
             )
             self.timers.add(
                 ProfilingMarker.BUILD_TLAS, (time.perf_counter() - t0) * 1e3

@@ -61,6 +61,7 @@ from realtimepathtracingresearchframework_tpu.ops.traverse_stream import (
     _coherence_key,
     _out_to_hit,
     _traverse_streamed,
+    dequant_tile,
 )
 
 try:  # pallas requires the TPU backend; keep CPU test runs importable
@@ -196,7 +197,7 @@ def _kernel_binned(bounds_ref, sid_ref, subn_ref, tris_ref, rays_ref,
                    out_ref,
                    lst, nscr, tscr, prev_ref, sem_n, sem_t,
                    tb_ref, row_ref, u_ref, v_ref,
-                   *, block: int, shadow: bool):
+                   *, block: int, shadow: bool, quantized: bool):
     """One block vs ONE subtree. The walk + flush mirror
     traverse_stream._kernel_streamed's visit_subtree; the differences:
     the block's subtree id arrives via ``sid_ref`` (no top-tree walk),
@@ -278,6 +279,13 @@ def _kernel_binned(bounds_ref, sid_ref, subn_ref, tris_ref, rays_ref,
             ndma.start()
             ndma.wait()
 
+        # dequant constants from the spare node slot (pack_streamed);
+        # nscr persists across same-subtree blocks, so reading outside
+        # the fresh-branch is correct
+        dq = (
+            tuple(nscr[7, 120 + k] for k in range(6)) if quantized else None
+        )
+
         def node_test(bmn3, bmx3, cap):
             U = jnp.minimum(thi, cap)
             L = tlo
@@ -318,8 +326,11 @@ def _kernel_binned(bounds_ref, sid_ref, subn_ref, tris_ref, rays_ref,
             if shadow:
                 def lf(j, _):
                     ll = lst[j]
+                    tile = tscr[pl.ds(ll * 16, 16), :]
+                    if quantized:
+                        tile = dequant_tile(tile, dq)
                     hit_any = _mt_leaf_any(
-                        tscr[pl.ds(ll * 16, 16), :],
+                        tile,
                         rox, roy, roz, rdx, rdy, rdz, tmin,
                         jnp.minimum(tb_ref[:, :], tmax),
                     )
@@ -335,8 +346,11 @@ def _kernel_binned(bounds_ref, sid_ref, subn_ref, tris_ref, rays_ref,
             else:
                 def lf(j, _):
                     ll = lst[j]
+                    tile = tscr[pl.ds(ll * 16, 16), :]
+                    if quantized:
+                        tile = dequant_tile(tile, dq)
                     t_best, best_row, best_u, best_v = _mt_leaf(
-                        tscr[pl.ds(ll * 16, 16), :],
+                        tile,
                         rox, roy, roz, rdx, rdy, rdz, tmin, tmax, sub_iota,
                         sid * SUB_LEAVES + ll,
                         tb_ref[:, :], row_ref[:, :], u_ref[:, :], v_ref[:, :],
@@ -399,7 +413,10 @@ def _dispatch_binned(sid_blk, sub_nodes, tri_tiles, padded,
     padded = jax.lax.optimization_barrier(padded)
     bounds = _binned_bounds(padded, block)
     sid_blk = sid_blk.reshape(1, nb)
-    kernel = functools.partial(_kernel_binned, block=block, shadow=shadow)
+    quantized = tri_tiles.dtype == jnp.int16
+    kernel = functools.partial(
+        _kernel_binned, block=block, shadow=shadow, quantized=quantized
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -423,7 +440,10 @@ def _dispatch_binned(sid_blk, sub_nodes, tri_tiles, padded,
         scratch_shapes=[
             pltpu.SMEM((LIST_CAP,), jnp.int32),
             pltpu.SMEM((SUB_NODE_ROWS, 128), jnp.float32),
-            pltpu.VMEM((SUB_TILE_ROWS, 128), jnp.float32),
+            pltpu.VMEM(
+                (SUB_TILE_ROWS, 128),
+                jnp.int16 if quantized else jnp.float32,
+            ),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),

@@ -142,8 +142,47 @@ def _split_chunks(centroid: np.ndarray) -> List[np.ndarray]:
     return out
 
 
-def pack_streamed(v0, e1, e2) -> StreamedBVHBuffers:
-    """Chunked two-level build + HBM packing (host-side numpy)."""
+def quantize_chunk(v0c, v1c, v2c):
+    """Per-subtree 16-bit grid quantization of the chunk's vertices —
+    the TPU expression of the reference's device-side quantized geometry
+    (scene.cpp:622-644 uploads quantized vertices; dequantize.glsl
+    decodes in-shader). Per-SUBTREE grids (not per-mesh) because the
+    streamed layout already owns a tight AABB per subtree.
+
+    Returns (q0, q1, q2 u16 codes, grid_min f32[3], grid_scale f32[3],
+    reconstructed v0r/e1r/e2r) where the reconstruction is EXACTLY what
+    the kernel decode computes: v0r = gmin + q0*scale,
+    e1r = (q1-q0)*scale (f32 ops in that order)."""
+    gmin = np.minimum(np.minimum(v0c, v1c), v2c).min(axis=0)
+    gmax = np.maximum(np.maximum(v0c, v1c), v2c).max(axis=0)
+    ext = (gmax - gmin).astype(np.float32)
+    scale = np.where(ext > 0, ext / 65535.0, 1.0).astype(np.float32)
+    gmin = gmin.astype(np.float32)
+
+    def q(v):
+        return np.clip(
+            np.rint((v - gmin) / scale), 0, 65535
+        ).astype(np.uint16)
+
+    q0, q1, q2 = q(v0c), q(v1c), q(v2c)
+    f0 = q0.astype(np.float32)
+    f1 = q1.astype(np.float32)
+    f2 = q2.astype(np.float32)
+    v0r = gmin + f0 * scale
+    e1r = (f1 - f0) * scale
+    e2r = (f2 - f0) * scale
+    return q0, q1, q2, gmin, scale, v0r, e1r, e2r
+
+
+def pack_streamed(v0, e1, e2, quantize: bool = False) -> StreamedBVHBuffers:
+    """Chunked two-level build + HBM packing (host-side numpy).
+
+    With ``quantize`` the leaf tiles store per-subtree 16-bit vertex
+    codes (int16, offset by -32768) instead of f32 v0/e1/e2 — half the
+    HBM footprint and per-visit DMA bytes — and the dequant constants
+    ride the spare node slot of each subtree's node block. The subtree
+    BVHs are built over the RECONSTRUCTED triangles so the tree is
+    consistent with what the kernel intersects."""
     v0 = np.asarray(v0, np.float32)
     e1 = np.asarray(e1, np.float32)
     e2 = np.asarray(e2, np.float32)
@@ -160,19 +199,27 @@ def pack_streamed(v0, e1, e2) -> StreamedBVHBuffers:
     cmin = np.zeros((S, 3), np.float32)
     cmax = np.zeros((S, 3), np.float32)
     for s, idx in enumerate(chunks):
+        cv0, ce1, ce2 = v0[idx], e1[idx], e2[idx]
+        qcodes = None
+        if quantize:
+            q0, q1, q2, gmin, gscale, cv0, ce1, ce2 = quantize_chunk(
+                cv0, cv0 + ce1, cv0 + ce2
+            )
+            qcodes = (q0, q1, q2)
         # binned SAH inside each subtree (fewer node visits per ray);
         # SAH can overrun the fixed node/leaf budget on degenerate
         # distributions — fall back to the balanced median split there
         tb = build_threaded_bvh(
-            v0[idx], e1[idx], e2[idx], leaf_size=LEAF, builder="sah"
+            cv0, ce1, ce2, leaf_size=LEAF, builder="sah"
         )
+        node_cap = SUB_NODE_ROWS * 16 - (1 if quantize else 0)
         if (
-            tb.num_nodes > SUB_NODE_ROWS * 16
+            tb.num_nodes > node_cap
             or tb.tri_rows.shape[0] // LEAF > SUB_LEAVES
         ):
-            tb = build_threaded_bvh(v0[idx], e1[idx], e2[idx], leaf_size=LEAF)
+            tb = build_threaded_bvh(cv0, ce1, ce2, leaf_size=LEAF)
         nn = tb.num_nodes
-        assert nn <= SUB_NODE_ROWS * 16, f"subtree too big: {nn}"
+        assert nn <= node_cap, f"subtree too big: {nn}"
         nodes = tb.nodes.copy()  # (nn, 8): skip/leaf_row bitcast in f32
         skip = nodes[:, 6].view(np.int32).copy()
         leaf_row = nodes[:, 7].view(np.int32).copy()
@@ -186,14 +233,30 @@ def pack_streamed(v0, e1, e2) -> StreamedBVHBuffers:
         for i in range(nn):
             r, c = divmod(i, 16)
             sub_nodes[s, r, c * 8:(c + 1) * 8] = nodes[i]
+        if quantize:
+            # dequant constants ride the spare node slot 127 (the walk
+            # never lands there: nn <= 127 and all exits jump SUB_EXIT)
+            sub_nodes[s, 7, 120:123] = gmin
+            sub_nodes[s, 7, 123:126] = gscale
         # fixed-size padded tile block: (SUB_LEAVES*16, 128) field rows
         rows = tb.tri_rows  # (R, >=9) leaf-major rows
         R = rows.shape[0]
         num_leaves = R // LEAF
         assert num_leaves <= SUB_LEAVES
-        tiles = np.zeros((SUB_LEAVES, 16, 128), np.float32)
-        per_leaf = rows[:, 0:9].reshape(num_leaves, LEAF, 9)
-        tiles[:num_leaves, 0:9, :] = per_leaf.transpose(0, 2, 1)
+        if quantize:
+            q0, q1, q2 = qcodes
+            codes = np.concatenate(
+                [q0, q1, q2], axis=1
+            )[tb.row_tri]  # (R, 9) u16, leaf order
+            tiles = np.zeros((SUB_LEAVES, 16, 128), np.int16)
+            per_leaf = codes.reshape(num_leaves, LEAF, 9)
+            tiles[:num_leaves, 0:9, :] = (
+                per_leaf.astype(np.int32) - 32768
+            ).astype(np.int16).transpose(0, 2, 1)
+        else:
+            tiles = np.zeros((SUB_LEAVES, 16, 128), np.float32)
+            per_leaf = rows[:, 0:9].reshape(num_leaves, LEAF, 9)
+            tiles[:num_leaves, 0:9, :] = per_leaf.transpose(0, 2, 1)
         tile_list.append(tiles.reshape(SUB_LEAVES * 16, 128))
         rt = np.zeros(SUB_LEAVES * LEAF, np.int32)
         rt[:R] = idx[tb.row_tri].astype(np.int32)
@@ -210,7 +273,53 @@ def pack_streamed(v0, e1, e2) -> StreamedBVHBuffers:
     )
 
 
+def reconstruct_quantized(v0, e1, e2):
+    """Host-side reference of the quantized-pack geometry: the exact
+    triangles the quantized kernel intersects (for parity tests and
+    error-bound checks). Mirrors pack_streamed(quantize=True)'s
+    per-chunk grids."""
+    v0 = np.asarray(v0, np.float32)
+    e1 = np.asarray(e1, np.float32)
+    e2 = np.asarray(e2, np.float32)
+    v1, v2 = v0 + e1, v0 + e2
+    tmin = np.minimum(np.minimum(v0, v1), v2)
+    tmax = np.maximum(np.maximum(v0, v1), v2)
+    centroid = 0.5 * (tmin + tmax)
+    out0 = np.zeros_like(v0)
+    out1 = np.zeros_like(e1)
+    out2 = np.zeros_like(e2)
+    for idx in _split_chunks(centroid):
+        _, _, _, _, _, v0r, e1r, e2r = quantize_chunk(
+            v0[idx], v1[idx], v2[idx]
+        )
+        out0[idx], out1[idx], out2[idx] = v0r, e1r, e2r
+    return out0, out1, out2
+
+
 LIST_CAP = 16  # leaf flush batch (see traverse_pallas2.LIST_CAP)
+
+
+def dequant_tile(qt, dq):
+    """In-kernel decode of one quantized leaf tile (the dequantize.glsl
+    analogue): int16 codes (offset -32768) -> the (16, 128) f32
+    v0/e1/e2 field tile ``_mt_leaf`` expects. Edges come from CODE
+    DIFFS (exact in f32) so the decode is bit-identical to the host
+    reconstruction in quantize_chunk."""
+    cx, cy, cz, sx, sy, sz = dq
+    f = qt[0:9, :].astype(jnp.float32)
+    rows = [
+        cx + (f[0:1] + 32768.0) * sx,
+        cy + (f[1:2] + 32768.0) * sy,
+        cz + (f[2:3] + 32768.0) * sz,
+        (f[3:4] - f[0:1]) * sx,
+        (f[4:5] - f[1:2]) * sy,
+        (f[5:6] - f[2:3]) * sz,
+        (f[6:7] - f[0:1]) * sx,
+        (f[7:8] - f[1:2]) * sy,
+        (f[8:9] - f[2:3]) * sz,
+        jnp.zeros((7, qt.shape[1]), jnp.float32),
+    ]
+    return jnp.concatenate(rows, axis=0)
 
 # toggled by tests to run the kernel on the CPU interpreter (the Pallas
 # analogue of the reference's shader-as-C++ compile+run tests)
@@ -221,7 +330,8 @@ def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
                      out_ref,
                      lst, nscr, tscr, sem_n, sem_t,
                      tb_ref, row_ref, u_ref, v_ref,
-                     *, top_nodes: int, block: int, shadow_from: int = -1):
+                     *, top_nodes: int, block: int, shadow_from: int = -1,
+                     quantized: bool = False):
     """v2 walk (see ops/traverse_pallas2.py): pure-scalar top + subtree
     walks against per-block conservative packet bounds (scalar-prefetch
     operand), leaf hits collected into an SMEM list of LOCAL leaf ids
@@ -292,11 +402,13 @@ def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
             )
         return (L <= U) & expand_ok
 
-    def _mt_tile(tile, gid):
+    def _mt_tile(tile, gid, dq=None):
         """Lane-major Moller-Trumbore over one resident leaf tile —
         the SAME function as the resident v2 kernel (bit-equal t where
         the winning triangle agrees); ``gid`` is the GLOBAL leaf index
         so best rows are global rows."""
+        if quantized:
+            tile = dequant_tile(tile, dq)
         t_best, best_row, best_u, best_v = _mt_leaf(
             tile, rox, roy, roz, rdx, rdy, rdz, tmin, tmax, sub_iota,
             gid, tb_ref[:, :], row_ref[:, :], u_ref[:, :], v_ref[:, :],
@@ -327,6 +439,10 @@ def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
         )
         ndma.start()
         ndma.wait()
+        # dequant constants from the spare node slot (pack_streamed)
+        dq = (
+            tuple(nscr[7, 120 + k] for k in range(6)) if quantized else None
+        )
 
         def flush(count, cap, nhit, waited):
             """MT over the listed leaf tiles; waits the subtree tile DMA
@@ -339,7 +455,8 @@ def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
             def lf(j, _):
                 ll = lst[j]
                 _mt_tile(
-                    tscr[pl.ds(ll * 16, 16), :], sub_id * SUB_LEAVES + ll
+                    tscr[pl.ds(ll * 16, 16), :], sub_id * SUB_LEAVES + ll,
+                    dq,
                 )
                 return 0
 
@@ -435,9 +552,10 @@ def _traverse_streamed(top_nodes_arr, sub_nodes, tri_tiles, rays,
     rays = jax.lax.optimization_barrier(rays)
     bounds = block_bounds(rays, block)
     grid = (n // block,)
+    quantized = tri_tiles.dtype == jnp.int16
     kernel = functools.partial(
         _kernel_streamed, top_nodes=top_nodes, block=block,
-        shadow_from=shadow_from,
+        shadow_from=shadow_from, quantized=quantized,
     )
     # bounds as a plain whole-array SMEM operand — see _traverse2
     return pl.pallas_call(
@@ -463,7 +581,10 @@ def _traverse_streamed(top_nodes_arr, sub_nodes, tri_tiles, rays,
         scratch_shapes=[
             pltpu.SMEM((LIST_CAP,), jnp.int32),
             pltpu.SMEM((SUB_NODE_ROWS, 128), jnp.float32),
-            pltpu.VMEM((SUB_TILE_ROWS, 128), jnp.float32),
+            pltpu.VMEM(
+                (SUB_TILE_ROWS, 128),
+                jnp.int16 if quantized else jnp.float32,
+            ),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.VMEM((1, block), jnp.float32),

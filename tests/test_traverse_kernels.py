@@ -443,3 +443,66 @@ def test_tlas_pallas_matches_xla_two_level(rng):
         assert np.array_equal(op, ox)
     finally:
         tt.INTERPRET = False
+
+
+def test_streamed_quantized_matches_reconstructed_reference(rng):
+    """Device-side quantized geometry (scene.cpp:622-644 upload +
+    dequantize.glsl in-shader decode, expressed as per-subtree 16-bit
+    grids): the quantized streamed/binned kernels must pick the SAME
+    triangles as the resident v2 kernel run on the host-side
+    reconstruction of the same codes (t within 1 ulp — the in-kernel
+    decode may contract to FMA), and the reconstruction must stay
+    within one grid step of the original vertices."""
+    v0, e1, e2 = _terrain(24)
+    shift = np.array([9.0, 0.0, 0.0], np.float32)
+    v0 = np.concatenate([v0, v0 + shift])
+    e1 = np.concatenate([e1, e1])
+    e2 = np.concatenate([e2, e2])
+
+    sb_q = ts.pack_streamed(v0, e1, e2, quantize=True)
+    assert sb_q.tri_tiles.dtype == jnp.int16
+    v0r, e1r, e2r = ts.reconstruct_quantized(v0, e1, e2)
+    # error bound: half a 16-bit grid step of the (per-chunk <= global)
+    # extent on each axis
+    ext = (v0.max(0) - v0.min(0) + 9.0)
+    step = ext.max() / 65535.0
+    assert np.abs(v0r - v0).max() <= 0.51 * step
+
+    tb = bvh_mod.build_threaded_bvh(v0r, e1r, e2r, leaf_size=128)
+    bb = tp2.pack_for_pallas2(tb)
+
+    ro, rd = _rays(512, rng, "incoherent")
+    comps = tuple(jnp.asarray(x) for x in (ro[:, 0], ro[:, 1], ro[:, 2],
+                                           rd[:, 0], rd[:, 1], rd[:, 2]))
+    hr = tp2.closest_hit_pallas2(bb, jnp.asarray(ro), jnp.asarray(rd))
+    tri_r = np.asarray(hr.tri)
+
+    hs = ts.closest_hit_streamed(sb_q, None, None, comps=comps, sort=True)
+    assert np.array_equal(np.asarray(hs.tri), tri_r)
+    # decode arithmetic may contract to FMA in-kernel: within 1 ulp of
+    # the host reconstruction, not bit-equal
+    hitm = tri_r >= 0
+    np.testing.assert_allclose(
+        np.asarray(hs.t)[hitm], np.asarray(hr.t)[hitm], rtol=1e-6
+    )
+
+    from realtimepathtracingresearchframework_tpu.ops import (
+        traverse_binned as tbin,
+    )
+
+    hb = tbin.closest_hit_binned(sb_q, None, None, comps=comps, rounds=1)
+    assert np.array_equal(np.asarray(hb.tri), tri_r)
+
+    blocked_q = np.asarray(
+        ts.occluded_streamed(sb_q, None, None, comps=comps, t_max=6.0,
+                             sort=True)
+    )
+    blocked_r = np.asarray(
+        tp2.occluded_pallas2(bb, jnp.asarray(ro), jnp.asarray(rd), t_max=6.0)
+    )
+    assert np.array_equal(blocked_q, blocked_r)
+    blocked_b = np.asarray(
+        tbin.occluded_binned(sb_q, None, None, comps=comps, t_max=6.0,
+                             rounds=1)
+    )
+    assert np.array_equal(blocked_b, blocked_r)

@@ -645,10 +645,17 @@ class Renderer:
             )
 
             with ProfilingScope("build streamed BVH"):
-                self._streamed = traverse_stream.pack_streamed(
-                    flat.v0, flat.e1, flat.e2,
-                    quantize=bool(self.options.quantized_geometry),
-                )
+                if self.options.quantized_geometry:
+                    self._streamed = traverse_stream.pack_streamed(
+                        flat.v0, flat.e1, flat.e2, quantize=True
+                    )
+                    self._streamed_topo = None
+                else:
+                    self._streamed, self._streamed_topo = (
+                        traverse_stream.pack_streamed(
+                            flat.v0, flat.e1, flat.e2, with_topology=True
+                        )
+                    )
             self._topology = None
             self._bvh = None
         else:
@@ -1610,18 +1617,33 @@ class Renderer:
         )
         t0 = time.perf_counter()
         if self._use_streamed:
-            # streamed BVH has no refit kernel yet: full repack
             from realtimepathtracingresearchframework_tpu.ops import (
                 traverse_stream,
             )
 
-            self._streamed = traverse_stream.pack_streamed(
-                flat.v0, flat.e1, flat.e2,
-                quantize=bool(self.options.quantized_geometry),
-            )
-            self.timers.add(
-                ProfilingMarker.BUILD_TLAS, (time.perf_counter() - t0) * 1e3
-            )
+            topo = getattr(self, "_streamed_topo", None)
+            if rebuild or topo is None:
+                # full repack keeps quality (render_vulkan.cpp:472-545
+                # budget); quantized tiles always repack (fresh grids)
+                if self.options.quantized_geometry:
+                    self._streamed = traverse_stream.pack_streamed(
+                        flat.v0, flat.e1, flat.e2, quantize=True
+                    )
+                else:
+                    self._streamed, self._streamed_topo = (
+                        traverse_stream.pack_streamed(
+                            flat.v0, flat.e1, flat.e2, with_topology=True
+                        )
+                    )
+                marker = ProfilingMarker.BUILD_TLAS
+            else:
+                # streamed refit: same chunks + subtree trees, new AABBs
+                # and tiles (vulkanrt_utils.h:92-101 update path)
+                self._streamed = traverse_stream.refit_streamed(
+                    topo, flat.v0, flat.e1, flat.e2
+                )
+                marker = ProfilingMarker.UPDATE_TLAS
+            self.timers.add(marker, (time.perf_counter() - t0) * 1e3)
         else:
             if rebuild:
                 self._topology = bvh_mod.build_bvh(

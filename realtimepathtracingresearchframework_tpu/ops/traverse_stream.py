@@ -174,7 +174,21 @@ def quantize_chunk(v0c, v1c, v2c):
     return q0, q1, q2, gmin, scale, v0r, e1r, e2r
 
 
-def pack_streamed(v0, e1, e2, quantize: bool = False) -> StreamedBVHBuffers:
+class StreamedTopology(NamedTuple):
+    """Static structure of a streamed pack, captured for refit: chunk
+    assignment, per-subtree threaded-tree shape, and slot gathers. All
+    host numpy; ``refit_streamed`` turns (topology, new vertices) into
+    fresh buffers without re-sorting or re-building SAH trees."""
+
+    gather: np.ndarray  # (S*SUB_LEAVES*LEAF,) i64 tri index per slot, -1 pad
+    node_end: np.ndarray  # (S, 128) i32 preorder subtree-range end (=nn pad)
+    node_leaf: np.ndarray  # (S, 128) i32 LOCAL leaf id of leaf nodes, -1
+    node_count: np.ndarray  # (S,) i32
+    sub_nodes_base: np.ndarray  # (S, 8, 128) f32 links/padding preserved
+
+
+def pack_streamed(v0, e1, e2, quantize: bool = False,
+                  with_topology: bool = False):
     """Chunked two-level build + HBM packing (host-side numpy).
 
     With ``quantize`` the leaf tiles store per-subtree 16-bit vertex
@@ -198,6 +212,12 @@ def pack_streamed(v0, e1, e2, quantize: bool = False) -> StreamedBVHBuffers:
     row_tri_list: List[np.ndarray] = []
     cmin = np.zeros((S, 3), np.float32)
     cmax = np.zeros((S, 3), np.float32)
+    if with_topology:
+        assert not quantize, "refit topology implies f32 tiles"
+        topo_gather = np.full((S, SUB_LEAVES * LEAF), -1, np.int64)
+        topo_end = np.zeros((S, 128), np.int32)
+        topo_leaf = np.full((S, 128), -1, np.int32)
+        topo_nn = np.zeros((S,), np.int32)
     for s, idx in enumerate(chunks):
         cv0, ce1, ce2 = v0[idx], e1[idx], e2[idx]
         qcodes = None
@@ -223,6 +243,8 @@ def pack_streamed(v0, e1, e2, quantize: bool = False) -> StreamedBVHBuffers:
         nodes = tb.nodes.copy()  # (nn, 8): skip/leaf_row bitcast in f32
         skip = nodes[:, 6].view(np.int32).copy()
         leaf_row = nodes[:, 7].view(np.int32).copy()
+        if with_topology:
+            topo_end[s, :nn] = np.minimum(skip, nn)
         # local exits -> sentinel; leaf rows -> LOCAL leaf indices (the
         # kernel's tile scratch holds this subtree's whole block)
         skip[skip >= nn] = SUB_EXIT
@@ -263,13 +285,102 @@ def pack_streamed(v0, e1, e2, quantize: bool = False) -> StreamedBVHBuffers:
         row_tri_list.append(rt)
         cmin[s] = tb.world_min
         cmax[s] = tb.world_max
+        if with_topology:
+            topo_gather[s, :R] = idx[tb.row_tri]
+            topo_leaf[s, :nn] = leaf_row  # already LOCAL leaf ids / -1
+            topo_nn[s] = nn
 
     top = _build_top_tree(cmin, cmax)
-    return StreamedBVHBuffers(
+    bb = StreamedBVHBuffers(
         top_nodes=jnp.asarray(top),
         sub_nodes=jnp.asarray(sub_nodes.reshape(S * SUB_NODE_ROWS, 128)),
         tri_tiles=jnp.asarray(np.concatenate(tile_list, axis=0)),
         row_tri=jnp.asarray(np.concatenate(row_tri_list)),
+    )
+    if with_topology:
+        return bb, StreamedTopology(
+            gather=topo_gather.reshape(-1),
+            node_end=topo_end,
+            node_leaf=topo_leaf,
+            node_count=topo_nn,
+            sub_nodes_base=sub_nodes,
+        )
+    return bb
+
+
+def refit_streamed(topo: StreamedTopology, v0, e1, e2) -> StreamedBVHBuffers:
+    """Refit a streamed pack to moved vertices with UNCHANGED topology —
+    the streamed twin of refit_bvh (the reference's BLAS update path,
+    vulkanrt_utils.h:92-101): no re-sort, no SAH rebuilds. Vectorized
+    host numpy: re-gather the leaf tiles by the stored slot order,
+    recompute leaf AABBs, fold them into node AABBs through the stored
+    preorder ranges (prefix-sum range queries), and rebuild the tiny top
+    tree over the new subtree roots. Chunk assignment persists, so
+    quality degrades gracefully with large motion (same tradeoff as any
+    refit; force_bvh_rebuild restores full quality)."""
+    v0 = np.asarray(v0, np.float32)
+    e1 = np.asarray(e1, np.float32)
+    e2 = np.asarray(e2, np.float32)
+    g = topo.gather
+    S = topo.node_count.shape[0]
+    valid = g >= 0
+    gi = np.where(valid, g, 0)
+
+    sv0, se1, se2 = v0[gi], e1[gi], e2[gi]
+    fields = np.concatenate([sv0, se1, se2], axis=1)  # (slots, 9)
+    fields[~valid] = 0.0
+    tiles = np.zeros((S * SUB_LEAVES, 16, 128), np.float32)
+    tiles[:, 0:9, :] = fields.reshape(S * SUB_LEAVES, LEAF, 9).transpose(
+        0, 2, 1
+    )
+
+    # leaf AABBs (padded slots contribute nothing)
+    w1, w2 = sv0 + se1, sv0 + se2
+    tmin = np.minimum(np.minimum(sv0, w1), w2)
+    tmax = np.maximum(np.maximum(sv0, w1), w2)
+    big = np.float32(np.inf)
+    tmin = np.where(valid[:, None], tmin, big)
+    tmax = np.where(valid[:, None], tmax, -big)
+    lmin = tmin.reshape(S, SUB_LEAVES, LEAF, 3).min(axis=2)  # (S, 64, 3)
+    lmax = tmax.reshape(S, SUB_LEAVES, LEAF, 3).max(axis=2)
+
+    # node AABBs via prefix sums over preorder leaf presence: node i of
+    # subtree s covers leaves seen at preorder positions [i, end_i)
+    P = np.zeros((S, 129, SUB_LEAVES), np.float32)
+    sj, nj = np.nonzero(topo.node_leaf >= 0)
+    P[sj, nj + 1, topo.node_leaf[sj, nj]] = 1.0
+    C = np.cumsum(P, axis=1)  # (S, 129, 64)
+    ii = np.arange(128)
+    C_end = np.take_along_axis(
+        C, topo.node_end[:, :, None].astype(np.int64), axis=1
+    )  # (S, 128, 64)
+    covered = (C_end - C[:, 0:128, :]) > 0  # (S, 128, 64)
+    node_valid = ii[None, :] < topo.node_count[:, None]
+    nmin = np.where(
+        covered[..., None], lmin[:, None, :, :], big
+    ).min(axis=2)  # (S, 128, 3)
+    nmax = np.where(covered[..., None], lmax[:, None, :, :], -big).max(axis=2)
+
+    sub = topo.sub_nodes_base.copy()  # (S, 8, 128), links preserved
+    r = ii // 16
+    base = (ii % 16) * 8
+    for k in range(3):
+        vals_min = np.where(node_valid, nmin[..., k], 0.0)
+        vals_max = np.where(node_valid, nmax[..., k], 0.0)
+        old_min = sub[:, r, base + k]
+        old_max = sub[:, r, base + 3 + k]
+        sub[:, r, base + k] = np.where(node_valid, vals_min, old_min)
+        sub[:, r, base + 3 + k] = np.where(node_valid, vals_max, old_max)
+
+    top = _build_top_tree(
+        nmin[:, 0, :].astype(np.float32), nmax[:, 0, :].astype(np.float32)
+    )
+    rt = np.where(valid, g, 0).astype(np.int32)
+    return StreamedBVHBuffers(
+        top_nodes=jnp.asarray(top),
+        sub_nodes=jnp.asarray(sub.reshape(S * SUB_NODE_ROWS, 128)),
+        tri_tiles=jnp.asarray(tiles.reshape(S * SUB_LEAVES * 16, 128)),
+        row_tri=jnp.asarray(rt),
     )
 
 

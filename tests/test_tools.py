@@ -57,20 +57,27 @@ def test_blender_export_core(tmp_path):
     np.testing.assert_allclose(back.materials[0].base_color, [0.5, 0.2, 0.1], atol=1e-6)
 
 
-def test_precompile_tool(tmp_path, capsys):
+def test_precompile_tool(tmp_path):
     """AOT lattice precompiler (gpu_programs.cmake:228-374 analogue):
     one tiny cell compiles into a fresh persistent cache and the JSON
-    summary reports the entry delta."""
+    summary reports the entry delta. Runs in a subprocess so the
+    in-process jit cache of earlier tests can't mask the compile."""
     import json
-
-    from realtimepathtracingresearchframework_tpu.tools import precompile
+    import os
+    import subprocess
+    import sys
 
     cache = str(tmp_path / "cache")
-    assert precompile.main([
-        "--scenes", "cornell", "--img", "16", "16",
-        "--variants", "PT_MEGAKERNEL", "--max-depth", "2",
-        "--cache-dir", cache,
-    ]) == 0
-    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m",
+         "realtimepathtracingresearchframework_tpu.tools.precompile",
+         "--scenes", "cornell", "--img", "16", "16",
+         "--variants", "PT_MEGAKERNEL", "--max-depth", "2",
+         "--cache-dir", cache],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
     assert summary["cells"] == 1 and summary["failed"] == 0
     assert summary["cache_entries_after"] > 0

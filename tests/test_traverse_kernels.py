@@ -506,3 +506,47 @@ def test_streamed_quantized_matches_reconstructed_reference(rng):
                              rounds=1)
     )
     assert np.array_equal(blocked_b, blocked_r)
+
+
+def test_streamed_refit_matches_fresh_pack_results(rng):
+    """refit_streamed (the streamed BLAS-update path,
+    vulkanrt_utils.h:92-101): after moving vertices, traversal over the
+    REFIT buffers must return the same hits as the resident v2 kernel
+    on the moved geometry — refit AABBs are exact bounds, so only
+    pruning changes, never results."""
+    v0, e1, e2 = _terrain(24)
+    shift = np.array([9.0, 0.0, 0.0], np.float32)
+    v0 = np.concatenate([v0, v0 + shift])
+    e1 = np.concatenate([e1, e1])
+    e2 = np.concatenate([e2, e2])
+
+    sb0, topo = ts.pack_streamed(v0, e1, e2, with_topology=True)
+
+    # animate: smooth vertical warp + slight lateral drift
+    v0m = v0 + np.stack(
+        [0.08 * np.sin(v0[:, 2]), 0.3 * np.cos(0.7 * v0[:, 0]),
+         np.zeros(len(v0), np.float32)], axis=-1
+    ).astype(np.float32)
+    sb_r = ts.refit_streamed(topo, v0m, e1, e2)
+    assert sb_r.tri_tiles.shape == sb0.tri_tiles.shape
+
+    tb = bvh_mod.build_threaded_bvh(v0m, e1, e2, leaf_size=128)
+    bb = tp2.pack_for_pallas2(tb)
+
+    ro, rd = _rays(512, rng, "incoherent")
+    comps = tuple(jnp.asarray(x) for x in (ro[:, 0], ro[:, 1], ro[:, 2],
+                                           rd[:, 0], rd[:, 1], rd[:, 2]))
+    hs = ts.closest_hit_streamed(sb_r, None, None, comps=comps, sort=True)
+    hr = tp2.closest_hit_pallas2(bb, jnp.asarray(ro), jnp.asarray(rd))
+    assert np.array_equal(np.asarray(hs.tri), np.asarray(hr.tri))
+    agree = np.asarray(hs.tri) == np.asarray(hr.tri)
+    assert np.array_equal(np.asarray(hs.t)[agree], np.asarray(hr.t)[agree])
+
+    blocked_s = np.asarray(
+        ts.occluded_streamed(sb_r, None, None, comps=comps, t_max=6.0,
+                             sort=True)
+    )
+    blocked_r = np.asarray(
+        tp2.occluded_pallas2(bb, jnp.asarray(ro), jnp.asarray(rd), t_max=6.0)
+    )
+    assert np.array_equal(blocked_s, blocked_r)

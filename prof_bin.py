@@ -106,60 +106,3 @@ def main():
 
 if __name__ == "__main__":
     main()
-
-
-def split_experiment():
-    """Offline: per-ray subtree overlap under median-split chunking vs
-    the current morton-run chunking."""
-    scene = Scene.from_vkr_scene(procedural.terrain(grid=500))
-    flat = scene.flatten_world()
-    v0 = np.asarray(flat.v0); e1 = np.asarray(flat.e1); e2 = np.asarray(flat.e2)
-    t = len(v0)
-    tmin = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
-    tmax = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
-    cent = 0.5 * (tmin + tmax)
-
-    CHUNK = ts.CHUNK_TRIS
-
-    def chunks_median():
-        out = []
-        def rec(idx):
-            if len(idx) <= CHUNK:
-                out.append(idx)
-                return
-            ext = cent[idx].max(0) - cent[idx].min(0)
-            ax = int(np.argmax(ext))
-            order = idx[np.argsort(cent[idx, ax], kind="stable")]
-            # split at a CHUNK multiple nearest the middle (keeps chunks full)
-            half = (len(order) // 2 + CHUNK - 1) // CHUNK * CHUNK
-            half = min(max(half, CHUNK), len(order) - 1)
-            rec(order[:half]); rec(order[half:])
-        rec(np.arange(t))
-        return out
-
-    def overlap_stats(chunk_list, label):
-        S = len(chunk_list)
-        smin = np.stack([tmin[c].min(0) for c in chunk_list])
-        smax = np.stack([tmax[c].max(0) for c in chunk_list])
-        n = 65536
-        ro, rd = bounce_rays(flat, n)
-        inv = 1.0 / np.where(np.abs(rd) < 1e-12, 1e-12, rd)
-        t0 = (smin[None] - ro[:, None]) * inv[:, None]
-        t1s = (smax[None] - ro[:, None]) * inv[:, None]
-        lo = np.minimum(t0, t1s).max(2); hi = np.maximum(t0, t1s).min(2)
-        hitm = (hi >= np.maximum(lo, 0)) & (lo < 1e30)
-        per_ray = hitm.sum(1)
-        # area proxy: total surface area of subtree boxes
-        d = smax - smin
-        area = (d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 0] * d[:, 2]).sum()
-        print(f"  {label:22s} S={S:3d} overlap mean {per_ray.mean():5.2f} "
-              f"p90 {np.percentile(per_ray, 90):3.0f} boxarea {area:10.1f}")
-
-    from realtimepathtracingresearchframework_tpu.ops.bvh import morton3d
-    wmin, wmax = tmin.min(0), tmax.max(0)
-    q = np.clip((cent - wmin) / np.maximum(wmax - wmin, 1e-12) * 1024, 0, 1023
-                ).astype(np.uint32)
-    order = np.argsort(morton3d(q[:, 0], q[:, 1], q[:, 2]), kind="stable")
-    overlap_stats([order[i:i + CHUNK] for i in range(0, t, CHUNK)],
-                  "morton runs (current)")
-    overlap_stats(chunks_median(), "median splits")

@@ -566,6 +566,12 @@ class Renderer:
                        camera_pos=None) -> None:
         scene = self.scene
         self._use_two_level = bool(self.options.use_tlas)
+        if not self._use_two_level:
+            # a previous two-level scene must not leak its Pallas TLAS
+            # buffers (wrong jit key + dead BLAS tiles pinned in HBM)
+            self._use_tlas_pallas = False
+            self._blas_pallas_static = None
+            self._tlas_pallas = None
         with ProfilingScope("flatten scene"):
             flat = scene.flatten_world(
                 frame=frame, camera_pos=camera_pos,
@@ -598,26 +604,28 @@ class Renderer:
                     traverse_tlas,
                 )
 
-                n_nodes = sum(
-                    2 * (-(-len(v0) // 128)) + 1 for v0, _, _ in mesh_tris
-                ) + 2 * len(mesh_ids)
-                self._use_tlas_pallas = (
+                kernel_ok = (
                     traverse_tlas.HAVE_PALLAS
                     and (
                         self.device.platform != "cpu"
                         or os.environ.get("RPTR_FORCE_TLAS_PALLAS")
                     )
                     and not os.environ.get("RPTR_FORCE_XLA_TRAVERSAL")
-                    and n_nodes <= traverse_tlas.MAX_TOTAL_NODES
                     and len(mesh_ids) <= traverse_tlas.MAX_INSTANCES
                 )
-                if self._use_tlas_pallas:
-                    self._blas_pallas_static = traverse_tlas.pack_blas_pallas(
-                        mesh_tris
+                self._use_tlas_pallas = False
+                self._blas_pallas_static = None
+                self._tlas_pallas = None
+                if kernel_ok:
+                    # gate on the ACTUAL packed node count (BLAS nodes +
+                    # ~2 TLAS nodes per instance), not a builder formula
+                    static = traverse_tlas.pack_blas_pallas(mesh_tris)
+                    n_nodes = (
+                        static.blas_nodes.shape[0] + 2 * len(mesh_ids)
                     )
-                else:
-                    self._blas_pallas_static = None
-                    self._tlas_pallas = None
+                    if n_nodes <= traverse_tlas.MAX_TOTAL_NODES:
+                        self._use_tlas_pallas = True
+                        self._blas_pallas_static = static
             self.timers.add(
                 ProfilingMarker.BUILD_BLAS, (time.perf_counter() - t0) * 1e3
             )
@@ -1604,6 +1612,21 @@ class Renderer:
                     if getattr(self, "_use_tlas_pallas", False) else None
                 ),
             )
+            if self._multi:
+                # refresh ONLY the TLAS side of each chip's replica —
+                # without this, multi-device renders keep frame-0
+                # instance transforms forever
+                self._device_scenes = [
+                    ds._replace(
+                        tlas=jax.device_put(self._tlas_buffers, d),
+                        tlas_pallas=(
+                            jax.device_put(self._tlas_pallas, d)
+                            if getattr(self, "_use_tlas_pallas", False)
+                            else None
+                        ),
+                    )
+                    for ds, d in zip(self._device_scenes, self.devices)
+                ]
             self._device_scene_revision += 1
             self._pass_fns.clear()
             self._render_fns.clear()
@@ -1629,6 +1652,7 @@ class Renderer:
                     self._streamed = traverse_stream.pack_streamed(
                         flat.v0, flat.e1, flat.e2, quantize=True
                     )
+                    self._streamed_topo = None  # refit implies f32 tiles
                 else:
                     self._streamed, self._streamed_topo = (
                         traverse_stream.pack_streamed(

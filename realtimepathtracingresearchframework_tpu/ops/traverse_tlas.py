@@ -80,12 +80,14 @@ class TlasPallasBuffers(NamedTuple):
 
 class BlasPallasStatic(NamedTuple):
     """Per-mesh v2 BLAS arrays — built once per scene; animation frames
-    repack only the TLAS + instance table around them."""
+    repack only the TLAS + instance table around them. The big arrays
+    are DEVICE arrays (uploaded once here) so per-frame repacks don't
+    re-transfer the whole unique-mesh triangle set host-to-device."""
 
-    blas_nodes: np.ndarray  # (Mb, 8) f32
-    tri_tiles: np.ndarray  # (Lt*16, 128) f32
-    row_tri: np.ndarray  # (Lt*128,) i32
-    node_start: np.ndarray  # (num_meshes,) i32
+    blas_nodes: jnp.ndarray  # (Mb, 8) f32, device
+    tri_tiles: jnp.ndarray  # (Lt*16, 128) f32, device
+    row_tri: jnp.ndarray  # (Lt*128,) i32, device
+    node_start: np.ndarray  # (num_meshes,) i32, host
     node_count: np.ndarray
     tile_base: np.ndarray
 
@@ -117,9 +119,9 @@ def pack_blas_pallas(mesh_tris) -> BlasPallasStatic:
         n_off += nd.shape[0]
         t_off += nl
     return BlasPallasStatic(
-        blas_nodes=np.concatenate(nodes_l),
-        tri_tiles=np.concatenate(tiles_l),
-        row_tri=np.concatenate(row_tri_l),
+        blas_nodes=jnp.asarray(np.concatenate(nodes_l)),
+        tri_tiles=jnp.asarray(np.concatenate(tiles_l)),
+        row_tri=jnp.asarray(np.concatenate(row_tri_l)),
         node_start=np.asarray(node_start, np.int32),
         node_count=np.asarray(node_count, np.int32),
         tile_base=np.asarray(tile_base, np.int32),

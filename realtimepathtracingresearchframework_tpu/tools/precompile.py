@@ -63,8 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
         ),
     )
     p.add_argument(
-        "--jobs", type=int, default=0,
-        help="max concurrent compile threads (0 = all cells at once)",
+        "--jobs", type=int, default=4,
+        help="max concurrent compile threads (each holds a full scene "
+             "build; 0 = all cells at once)",
     )
     return p
 

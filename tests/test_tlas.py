@@ -313,3 +313,35 @@ def test_renderer_tlas_pallas_matches_xla_walk(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(r_p.accum), np.asarray(r_x.accum), atol=2e-3, rtol=1e-3
     )
+
+
+def test_tlas_pallas_state_resets_on_non_tlas_scene(monkeypatch):
+    """A two-level scene's Pallas TLAS buffers must not leak into a
+    later single-level scene (wrong jit key + dead BLAS tiles pinned)."""
+    from realtimepathtracingresearchframework_tpu.backend.params import (
+        RenderParams,
+    )
+    from realtimepathtracingresearchframework_tpu.backend.renderer import (
+        Renderer,
+    )
+    from realtimepathtracingresearchframework_tpu.models import procedural
+    from realtimepathtracingresearchframework_tpu.models.scene import Scene
+    from realtimepathtracingresearchframework_tpu.ops import traverse_tlas
+
+    monkeypatch.setenv("RPTR_FORCE_TLAS_PALLAS", "1")
+    traverse_tlas.INTERPRET = True
+    try:
+        r = Renderer()
+        r.options = r.options.replace(use_tlas=True)
+        r.initialize(16, 16)
+        r.set_scene(Scene.from_vkr_scene(procedural.cornell_box()))
+        assert r._use_tlas_pallas
+        r.options = r.options.replace(use_tlas=False)
+        r.set_scene(Scene.from_vkr_scene(procedural.cornell_box()))
+        assert not r._use_tlas_pallas
+        assert r._tlas_pallas is None
+        assert r.device_scene.tlas_pallas is None
+        cfg = r._integrator_config(RenderParams(max_path_depth=2))
+        assert not cfg.tlas_pallas and not cfg.two_level
+    finally:
+        traverse_tlas.INTERPRET = False

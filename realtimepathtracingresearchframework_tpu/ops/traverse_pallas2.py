@@ -154,6 +154,31 @@ def block_bounds(rays: jnp.ndarray, block: int) -> jnp.ndarray:
     return jnp.stack(rows, axis=0)
 
 
+def block_bounds_with_dir(rays: jnp.ndarray, block: int) -> jnp.ndarray:
+    """``block_bounds`` extended with the raw-direction box (rows 14-19:
+    dir min3/max3, 20-23 pad) — the two-level kernel's object-space
+    transform needs the direction interval itself, not just its inverse
+    (ops/traverse_tlas.py). Shares the row-0..13 layout and live-lane
+    masking with ``block_bounds`` by construction."""
+    n = rays.shape[1]
+    nb = n // block
+    r = rays.reshape(8, nb, block)
+    live = r[7] > r[6]
+    big = jnp.float32(3.0e38)
+
+    def mn(x):
+        return jnp.min(jnp.where(live, x, big), axis=1)
+
+    def mx(x):
+        return jnp.max(jnp.where(live, x, -big), axis=1)
+
+    base = block_bounds(rays, block)[0:14]
+    rows = [mn(r[3 + k]) for k in range(3)]
+    rows += [mx(r[3 + k]) for k in range(3)]
+    rows += [jnp.zeros((nb,), jnp.float32)] * 4
+    return jnp.concatenate([base, jnp.stack(rows, axis=0)], axis=0)
+
+
 def _mt_leaf(tile_f, rox, roy, roz, rdx, rdy, rdz, tmin, tmax, sub_iota,
              leaf_id, t_best, best_row, best_u, best_v, leaf_size=LEAF):
     """(leaf_size tris, B rays) Moller-Trumbore over one leaf. Rays stay

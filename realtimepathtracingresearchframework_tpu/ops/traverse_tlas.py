@@ -41,6 +41,7 @@ from realtimepathtracingresearchframework_tpu.ops.traverse_pallas2 import (
     LIST_CAP,
     _mt_leaf,
     _mt_leaf_any,
+    block_bounds_with_dir,
 )
 
 try:  # pallas requires the TPU backend; keep CPU test runs importable
@@ -168,36 +169,6 @@ def pack_two_level_pallas(blas_static: BlasPallasStatic, mesh_ids, tri_base,
         inst_tri_base=jnp.asarray(np.asarray(tri_base, np.int32)[mesh_ids]),
         inst_mesh=jnp.asarray(mesh_ids.astype(np.int32)),
     )
-
-
-def _block_bounds_dir(rays: jnp.ndarray, block: int) -> jnp.ndarray:
-    """(24, nb) per-block packet bounds: rows 0-13 like
-    traverse_pallas2.block_bounds, rows 14-19 = direction box (min3,
-    max3) — the object-space transform needs the raw direction interval,
-    not just the inverse-direction interval."""
-    n = rays.shape[1]
-    nb = n // block
-    r = rays.reshape(8, nb, block)
-    live = r[7] > r[6]
-    big = jnp.float32(3.0e38)
-
-    def mn(x):
-        return jnp.min(jnp.where(live, x, big), axis=1)
-
-    def mx(x):
-        return jnp.max(jnp.where(live, x, -big), axis=1)
-
-    d = r[3:6]
-    inv = jnp.where(d >= 0.0, 1.0, -1.0) / jnp.maximum(jnp.abs(d), 1e-20)
-    rows = [mn(r[k]) for k in range(3)]
-    rows += [mx(r[k]) for k in range(3)]
-    rows += [mn(inv[k]) for k in range(3)]
-    rows += [mx(inv[k]) for k in range(3)]
-    rows += [mn(r[6]), mx(r[7])]
-    rows += [mn(r[3 + k]) for k in range(3)]
-    rows += [mx(r[3 + k]) for k in range(3)]
-    rows += [jnp.zeros((nb,), jnp.float32)] * 4
-    return jnp.stack(rows, axis=0)
 
 
 def _interval_node_test(bmn3, bmx3, olo, ohi, ilo, ihi, tlo, thi, cap,
@@ -454,7 +425,7 @@ def _traverse_tlas(tlas_nodes_arr, blas_nodes, inst_table, tri_tiles, rays,
                    interpret: bool = False):
     n = rays.shape[1]
     rays = jax.lax.optimization_barrier(rays)
-    bounds = _block_bounds_dir(rays, block)
+    bounds = block_bounds_with_dir(rays, block)
     grid = (n // block,)
     kernel = functools.partial(
         _kernel_tlas, tlas_nodes=tlas_nodes, block=block, shadow=shadow,

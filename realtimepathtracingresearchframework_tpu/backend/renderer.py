@@ -792,12 +792,26 @@ class Renderer:
             v2=jnp.asarray(tl.v2),
             radiance=jnp.asarray(tl.radiance),
         )
-        sky = sky_mod.build_sky(
-            scene_config.sun_dir,
-            scene_config.turbidity,
-            scene_config.albedo,
-            has_area_lights=self._num_lights > 0,
+        # sky cook cache: animation frames re-enter here with an
+        # unchanged sun/turbidity — skip the Hosek spectral integration
+        # (the reference cooks only on sun changes too, render_sky.cpp:25)
+        sky_key = (
+            tuple(np.asarray(scene_config.sun_dir, np.float32).tolist()),
+            float(scene_config.turbidity),
+            tuple(np.asarray(scene_config.albedo, np.float32).ravel().tolist()),
+            self._num_lights > 0,
         )
+        if getattr(self, "_sky_cache_key", None) == sky_key:
+            sky = self._sky_cache
+        else:
+            sky = sky_mod.build_sky(
+                scene_config.sun_dir,
+                scene_config.turbidity,
+                scene_config.albedo,
+                has_area_lights=self._num_lights > 0,
+            )
+            self._sky_cache_key = sky_key
+            self._sky_cache = sky
         self._use_bins = use_bins
         if self._use_streamed:
             bvh_buffers = self._streamed

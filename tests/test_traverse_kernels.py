@@ -550,3 +550,28 @@ def test_streamed_refit_matches_fresh_pack_results(rng):
         tp2.occluded_pallas2(bb, jnp.asarray(ro), jnp.asarray(rd), t_max=6.0)
     )
     assert np.array_equal(blocked_s, blocked_r)
+
+
+def test_binned_multislot_quantized(rng):
+    """Multi-slot single-launch binned traversal over QUANTIZED tiles:
+    same winners as the resident kernel on the host reconstruction."""
+    from realtimepathtracingresearchframework_tpu.ops import (
+        traverse_binned as tbin,
+    )
+
+    v0, e1, e2 = _terrain(24)
+    shift = np.array([9.0, 0.0, 0.0], np.float32)
+    v0 = np.concatenate([v0, v0 + shift])
+    e1 = np.concatenate([e1, e1])
+    e2 = np.concatenate([e2, e2])
+    sb_q = ts.pack_streamed(v0, e1, e2, quantize=True)
+    v0r, e1r, e2r = ts.reconstruct_quantized(v0, e1, e2)
+    tb = bvh_mod.build_threaded_bvh(v0r, e1r, e2r, leaf_size=128)
+    bb = tp2.pack_for_pallas2(tb)
+
+    ro, rd = _rays(512, rng, "incoherent")
+    comps = tuple(jnp.asarray(x) for x in (ro[:, 0], ro[:, 1], ro[:, 2],
+                                           rd[:, 0], rd[:, 1], rd[:, 2]))
+    hm = tbin.closest_hit_binned_all(sb_q, None, None, comps=comps)
+    hr = tp2.closest_hit_pallas2(bb, jnp.asarray(ro), jnp.asarray(rd))
+    assert np.array_equal(np.asarray(hm.tri), np.asarray(hr.tri))

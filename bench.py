@@ -46,6 +46,9 @@ def main() -> int:
     frames = int(os.environ.get("BENCH_FRAMES", 16))
     do_village = os.environ.get("BENCH_VILLAGE", "1") != "0"
     do_terrain = os.environ.get("BENCH_TERRAIN", "1") != "0"
+    # 500 -> 498k tris (default row); 708 -> 1.0M tris (capacity demo:
+    # 123 subtrees, 64 MB f32 tiles / 32 MB with quantized_geometry)
+    terrain_grid = int(os.environ.get("BENCH_TERRAIN_GRID", 500))
 
     import jax
 
@@ -114,7 +117,8 @@ def main() -> int:
         rt = Renderer()
         rt.initialize(512, 384)
         rt.set_scene(
-            Scene.from_vkr_scene(procedural.terrain(grid=500)), scene_config=tsc
+            Scene.from_vkr_scene(procedural.terrain(grid=terrain_grid)),
+            scene_config=tsc,
         )
         rows["terrain"] = (
             rt,

@@ -165,3 +165,43 @@ def test_lod_selection_drives_renderer():
     assert r._flat.num_tris == 1, "far camera should select the coarse LoD"
     r.render(FrameConfig(camera=near_cam, params=params))
     assert r._flat.num_tris == 4
+
+
+def test_tlas_pallas_animation_repack(monkeypatch):
+    """Animation under the Pallas two-level kernel: set_animation_frame
+    repacks only the TLAS side (static BLAS device arrays reused) and
+    ray queries follow the moved instance."""
+    from realtimepathtracingresearchframework_tpu.ops import traverse_tlas
+
+    monkeypatch.setenv("RPTR_FORCE_TLAS_PALLAS", "1")
+    traverse_tlas.INTERPRET = True
+    try:
+        scene = _animated_scene()
+        r = Renderer()
+        r.options = r.options.replace(use_tlas=True)
+        r.initialize(8, 8)
+        r.set_scene(scene)
+        assert r._use_tlas_pallas
+        tiles_before = r._blas_pallas_static.tri_tiles
+
+        t, tri, u, v = r.render_ray_queries(
+            np.array([[0.0, 0.0, 5.0]], np.float32),
+            np.array([[0.0, 0.0, -1.0]], np.float32),
+        )
+        assert tri[0] == 0
+
+        r.set_animation_frame(2)
+        # static BLAS side untouched (same device buffer object)
+        assert r._blas_pallas_static.tri_tiles is tiles_before
+        t, tri, u, v = r.render_ray_queries(
+            np.array([[0.0, 0.0, 5.0]], np.float32),
+            np.array([[0.0, 0.0, -1.0]], np.float32),
+        )
+        assert tri[0] == -1
+        t, tri, u, v = r.render_ray_queries(
+            np.array([[2.0, 0.0, 5.0]], np.float32),
+            np.array([[0.0, 0.0, -1.0]], np.float32),
+        )
+        assert tri[0] == 0
+    finally:
+        traverse_tlas.INTERPRET = False

@@ -114,31 +114,30 @@ def main(argv=None) -> int:
     scenes = {name: load_scene([name]) for name in scene_names}
     sc_cfg = SceneConfig(sun_dir=(0.35, 0.8, 0.3), turbidity=3.0)
 
-    cells = []
-    for name in scene_names:
-        for (w, h) in resolutions:
-            for var in variants:
-                for rng in rngs:
-                    cells.append((name, w, h, var, rng))
+    # one thread per (scene, resolution): the scene build (BVH/pack)
+    # happens once there, then every variant x rng cell compiles
+    # sequentially against that renderer — the compiles still overlap
+    # ACROSS groups (and on the axon compile service, server-side)
+    groups = [
+        (name, w, h) for name in scene_names for (w, h) in resolutions
+    ]
+    cells = [
+        (name, w, h, var, rng)
+        for (name, w, h) in groups for var in variants for rng in rngs
+    ]
 
     times = {}
     errors = {}
     sem = threading.Semaphore(args.jobs) if args.jobs > 0 else None
 
-    def compile_cell(cell):
-        name, w, h, var, rng = cell
+    def compile_group(group):
+        name, w, h = group
         if sem:
             sem.acquire()
-        t0 = time.perf_counter()
         try:
             r = Renderer()
-            r.options = r.options.replace(
-                rng_variant=rng_names.index(rng)
-            )
             r.initialize(w, h)
             r.set_scene(scenes[name], scene_config=sc_cfg)
-            if not r.set_variant(var):
-                raise ValueError(f"unknown variant {var!r}")
             cfg = FrameConfig(
                 camera=OrientedCamera.look_at(
                     [0, 2.0, 8.0], [0, 0.5, 0.0], fovy=55
@@ -148,18 +147,34 @@ def main(argv=None) -> int:
                 ),
                 scene_config=sc_cfg,
             )
-            r.render(cfg)
-            jax.block_until_ready(r.framebuffer)
-            times[cell] = time.perf_counter() - t0
-        except Exception as e:  # pragma: no cover - surfaced in summary
-            errors[cell] = str(e)[:200]
+            for var in variants:
+                for rng in rngs:
+                    cell = (name, w, h, var, rng)
+                    t0 = time.perf_counter()
+                    try:
+                        r.configure_for(
+                            r.options.replace(
+                                rng_variant=rng_names.index(rng)
+                            )
+                        )
+                        if not r.set_variant(var):
+                            raise ValueError(f"unknown variant {var!r}")
+                        r.render(cfg)
+                        jax.block_until_ready(r.framebuffer)
+                        times[cell] = time.perf_counter() - t0
+                    except Exception as e:  # pragma: no cover
+                        errors[cell] = str(e)[:200]
+        except Exception as e:  # pragma: no cover - scene-level failure
+            for var in variants:
+                for rng in rngs:
+                    errors[(name, w, h, var, rng)] = str(e)[:200]
         finally:
             if sem:
                 sem.release()
 
     t0 = time.perf_counter()
     threads = [
-        threading.Thread(target=compile_cell, args=(c,)) for c in cells
+        threading.Thread(target=compile_group, args=(g,)) for g in groups
     ]
     for t in threads:
         t.start()
@@ -172,7 +187,7 @@ def main(argv=None) -> int:
         tag = f"{name} {w}x{h} {var} rng={rng}"
         if cell in errors:
             print(f"  FAIL {tag}: {errors[cell]}", file=sys.stderr)
-        else:
+        elif cell in times:
             print(f"  ok   {tag}: {times[cell]:.1f}s")
 
     after = _cache_entries(args.cache_dir)

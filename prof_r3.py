@@ -108,16 +108,23 @@ def main():
                       (ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2]))
 
     if "terrain" in sections:
+        import os as _os
         tsc = SceneConfig(sun_dir=(0.4, 0.7, 0.2), turbidity=3.0)
-        rt = Renderer(); rt.initialize(512, 384)
-        rt.set_scene(sc, scene_config=tsc)
         cfg = FrameConfig(
             camera=OrientedCamera.look_at([0, 5.0, 12.0], [0, 0, 0], fovy=55),
             params=RenderParams(batch_spp=1, max_path_depth=3),
             scene_config=tsc,
         )
-        ms = frame_ms(rt, cfg, frames=4)
-        print(f"[terrain] 500k 512x384 d3 frame: {ms:.1f} ms", flush=True)
+        # full-frame A/B over the streamed closest-hit strategy
+        # (RPTR_STREAM_CLOSEST; results identical, scheduling differs)
+        for strategy in ("sorted", "binned", "multislot"):
+            _os.environ["RPTR_STREAM_CLOSEST"] = strategy
+            rt = Renderer(); rt.initialize(512, 384)
+            rt.set_scene(sc, scene_config=tsc)
+            ms = frame_ms(rt, cfg, frames=4)
+            print(f"[terrain] 500k 512x384 d3 frame ({strategy}): "
+                  f"{ms:.1f} ms", flush=True)
+        _os.environ.pop("RPTR_STREAM_CLOSEST", None)
 
     if "binned" in sections:
         bb = ts.pack_streamed(flat.v0, flat.e1, flat.e2)

@@ -899,6 +899,7 @@ class Renderer:
             aniso_taps=int(self.options.aniso_taps)
             if not getattr(self, "_use_two_level", False) else 0,
             compact=bool(os.environ.get("RPTR_COMPACT")),
+            stream_closest=os.environ.get("RPTR_STREAM_CLOSEST", "sorted"),
         )
 
     def render(self, config: FrameConfig, batch_spp: Optional[int] = None) -> RenderStats:

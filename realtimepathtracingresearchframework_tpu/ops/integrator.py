@@ -329,6 +329,13 @@ class IntegratorConfig(NamedTuple):
     # 1/2 = any-hit (alpha-test) evaluation count full-path/primary-only
     # (any_hit.glsl:43-59), 3 = bounce count (hit.rchit:462-463). When set,
     # trace_paths returns a 4th per-lane count array for the debug image.
+    stream_closest: str = "sorted"  # streamed-path closest-hit strategy:
+    # "sorted" = coherence-sorted packet walk (traverse_stream),
+    # "binned" = subtree-binned rounds + cleanup (traverse_binned),
+    # "multislot" = single-launch multi-slot binned walk. Exact hits in
+    # all three (per-ray MT is independent of block composition); the
+    # fastest depends on ray coherence vs subtree overlap — RPTR_STREAM_CLOSEST
+    # selects it per run for on-chip A/B (prof_r3.py "binned" section).
     compact: bool = False  # live-first lane partition before each
     # traversal dispatch past bounce 0 (traverse_pallas2._compact):
     # dead lanes cluster into all-dead blocks the packet walk skips in
@@ -439,9 +446,20 @@ def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
         )
     if cfg.streamed:
         from realtimepathtracingresearchframework_tpu.ops import (
+            traverse_binned,
             traverse_stream,
         )
 
+        if cfg.stream_closest == "binned":
+            return traverse_binned.closest_hit_binned(
+                ds.bvh, None, None, t_min=t_min, t_max=t_max,
+                comps=(*ro, *rd),
+            )
+        if cfg.stream_closest == "multislot":
+            return traverse_binned.closest_hit_binned_all(
+                ds.bvh, None, None, t_min=t_min, t_max=t_max,
+                comps=(*ro, *rd),
+            )
         return traverse_stream.closest_hit_streamed(
             ds.bvh, None, None, t_min=t_min, t_max=t_max, comps=(*ro, *rd),
             sort=True,
@@ -831,15 +849,14 @@ def trace_paths(
             if cfg.streamed and not (cfg.alpha_test and cfg.has_textures):
                 from realtimepathtracingresearchframework_tpu.ops import (
                     traverse_binned,
-                    traverse_stream,
                 )
 
-                # closest stays on the sorted packet walk (binned rounds
-                # measured no win there: overlapping subtree AABBs keep
-                # most rays live for the cleanup); occlusion goes binned
-                hit = traverse_stream.closest_hit_streamed(
-                    ds.bvh, None, None, t_min=t_min, t_max=tmax_eff,
-                    comps=(*ro, *rd), sort=True,
+                # closest honors cfg.stream_closest (default: the sorted
+                # packet walk — binned rounds measured no win pre-spatial-
+                # split; overlap since dropped to 1.60, see BASELINE.md);
+                # occlusion goes binned
+                hit = _closest_hit_dispatch(
+                    ds, cfg, ro, rd, t_min, tmax_eff
                 )
                 blocked = traverse_binned.occluded_binned(
                     ds.bvh, None, None, t_min=ntmin, t_max=ntmax_eff,

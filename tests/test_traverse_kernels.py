@@ -575,3 +575,41 @@ def test_binned_multislot_quantized(rng):
     hm = tbin.closest_hit_binned_all(sb_q, None, None, comps=comps)
     hr = tp2.closest_hit_pallas2(bb, jnp.asarray(ro), jnp.asarray(rd))
     assert np.array_equal(np.asarray(hm.tri), np.asarray(hr.tri))
+
+
+def test_integrator_stream_closest_strategies_agree(rng):
+    """IntegratorConfig.stream_closest routes the streamed closest-hit
+    dispatch to the sorted packet walk, the binned rounds, or the
+    multi-slot binned kernel (RPTR_STREAM_CLOSEST A/B knob). All three
+    must return the same winning triangle on the same queue — the knob
+    is a pure scheduling choice, never a results choice."""
+    from types import SimpleNamespace
+
+    from realtimepathtracingresearchframework_tpu.ops import integrator
+    from realtimepathtracingresearchframework_tpu.ops.vec3 import Vec3
+
+    v0, e1, e2 = _terrain(24)
+    sb = ts.pack_streamed(v0, e1, e2)
+    ds = SimpleNamespace(bvh=sb)
+
+    ro, rd = _rays(512, rng, "incoherent")
+    ro_v = Vec3(*(jnp.asarray(ro[:, k]) for k in range(3)))
+    rd_v = Vec3(*(jnp.asarray(rd[:, k]) for k in range(3)))
+
+    hits = {}
+    for strategy in ("sorted", "binned", "multislot"):
+        cfg = integrator.IntegratorConfig(
+            max_path_depth=1, streamed=True, stream_closest=strategy
+        )
+        hits[strategy] = integrator._closest_hit_dispatch(
+            ds, cfg, ro_v, rd_v, jnp.float32(0.0), jnp.float32(2.0e32)
+        )
+    tri0 = np.asarray(hits["sorted"].tri)
+    assert (tri0 >= 0).any()  # the queue actually hits geometry
+    for strategy in ("binned", "multislot"):
+        assert np.array_equal(np.asarray(hits[strategy].tri), tri0), strategy
+        hitm = tri0 >= 0
+        np.testing.assert_allclose(
+            np.asarray(hits[strategy].t)[hitm],
+            np.asarray(hits["sorted"].t)[hitm], rtol=1e-6,
+        )

@@ -117,7 +117,7 @@ def main():
         )
         # full-frame A/B over the streamed closest-hit strategy
         # (RPTR_STREAM_CLOSEST; results identical, scheduling differs)
-        for strategy in ("sorted", "binned", "multislot"):
+        for strategy in ("sorted", "ordered", "binned", "multislot"):
             _os.environ["RPTR_STREAM_CLOSEST"] = strategy
             rt = Renderer(); rt.initialize(512, 384)
             rt.set_scene(sc, scene_config=tsc)
@@ -131,6 +131,9 @@ def main():
         ms = timeit(lambda: ts.closest_hit_streamed(
             bb, None, None, comps=comps, sort=True).t)
         print(f"[binned] streamed sorted closest 262k bounce: {ms:.1f} ms", flush=True)
+        ms = timeit(lambda: ts.closest_hit_streamed(
+            bb, None, None, comps=comps, sort=True, ordered=True).t)
+        print(f"[binned] streamed ORDERED closest 262k bounce: {ms:.1f} ms", flush=True)
         for rounds in (1, 2, 3):
             ms = timeit(lambda: tbin.closest_hit_binned(
                 bb, None, None, comps=comps, rounds=rounds).t)

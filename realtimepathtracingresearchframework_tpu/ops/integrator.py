@@ -331,6 +331,8 @@ class IntegratorConfig(NamedTuple):
     # trace_paths returns a 4th per-lane count array for the debug image.
     stream_closest: str = "sorted"  # streamed-path closest-hit strategy:
     # "sorted" = coherence-sorted packet walk (traverse_stream),
+    # "ordered" = sorted + front-to-back subtree entry (nearest subtree
+    # first, shrinking packet cap culls the rest),
     # "binned" = subtree-binned rounds + cleanup (traverse_binned),
     # "multislot" = single-launch multi-slot binned walk. Exact hits in
     # all three (per-ray MT is independent of block composition); the
@@ -462,7 +464,7 @@ def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
             )
         return traverse_stream.closest_hit_streamed(
             ds.bvh, None, None, t_min=t_min, t_max=t_max, comps=(*ro, *rd),
-            sort=True,
+            sort=True, ordered=cfg.stream_closest == "ordered",
         )
     if cfg.use_pallas:
         return traverse_pallas.closest_hit_pallas(

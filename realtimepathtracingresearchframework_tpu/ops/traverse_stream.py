@@ -440,9 +440,9 @@ INTERPRET = False
 def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
                      out_ref,
                      lst, nscr, tscr, sem_n, sem_t,
-                     tb_ref, row_ref, u_ref, v_ref,
+                     tb_ref, row_ref, u_ref, v_ref, cid_ref, cl_ref,
                      *, top_nodes: int, block: int, shadow_from: int = -1,
-                     quantized: bool = False):
+                     quantized: bool = False, ordered: bool = False):
     """v2 walk (see ops/traverse_pallas2.py): pure-scalar top + subtree
     walks against per-block conservative packet bounds (scalar-prefetch
     operand), leaf hits collected into an SMEM list of LOCAL leaf ids
@@ -479,9 +479,11 @@ def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
 
     is_shadow = pid >= shadow_from if shadow_from >= 0 else None
 
-    def node_test(bmn3, bmx3, cap):
+    def node_test_entry(bmn3, bmx3, cap):
         """Conservative scalar packet-vs-AABB test (interval slab +
-        origin-box expansion) — see traverse_pallas2._kernel2."""
+        origin-box expansion) — see traverse_pallas2._kernel2. Returns
+        (overlap, L) where L is the packet's conservative entry-t lower
+        bound, the front-to-back sort key of the ordered walk."""
         U = jnp.minimum(thi, cap)
         L = tlo
         expand_ok = True
@@ -511,7 +513,10 @@ def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
             expand_ok = expand_ok & (
                 jnp.maximum(alo, -bhi) <= jnp.minimum(thi, cap)
             )
-        return (L <= U) & expand_ok
+        return (L <= U) & expand_ok, L
+
+    def node_test(bmn3, bmx3, cap):
+        return node_test_entry(bmn3, bmx3, cap)[0]
 
     def _mt_tile(tile, gid, dq=None):
         """Lane-major Moller-Trumbore over one resident leaf tile —
@@ -612,32 +617,95 @@ def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
         _, cap, nhit, _ = flush(count, cap, nhit, waited)
         return cap, nhit
 
-    def cond(c):
-        cur = c[0]
-        if is_shadow is not None:
-            return (cur < top_nodes) & (~is_shadow | (c[2] < b))
-        return cur < top_nodes
+    if ordered:
+        # ---- front-to-back subtree entry (closest-hit only): collect
+        # the live subtree leaves with their conservative packet entry-t
+        # (one top-tree walk, no DMAs), then visit them nearest-first so
+        # the shrinking packet cap culls the far ones. Strictly fewer or
+        # equal subtree visits than the preorder walk; per-ray results
+        # are exact either way (per-ray MT is order-independent up to
+        # exact-t ties). Selection is an O(C^2) scalar scan over the
+        # collected candidates — C <= number of subtrees (61 at 500k
+        # tris), negligible next to one leaf flush.
+        assert shadow_from < 0, "ordered walk is a closest-hit strategy"
 
-    def body(c):
-        cur, cap, nhit = c
-        bmn3 = (top_ref[cur, 0], top_ref[cur, 1], top_ref[cur, 2])
-        bmx3 = (top_ref[cur, 3], top_ref[cur, 4], top_ref[cur, 5])
-        skip = top_ref[cur, 6].astype(jnp.int32)
-        sub_id = top_ref[cur, 7].astype(jnp.int32)
-        live = node_test(bmn3, bmx3, cap)
-        is_sub = sub_id >= 0
+        def cbody(c):
+            cur, ncand = c
+            bmn3 = (top_ref[cur, 0], top_ref[cur, 1], top_ref[cur, 2])
+            bmx3 = (top_ref[cur, 3], top_ref[cur, 4], top_ref[cur, 5])
+            skip = top_ref[cur, 6].astype(jnp.int32)
+            sub_id = top_ref[cur, 7].astype(jnp.int32)
+            live, entry = node_test_entry(bmn3, bmx3, thi)
+            is_sub = sub_id >= 0
+            cid_ref[ncand] = sub_id
+            cl_ref[ncand] = entry
+            ncand = ncand + (live & is_sub).astype(jnp.int32)
+            nxt = jnp.where(live & ~is_sub, cur + 1, skip)
+            return (nxt, ncand)
 
-        cap, nhit = jax.lax.cond(
-            live & is_sub,
-            lambda args: visit_subtree(sub_id, *args),
-            lambda args: args,
-            (cap, nhit),
+        _, ncand = jax.lax.while_loop(
+            lambda c: c[0] < top_nodes, cbody, (jnp.int32(0), jnp.int32(0))
         )
-        nxt = jnp.where(live & ~is_sub, cur + 1, skip)
-        return (nxt, cap, nhit)
 
-    init = (jnp.int32(0), thi, jnp.int32(0))
-    _, cap, _ = jax.lax.while_loop(cond, body, init)
+        def sel_body(c):
+            i, cap, nhit = c
+
+            def pick(j, best):
+                bj = cl_ref[j]
+                take = bj < best[1]
+                return (
+                    jnp.where(take, j, best[0]),
+                    jnp.minimum(bj, best[1]),
+                )
+
+            bidx, bl = jax.lax.fori_loop(
+                0, ncand, pick, (jnp.int32(0), jnp.float32(_INF))
+            )
+            cid = cid_ref[bidx]
+            cl_ref[bidx] = jnp.float32(_INF)  # consumed
+
+            def go(args):
+                return visit_subtree(cid, *args)
+
+            cap, nhit = jax.lax.cond(
+                bl <= cap, go, lambda args: args, (cap, nhit)
+            )
+            # min entry past the cap: every remaining candidate is
+            # occluded by found hits — stop visiting
+            i = jnp.where(bl <= cap, i + 1, ncand)
+            return (i, cap, nhit)
+
+        _, cap, _ = jax.lax.while_loop(
+            lambda c: c[0] < ncand, sel_body,
+            (jnp.int32(0), thi, jnp.int32(0)),
+        )
+    else:
+        def cond(c):
+            cur = c[0]
+            if is_shadow is not None:
+                return (cur < top_nodes) & (~is_shadow | (c[2] < b))
+            return cur < top_nodes
+
+        def body(c):
+            cur, cap, nhit = c
+            bmn3 = (top_ref[cur, 0], top_ref[cur, 1], top_ref[cur, 2])
+            bmx3 = (top_ref[cur, 3], top_ref[cur, 4], top_ref[cur, 5])
+            skip = top_ref[cur, 6].astype(jnp.int32)
+            sub_id = top_ref[cur, 7].astype(jnp.int32)
+            live = node_test(bmn3, bmx3, cap)
+            is_sub = sub_id >= 0
+
+            cap, nhit = jax.lax.cond(
+                live & is_sub,
+                lambda args: visit_subtree(sub_id, *args),
+                lambda args: args,
+                (cap, nhit),
+            )
+            nxt = jnp.where(live & ~is_sub, cur + 1, skip)
+            return (nxt, cap, nhit)
+
+        init = (jnp.int32(0), thi, jnp.int32(0))
+        _, cap, _ = jax.lax.while_loop(cond, body, init)
 
     out_ref[:, :] = jnp.concatenate(
         [
@@ -652,11 +720,13 @@ def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("top_nodes", "block", "shadow_from", "interpret"),
+    static_argnames=(
+        "top_nodes", "block", "shadow_from", "interpret", "ordered"
+    ),
 )
 def _traverse_streamed(top_nodes_arr, sub_nodes, tri_tiles, rays,
                        top_nodes: int, block: int, shadow_from: int = -1,
-                       interpret: bool = False):
+                       interpret: bool = False, ordered: bool = False):
     n = rays.shape[1]  # (8, Np) lane-major rows
     # barrier: keep the bounds reduction off the ray-producer chain (see
     # traverse_pallas2._traverse2)
@@ -664,9 +734,10 @@ def _traverse_streamed(top_nodes_arr, sub_nodes, tri_tiles, rays,
     bounds = block_bounds(rays, block)
     grid = (n // block,)
     quantized = tri_tiles.dtype == jnp.int16
+    n_subs = sub_nodes.shape[0] // SUB_NODE_ROWS
     kernel = functools.partial(
         _kernel_streamed, top_nodes=top_nodes, block=block,
-        shadow_from=shadow_from, quantized=quantized,
+        shadow_from=shadow_from, quantized=quantized, ordered=ordered,
     )
     # bounds as a plain whole-array SMEM operand — see _traverse2
     return pl.pallas_call(
@@ -702,6 +773,10 @@ def _traverse_streamed(top_nodes_arr, sub_nodes, tri_tiles, rays,
             pltpu.VMEM((1, block), jnp.int32),
             pltpu.VMEM((1, block), jnp.float32),
             pltpu.VMEM((1, block), jnp.float32),
+            # ordered-walk candidate list (subtree id, packet entry-t);
+            # one slot per subtree, unused by the preorder walk
+            pltpu.SMEM((max(n_subs, 1),), jnp.int32),
+            pltpu.SMEM((max(n_subs, 1),), jnp.float32),
         ],
         out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
         interpret=interpret,
@@ -802,7 +877,7 @@ def _sort_queue(bb, comps, t_min, t_max):
 def closest_hit_streamed(
     bb: StreamedBVHBuffers, ro, rd, t_min=0.0, t_max=_INF,
     block: int = DEFAULT_BLOCK, comps=None, map_tri: bool = True,
-    sort: bool = False,
+    sort: bool = False, ordered: bool = False,
 ):
     from realtimepathtracingresearchframework_tpu.ops.traverse_pallas import (
         _prep_rays,
@@ -816,7 +891,7 @@ def closest_hit_streamed(
     out = _traverse_streamed(
         bb.top_nodes, bb.sub_nodes, bb.tri_tiles, rays,
         top_nodes=bb.num_top_nodes, block=block,
-        interpret=INTERPRET,
+        interpret=INTERPRET, ordered=ordered,
     )
     out = out[:, :n]
     if inv_perm is not None:

@@ -185,8 +185,9 @@ def test_compacted_dispatch_bit_identical(rng):
     assert np.array_equal(np.asarray(bm0), np.asarray(bm1))
 
 
-@pytest.mark.parametrize("sort", [False, True])
-def test_streamed_matches_resident_v2(rng, sort):
+@pytest.mark.parametrize("sort,ordered", [(False, False), (True, False),
+                                          (False, True), (True, True)])
+def test_streamed_matches_resident_v2(rng, sort, ordered):
     # >1 subtree (24x24 grid -> 1058 tris is one chunk; use offset copies
     # to force multiple Morton chunks) — keep it small: interpret mode
     # simulates the DMA machinery in pure python
@@ -202,7 +203,8 @@ def test_streamed_matches_resident_v2(rng, sort):
     ro, rd = _rays(512, rng, "incoherent")
     comps = tuple(jnp.asarray(x) for x in (ro[:, 0], ro[:, 1], ro[:, 2],
                                            rd[:, 0], rd[:, 1], rd[:, 2]))
-    hs = ts.closest_hit_streamed(sb, None, None, comps=comps, sort=sort)
+    hs = ts.closest_hit_streamed(sb, None, None, comps=comps, sort=sort,
+                                 ordered=ordered)
     hr = tp2.closest_hit_pallas2(bb, jnp.asarray(ro), jnp.asarray(rd))
     tri_s = np.asarray(hs.tri)
     tri_r = np.asarray(hr.tri)
@@ -597,7 +599,7 @@ def test_integrator_stream_closest_strategies_agree(rng):
     rd_v = Vec3(*(jnp.asarray(rd[:, k]) for k in range(3)))
 
     hits = {}
-    for strategy in ("sorted", "binned", "multislot"):
+    for strategy in ("sorted", "ordered", "binned", "multislot"):
         cfg = integrator.IntegratorConfig(
             max_path_depth=1, streamed=True, stream_closest=strategy
         )
@@ -606,7 +608,7 @@ def test_integrator_stream_closest_strategies_agree(rng):
         )
     tri0 = np.asarray(hits["sorted"].tri)
     assert (tri0 >= 0).any()  # the queue actually hits geometry
-    for strategy in ("binned", "multislot"):
+    for strategy in ("ordered", "binned", "multislot"):
         assert np.array_equal(np.asarray(hits[strategy].tri), tri0), strategy
         hitm = tri0 >= 0
         np.testing.assert_allclose(

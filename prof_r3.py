@@ -213,6 +213,17 @@ def main():
         print(f"[tlas] village 540p d3: flattened {ms_flat:.1f} ms, "
               f"two-level({mode}) {ms_tlas:.1f} ms "
               f"({ms_tlas/ms_flat:.2f}x)", flush=True)
+        # ordered (front-to-back) instance entry on the same scene
+        import os as _os
+        _os.environ["RPTR_STREAM_CLOSEST"] = "ordered"
+        ro_ = Renderer()
+        ro_.options = ro_.options.replace(use_tlas=True)
+        ro_.initialize(960, 540)
+        ro_.set_scene(vscene, scene_config=vsc)
+        ms_ord = frame_ms(ro_, cam, frames=8)
+        _os.environ.pop("RPTR_STREAM_CLOSEST", None)
+        print(f"[tlas] village 540p d3 two-level ORDERED: {ms_ord:.1f} ms "
+              f"({ms_ord/ms_tlas:.2f}x vs preorder)", flush=True)
 
 
 if __name__ == "__main__":

@@ -332,7 +332,8 @@ class IntegratorConfig(NamedTuple):
     stream_closest: str = "sorted"  # streamed-path closest-hit strategy:
     # "sorted" = coherence-sorted packet walk (traverse_stream),
     # "ordered" = sorted + front-to-back subtree entry (nearest subtree
-    # first, shrinking packet cap culls the rest),
+    # first, shrinking packet cap culls the rest); on the TLAS-Pallas
+    # path this selects front-to-back INSTANCE entry instead,
     # "binned" = subtree-binned rounds + cleanup (traverse_binned),
     # "multislot" = single-launch multi-slot binned walk. Exact hits in
     # all three (per-ray MT is independent of block composition); the
@@ -441,6 +442,7 @@ def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
             return traverse_tlas.closest_hit_tlas_pallas(
                 ds.tlas_pallas, None, None, t_min=t_min, t_max=t_max,
                 comps=(*ro, *rd),
+                ordered=cfg.stream_closest == "ordered",
             )
         return tlas_mod.closest_hit_two_level(
             ds.tlas, v3.to_array(ro), v3.to_array(rd),

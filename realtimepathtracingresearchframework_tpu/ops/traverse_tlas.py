@@ -177,6 +177,15 @@ def _interval_node_test(bmn3, bmx3, olo, ohi, ilo, ihi, tlo, thi, cap,
     expansion (see traverse_pallas2._kernel2). ``dist_scale`` converts an
     axis DISTANCE into a minimum t (1 for unit world directions; the
     instance's uniform scale s in object space where |d_obj| <= 1/s)."""
+    return _interval_node_test_entry(
+        bmn3, bmx3, olo, ohi, ilo, ihi, tlo, thi, cap, dist_scale
+    )[0]
+
+
+def _interval_node_test_entry(bmn3, bmx3, olo, ohi, ilo, ihi, tlo, thi, cap,
+                              dist_scale):
+    """_interval_node_test plus the packet's conservative entry-t lower
+    bound L (the ordered-walk's front-to-back sort key)."""
     U = jnp.minimum(thi, cap)
     L = tlo
     expand_ok = True
@@ -206,13 +215,15 @@ def _interval_node_test(bmn3, bmx3, olo, ohi, ilo, ihi, tlo, thi, cap,
         expand_ok = expand_ok & (
             jnp.maximum(alo, -bhi) * dist_scale <= jnp.minimum(thi, cap)
         )
-    return (L <= U) & expand_ok
+    return (L <= U) & expand_ok, L
 
 
 def _kernel_tlas(bounds_ref, tnodes_ref, bnodes_ref, inst_ref, tris_ref,
                  rays_ref, out_ref,
                  lst, tb_ref, row_ref, u_ref, v_ref, ib_ref,
-                 *, tlas_nodes: int, block: int, shadow: bool):
+                 cid_ref, cl_ref,
+                 *, tlas_nodes: int, block: int, shadow: bool,
+                 ordered: bool = False):
     b = block
     pid = pl.program_id(0)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (LEAF, 1), 0)
@@ -377,32 +388,93 @@ def _kernel_tlas(bounds_ref, tnodes_ref, bnodes_ref, inst_ref, tris_ref,
         _, cap, nhit, _ = flush(count, cap, nhit, old_t)
         return cap, nhit
 
-    def cond(c):
-        if shadow:
-            return (c[0] < tlas_nodes) & (c[2] < b)
-        return c[0] < tlas_nodes
+    if ordered and not shadow:
+        # front-to-back instance entry (see traverse_stream._kernel_streamed
+        # ordered mode): collect live instance leaves with the packet's
+        # conservative entry-t, visit nearest-first, let the shrinking
+        # cap cull far instances — fewer BLAS walks and leaf flushes,
+        # same per-ray results up to exact-t ties.
+        def cbody(c):
+            cur, ncand = c
+            bmn3 = (tnodes_ref[cur, 0], tnodes_ref[cur, 1],
+                    tnodes_ref[cur, 2])
+            bmx3 = (tnodes_ref[cur, 3], tnodes_ref[cur, 4],
+                    tnodes_ref[cur, 5])
+            skip = tnodes_ref[cur, 6].astype(jnp.int32)
+            iid = tnodes_ref[cur, 7].astype(jnp.int32)
+            live, entry = _interval_node_test_entry(
+                bmn3, bmx3, olo, ohi, ilo, ihi, tlo, thi, thi, 1.0
+            )
+            is_inst = iid >= 0
+            cid_ref[ncand] = iid
+            cl_ref[ncand] = entry
+            ncand = ncand + (live & is_inst).astype(jnp.int32)
+            nxt = jnp.where(live & ~is_inst, cur + 1, skip)
+            return (nxt, ncand)
 
-    def body(c):
-        cur, cap, nhit = c
-        bmn3 = (tnodes_ref[cur, 0], tnodes_ref[cur, 1], tnodes_ref[cur, 2])
-        bmx3 = (tnodes_ref[cur, 3], tnodes_ref[cur, 4], tnodes_ref[cur, 5])
-        skip = tnodes_ref[cur, 6].astype(jnp.int32)
-        iid = tnodes_ref[cur, 7].astype(jnp.int32)
-        live = _interval_node_test(
-            bmn3, bmx3, olo, ohi, ilo, ihi, tlo, thi, cap, 1.0
+        _, ncand = jax.lax.while_loop(
+            lambda c: c[0] < tlas_nodes, cbody,
+            (jnp.int32(0), jnp.int32(0)),
         )
-        is_inst = iid >= 0
-        cap, nhit = jax.lax.cond(
-            live & is_inst,
-            lambda args: visit_instance(iid, *args),
-            lambda args: args,
-            (cap, nhit),
-        )
-        nxt = jnp.where(live & ~is_inst, cur + 1, skip)
-        return (nxt, cap, nhit)
 
-    init = (jnp.int32(0), thi, jnp.int32(0))
-    jax.lax.while_loop(cond, body, init)
+        def sel_body(c):
+            i, cap, nhit = c
+
+            def pick(j, best):
+                bj = cl_ref[j]
+                take = bj < best[1]
+                return (
+                    jnp.where(take, j, best[0]),
+                    jnp.minimum(bj, best[1]),
+                )
+
+            bidx, bl = jax.lax.fori_loop(
+                0, ncand, pick, (jnp.int32(0), jnp.float32(_INF))
+            )
+            cid = cid_ref[bidx]
+            cl_ref[bidx] = jnp.float32(_INF)  # consumed
+            cap, nhit = jax.lax.cond(
+                bl <= cap,
+                lambda args: visit_instance(cid, *args),
+                lambda args: args,
+                (cap, nhit),
+            )
+            i = jnp.where(bl <= cap, i + 1, ncand)
+            return (i, cap, nhit)
+
+        jax.lax.while_loop(
+            lambda c: c[0] < ncand, sel_body,
+            (jnp.int32(0), thi, jnp.int32(0)),
+        )
+    else:
+        def cond(c):
+            if shadow:
+                return (c[0] < tlas_nodes) & (c[2] < b)
+            return c[0] < tlas_nodes
+
+        def body(c):
+            cur, cap, nhit = c
+            bmn3 = (tnodes_ref[cur, 0], tnodes_ref[cur, 1],
+                    tnodes_ref[cur, 2])
+            bmx3 = (tnodes_ref[cur, 3], tnodes_ref[cur, 4],
+                    tnodes_ref[cur, 5])
+            skip = tnodes_ref[cur, 6].astype(jnp.int32)
+            iid = tnodes_ref[cur, 7].astype(jnp.int32)
+            live = _interval_node_test(
+                bmn3, bmx3, olo, ohi, ilo, ihi, tlo, thi, cap, 1.0
+            )
+            is_inst = iid >= 0
+            cap, nhit = jax.lax.cond(
+                live & is_inst,
+                lambda args: visit_instance(iid, *args),
+                lambda args: args,
+                (cap, nhit),
+            )
+            nxt = jnp.where(live & ~is_inst, cur + 1, skip)
+            return (nxt, cap, nhit)
+
+        init = (jnp.int32(0), thi, jnp.int32(0))
+        jax.lax.while_loop(cond, body, init)
 
     out_ref[:, :] = jnp.concatenate(
         [
@@ -418,17 +490,20 @@ def _kernel_tlas(bounds_ref, tnodes_ref, bnodes_ref, inst_ref, tris_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tlas_nodes", "block", "shadow", "interpret")
+    jax.jit,
+    static_argnames=("tlas_nodes", "block", "shadow", "interpret", "ordered"),
 )
 def _traverse_tlas(tlas_nodes_arr, blas_nodes, inst_table, tri_tiles, rays,
                    tlas_nodes: int, block: int, shadow: bool = False,
-                   interpret: bool = False):
+                   interpret: bool = False, ordered: bool = False):
     n = rays.shape[1]
     rays = jax.lax.optimization_barrier(rays)
     bounds = block_bounds_with_dir(rays, block)
     grid = (n // block,)
+    n_inst = inst_table.shape[0]
     kernel = functools.partial(
         _kernel_tlas, tlas_nodes=tlas_nodes, block=block, shadow=shadow,
+        ordered=ordered,
     )
     return pl.pallas_call(
         kernel,
@@ -464,6 +539,9 @@ def _traverse_tlas(tlas_nodes_arr, blas_nodes, inst_table, tri_tiles, rays,
             pltpu.VMEM((1, block), jnp.float32),
             pltpu.VMEM((1, block), jnp.float32),
             pltpu.VMEM((1, block), jnp.int32),
+            # ordered-walk candidate list (instance id, packet entry-t)
+            pltpu.SMEM((max(n_inst, 1),), jnp.int32),
+            pltpu.SMEM((max(n_inst, 1),), jnp.float32),
         ],
         out_shape=jax.ShapeDtypeStruct((6, n), jnp.float32),
         interpret=interpret,
@@ -472,7 +550,7 @@ def _traverse_tlas(tlas_nodes_arr, blas_nodes, inst_table, tri_tiles, rays,
 
 def closest_hit_tlas_pallas(
     bb: TlasPallasBuffers, ro, rd, t_min=0.0, t_max=_INF,
-    block: int = DEFAULT_BLOCK, comps=None,
+    block: int = DEFAULT_BLOCK, comps=None, ordered: bool = False,
 ):
     """Batched two-level closest hit through the Pallas kernel. Returns a
     tlas.TwoLevelHit with global shading rows (inst_tri_base + local)."""
@@ -485,6 +563,7 @@ def closest_hit_tlas_pallas(
     out = _traverse_tlas(
         bb.tlas_nodes, bb.blas_nodes, bb.inst_table, bb.tri_tiles, rays,
         tlas_nodes=bb.num_tlas_nodes, block=block, interpret=INTERPRET,
+        ordered=ordered,
     )
     t = out[0, :n]
     row = jax.lax.bitcast_convert_type(out[1, :n], jnp.int32)

@@ -390,11 +390,13 @@ def _instanced_scene(rng):
     return mesh_tris, mesh_ids, blas, nodes, row_inst, tables, tb
 
 
-def test_tlas_pallas_matches_xla_two_level(rng):
+@pytest.mark.parametrize("ordered", [False, True])
+def test_tlas_pallas_matches_xla_two_level(rng, ordered):
     """Pallas two-level traversal (ops/traverse_tlas.py) vs the XLA
     nested walk: same winning shading row / instance, world-t close
     (identical parametrization, different association order), and exact
-    occlusion verdicts — the use_two_level -> xla cliff removed."""
+    occlusion verdicts — the use_two_level -> xla cliff removed. The
+    ordered (front-to-back instance entry) walk must agree too."""
     from realtimepathtracingresearchframework_tpu.ops import (
         tlas as tlas_mod,
         traverse_tlas as tt,
@@ -416,7 +418,8 @@ def test_tlas_pallas_matches_xla_two_level(rng):
 
     tt.INTERPRET = True
     try:
-        hp = tt.closest_hit_tlas_pallas(bb, ro_d, rd_d, block=256)
+        hp = tt.closest_hit_tlas_pallas(bb, ro_d, rd_d, block=256,
+                                        ordered=ordered)
         hx = tlas_mod.closest_hit_two_level(tb, ro_d, rd_d)
         tri_p = np.asarray(hp.tri)
         tri_x = np.asarray(hx.tri)

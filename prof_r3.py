@@ -144,6 +144,12 @@ def main():
         ms = timeit(lambda: tbin.occluded_binned(
             bb, None, None, comps=comps, t_max=30.0, rounds=1))
         print(f"[binned] binned occluded r1: {ms:.1f} ms", flush=True)
+        # packet-tightness vs dispatch-count: sorted-walk block sweep
+        for blk in (256, 1024):
+            ms = timeit(lambda: ts.closest_hit_streamed(
+                bb, None, None, comps=comps, sort=True, block=blk).t)
+            print(f"[binned] sorted closest block={blk}: {ms:.1f} ms",
+                  flush=True)
 
     if "quant" in sections:
         bq = ts.pack_streamed(flat.v0, flat.e1, flat.e2, quantize=True)

@@ -637,8 +637,12 @@ def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
             sub_id = top_ref[cur, 7].astype(jnp.int32)
             live, entry = node_test_entry(bmn3, bmx3, thi)
             is_sub = sub_id >= 0
-            cid_ref[ncand] = sub_id
-            cl_ref[ncand] = entry
+            # ncand < S always holds when a node is processed (the last
+            # preorder node is the final leaf), but clamp the staging
+            # write anyway — an OOB SMEM write would corrupt silently
+            slot = jnp.minimum(ncand, jnp.int32(cid_ref.shape[0] - 1))
+            cid_ref[slot] = sub_id
+            cl_ref[slot] = entry
             ncand = ncand + (live & is_sub).astype(jnp.int32)
             nxt = jnp.where(live & ~is_sub, cur + 1, skip)
             return (nxt, ncand)

@@ -406,8 +406,10 @@ def _kernel_tlas(bounds_ref, tnodes_ref, bnodes_ref, inst_ref, tris_ref,
                 bmn3, bmx3, olo, ohi, ilo, ihi, tlo, thi, thi, 1.0
             )
             is_inst = iid >= 0
-            cid_ref[ncand] = iid
-            cl_ref[ncand] = entry
+            # see traverse_stream: provably in-bounds, clamped anyway
+            slot = jnp.minimum(ncand, jnp.int32(cid_ref.shape[0] - 1))
+            cid_ref[slot] = iid
+            cl_ref[slot] = entry
             ncand = ncand + (live & is_inst).astype(jnp.int32)
             nxt = jnp.where(live & ~is_inst, cur + 1, skip)
             return (nxt, ncand)

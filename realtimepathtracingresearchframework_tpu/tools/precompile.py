@@ -40,8 +40,14 @@ def build_parser() -> argparse.ArgumentParser:
         "persistent JAX compilation cache",
     )
     p.add_argument(
-        "--scenes", default="cornell,village,terrain:500",
-        help="comma list: cornell|village|terrain[:grid]|triangle|/path.vks",
+        "--scenes",
+        default=(
+            "cornell@1920x1080x9,village@1920x1080x9,terrain:500@512x384x3"
+        ),
+        help="comma list: cornell|village|terrain[:grid]|triangle|/path.vks,"
+        " each optionally pinned to its production cell with @WxHxDEPTH"
+        " (the default mirrors bench.py's rows exactly — an unpinned"
+        " scene crosses with every --img resolution at --max-depth)",
     )
     p.add_argument(
         "--img", nargs=2, type=int, action="append", metavar=("W", "H"),
@@ -57,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--max-depth", type=int, default=9)
     p.add_argument("--spp", type=int, default=1)
+    p.add_argument(
+        "--sun-dir", nargs=3, type=float, default=None,
+        help="override the per-scene production sun config (sky tables "
+             "are program constants — must match production exactly)",
+    )
+    p.add_argument("--turbidity", type=float, default=3.0)
     p.add_argument(
         "--cache-dir", default=os.environ.get(
             "RPTR_CACHE_DIR", "/tmp/rptr_jax_cache"
@@ -104,26 +116,57 @@ def main(argv=None) -> int:
     resolutions = [tuple(r) for r in (args.img or [])] or [
         (1920, 1080), (512, 384)
     ]
-    scene_names = [s for s in args.scenes.split(",") if s]
     variants = [v for v in args.variants.split(",") if v]
     rngs = [r for r in args.rng.split(",") if r]
+
+    # scene specs: "name" or "name@WxHxDEPTH" (pin to one production
+    # cell — XLA programs are shape- AND depth-specific, so compiling
+    # terrain at depth 9 would never hit for the depth-3 bench row)
+    groups = []  # (name, w, h, depth)
+    scene_names = []
+    for spec in args.scenes.split(","):
+        if not spec:
+            continue
+        if "@" in spec:
+            name, cell = spec.split("@", 1)
+            w, h, depth = (int(x) for x in cell.split("x"))
+            groups.append((name, w, h, depth))
+        else:
+            name = spec
+            groups.extend(
+                (name, w, h, args.max_depth) for (w, h) in resolutions
+            )
+        if name not in scene_names:
+            scene_names.append(name)
 
     before = _cache_entries(args.cache_dir)
 
     # scenes load once; renderers per (scene, resolution, variant, rng)
     scenes = {name: load_scene([name]) for name in scene_names}
-    sc_cfg = SceneConfig(sun_dir=(0.35, 0.8, 0.3), turbidity=3.0)
+    # the scene — INCLUDING the cooked sky tables — is captured as
+    # constants in the pass programs (renderer.py make_pass_fn), so the
+    # persistent-cache key covers the sun config: warming with a
+    # different sun_dir than production warms NOTHING. These match
+    # bench.py's rows exactly; --sun-dir/--turbidity override for
+    # custom deployments.
+    def scene_cfg(name):
+        if args.sun_dir is not None:
+            return SceneConfig(
+                sun_dir=tuple(args.sun_dir), turbidity=args.turbidity
+            )
+        if name.startswith("terrain"):
+            return SceneConfig(sun_dir=(0.4, 0.7, 0.2), turbidity=3.0)
+        if name.startswith("village"):
+            return SceneConfig(sun_dir=(0.35, 0.8, 0.3), turbidity=3.0)
+        return SceneConfig()  # cornell/triangle: bench uses the default
 
     # one thread per (scene, resolution): the scene build (BVH/pack)
     # happens once there, then every variant x rng cell compiles
     # sequentially against that renderer — the compiles still overlap
     # ACROSS groups (and on the axon compile service, server-side)
-    groups = [
-        (name, w, h) for name in scene_names for (w, h) in resolutions
-    ]
     cells = [
-        (name, w, h, var, rng)
-        for (name, w, h) in groups for var in variants for rng in rngs
+        (name, w, h, depth, var, rng)
+        for (name, w, h, depth) in groups for var in variants for rng in rngs
     ]
 
     times = {}
@@ -131,10 +174,11 @@ def main(argv=None) -> int:
     sem = threading.Semaphore(args.jobs) if args.jobs > 0 else None
 
     def compile_group(group):
-        name, w, h = group
+        name, w, h, depth = group
         if sem:
             sem.acquire()
         try:
+            sc_cfg = scene_cfg(name)
             r = Renderer()
             r.initialize(w, h)
             r.set_scene(scenes[name], scene_config=sc_cfg)
@@ -143,13 +187,13 @@ def main(argv=None) -> int:
                     [0, 2.0, 8.0], [0, 0.5, 0.0], fovy=55
                 ),
                 params=RenderParams(
-                    batch_spp=args.spp, max_path_depth=args.max_depth
+                    batch_spp=args.spp, max_path_depth=depth
                 ),
                 scene_config=sc_cfg,
             )
             for var in variants:
                 for rng in rngs:
-                    cell = (name, w, h, var, rng)
+                    cell = (name, w, h, depth, var, rng)
                     t0 = time.perf_counter()
                     try:
                         r.configure_for(
@@ -167,7 +211,7 @@ def main(argv=None) -> int:
         except Exception as e:  # pragma: no cover - scene-level failure
             for var in variants:
                 for rng in rngs:
-                    errors[(name, w, h, var, rng)] = str(e)[:200]
+                    errors[(name, w, h, depth, var, rng)] = str(e)[:200]
         finally:
             if sem:
                 sem.release()
@@ -183,8 +227,8 @@ def main(argv=None) -> int:
     wall = time.perf_counter() - t0
 
     for cell in cells:
-        name, w, h, var, rng = cell
-        tag = f"{name} {w}x{h} {var} rng={rng}"
+        name, w, h, depth, var, rng = cell
+        tag = f"{name} {w}x{h} d{depth} {var} rng={rng}"
         if cell in errors:
             print(f"  FAIL {tag}: {errors[cell]}", file=sys.stderr)
         elif cell in times:

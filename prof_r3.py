@@ -1,7 +1,7 @@
 """Round-3 on-chip measurement queue (run when the axon tunnel is up).
 
 Usage: python prof_r3.py [section ...]   (default: all)
-Sections: cornell terrain binned quant tlas wavefront compact
+Sections: cornell terrain binned quant tlas wavefront
 """
 import sys
 import time
@@ -71,7 +71,6 @@ def frame_ms(r, cfg, frames=16):
 def main():
     sections = set(sys.argv[1:]) or {
         "cornell", "terrain", "binned", "quant", "tlas", "wavefront",
-        "compact",
     }
     from realtimepathtracingresearchframework_tpu.backend.params import (
         RenderParams, SceneConfig,
@@ -162,41 +161,28 @@ def main():
 
     if "wavefront" in sections:
         # VERDICT r2 #1 gate: PT_WAVEFRONT (merged closest+occluded
-        # dispatch, v2 kernel) vs megakernel at the headline workload
-        for variant in ("PT_MEGAKERNEL", "PT_WAVEFRONT"):
-            rw = Renderer(); rw.set_variant(variant)
-            rw.initialize(1920, 1080)
-            rw.set_scene(Scene.from_vkr_scene(procedural.cornell_box()))
-            wcfg = FrameConfig(
-                camera=OrientedCamera.look_at(
-                    [0, 1.0, 3.2], [0, 1.0, 0.0], fovy=50),
-                params=RenderParams(batch_spp=1, max_path_depth=9),
-            )
-            ms = frame_ms(rw, wcfg, frames=8)
-            print(f"[wavefront] cornell 1080p d9 {variant}: {ms:.1f} ms "
-                  f"({1920*1080*10/ms/1e3:.1f} Mray/s)", flush=True)
-
-    if "compact" in sections:
-        # live-first lane partition (traverse_pallas2._compact, now
-        # scatter-based): frame-level on/off at the headline workload.
-        # r2-era measurement with GATHER permutes was 108 -> 568 ms; the
-        # scatter rewrite cut the fixed cost ~5x — re-measure end-to-end.
+        # dispatch, v2 kernel) vs megakernel at the headline workload,
+        # each with and without live-lane compaction — the flagship
+        # combination is wavefront+compact (stream-compacted queues)
         import os as _os
-        for flag in ("", "1"):
-            if flag:
-                _os.environ["RPTR_COMPACT"] = flag
-            else:
-                _os.environ.pop("RPTR_COMPACT", None)
-            rc = Renderer(); rc.initialize(1920, 1080)
-            rc.set_scene(Scene.from_vkr_scene(procedural.cornell_box()))
-            ccfg = FrameConfig(
-                camera=OrientedCamera.look_at(
-                    [0, 1.0, 3.2], [0, 1.0, 0.0], fovy=50),
-                params=RenderParams(batch_spp=1, max_path_depth=9),
-            )
-            ms = frame_ms(rc, ccfg, frames=8)
-            print(f"[compact] cornell 1080p d9 compact={bool(flag)}: "
-                  f"{ms:.1f} ms", flush=True)
+        for variant in ("PT_MEGAKERNEL", "PT_WAVEFRONT"):
+            for flag in ("", "1"):
+                if flag:
+                    _os.environ["RPTR_COMPACT"] = flag
+                else:
+                    _os.environ.pop("RPTR_COMPACT", None)
+                rw = Renderer(); rw.set_variant(variant)
+                rw.initialize(1920, 1080)
+                rw.set_scene(Scene.from_vkr_scene(procedural.cornell_box()))
+                wcfg = FrameConfig(
+                    camera=OrientedCamera.look_at(
+                        [0, 1.0, 3.2], [0, 1.0, 0.0], fovy=50),
+                    params=RenderParams(batch_spp=1, max_path_depth=9),
+                )
+                ms = frame_ms(rw, wcfg, frames=8)
+                print(f"[wavefront] cornell 1080p d9 {variant} "
+                      f"compact={bool(flag)}: {ms:.1f} ms "
+                      f"({1920*1080*10/ms/1e3:.1f} Mray/s)", flush=True)
         _os.environ.pop("RPTR_COMPACT", None)
 
     if "tlas" in sections:

@@ -586,6 +586,14 @@ class Renderer:
             )
             if scene.has_lod_groups() else None
         )
+        # the selection inputs are needed again by set_animation_frame:
+        # a refit against a flatten with a DIFFERENT LoD selection would
+        # apply new vertices to a topology with mismatched indices
+        self._lod_camera_pos = (
+            None if camera_pos is None
+            else np.asarray(camera_pos, np.float32)
+        )
+        self._lod_threshold = scene_config.lod_threshold
         self._scene_frame = frame
         if self._use_two_level:
             from realtimepathtracingresearchframework_tpu.ops import (
@@ -687,7 +695,10 @@ class Renderer:
                 # quality — the reference's PREFER_FAST_TRACE BLAS,
                 # vulkanrt_utils.h:55-187); animated scenes keep the
                 # fast Morton median split for per-frame rebuilds
-                use_sah = not getattr(self.scene, "animations", None)
+                use_sah = not any(
+                    a.num_animated
+                    for a in getattr(self.scene, "animation_data", [])
+                )
                 builder = bvh_mod.build_bvh_sah if use_sah else bvh_mod.build_bvh
                 self._topology = builder(
                     flat.v0, flat.e1, flat.e2, leaf_size=leaf_size
@@ -898,7 +909,7 @@ class Renderer:
             thin_transmission=bool(getattr(self, "_has_thin", False)),
             aniso_taps=int(self.options.aniso_taps)
             if not getattr(self, "_use_two_level", False) else 0,
-            compact=bool(os.environ.get("RPTR_COMPACT")),
+            compact=os.environ.get("RPTR_COMPACT", "") not in ("", "0"),
             stream_closest=os.environ.get("RPTR_STREAM_CLOSEST", "sorted"),
         )
 
@@ -1582,6 +1593,7 @@ class Renderer:
             illum, alpha, _ = trace_paths(
                 ds, cfg, fp, ro, rd, state,
                 lane_mask=valid & (tmax > 0.0),
+                t_max0=tmax if t_max is not None else None,
             )
             return jnp.stack(
                 [illum.x, illum.y, illum.z, alpha], axis=-1
@@ -1643,12 +1655,33 @@ class Renderer:
                     for ds, d in zip(self._device_scenes, self.devices)
                 ]
             self._device_scene_revision += 1
+            self._scene_frame = frame
             self._pass_fns.clear()
             self._render_fns.clear()
             self.reset_accumulation()
             return
+        # LoD scenes: the flatten must reuse the selection the topology
+        # was built over (same camera/threshold), or the refit would pair
+        # new vertex arrays with mismatched leaf/row indices; if the new
+        # frame itself changes the selection, refit is invalid — rebuild
+        lod_cam = getattr(self, "_lod_camera_pos", None)
+        lod_thr = getattr(
+            self, "_lod_threshold", scene_config.lod_threshold
+        )
+        if scene.has_lod_groups():
+            sig = scene.lod_selection(lod_cam, lod_thr, frame)
+            if sig != getattr(self, "_lod_signature", None):
+                self._rebuild_scene(
+                    scene_config, frame=frame, camera_pos=lod_cam
+                )
+                self._pass_fns.clear()
+                self._render_fns.clear()
+                self.reset_accumulation()
+                return
         with ProfilingScope("animate flatten"):
-            flat = scene.flatten_world(frame=frame)
+            flat = scene.flatten_world(
+                frame=frame, camera_pos=lod_cam, lod_threshold=lod_thr
+            )
         rebuild = (
             self.options.force_bvh_rebuild
             or flat.num_tris <= self.options.rebuild_triangle_budget
@@ -1724,6 +1757,9 @@ class Renderer:
             tangent=jnp.asarray(flat.tangent[ix]),
         )
         self._upload_lights_and_sky(scene_config)
+        # keep the render loop's LoD bookkeeping on the posed frame —
+        # otherwise a camera-triggered rebuild would revert the pose
+        self._scene_frame = frame
         self.reset_accumulation()
 
     def render_raster_gbuffer(self, config: FrameConfig):

@@ -172,15 +172,12 @@ def cornell_box(light: bool = True) -> vkr.VkrScene:
     return identity_scene([mesh], materials)
 
 
-def terrain(grid: int = 500, extent: float = 20.0, height: float = 2.0,
-            seed: int = 7) -> vkr.VkrScene:
-    """Large structured scene: a value-noise heightfield of ``2*grid^2``
-    triangles (grid=500 -> 500k) — the driver config 5 "large quantized
-    scene" workload and the streamed-traversal capability bar
-    (render_vulkan.cpp:472-545 handles multi-million-tri BLAS batches)."""
+def _value_noise_heights(n: int, height: float, seed: int) -> np.ndarray:
+    """(n, n) heightfield: four octaves of bilinear lattice value noise,
+    normalized to ±height. Shared by terrain() and village() so their
+    ground surfaces (and village's building placement on it) stay in
+    sync by construction."""
     rng = np.random.default_rng(seed)
-    # smooth value noise: few octaves of bilinear lattice noise
-    n = grid + 1
     xs = np.linspace(0, 1, n, dtype=np.float32)
     h = np.zeros((n, n), np.float32)
     for octave in range(4):
@@ -197,7 +194,17 @@ def terrain(grid: int = 500, extent: float = 20.0, height: float = 2.0,
         tyc = tx[None, :] * np.ones((n, 1), np.float32)
         h += ((a * (1 - txc) + b * txc) * (1 - tyc)
               + (c * (1 - txc) + d * txc) * tyc) * (0.6 ** octave)
-    h = h / np.abs(h).max() * height
+    return h / np.abs(h).max() * height
+
+
+def terrain(grid: int = 500, extent: float = 20.0, height: float = 2.0,
+            seed: int = 7) -> vkr.VkrScene:
+    """Large structured scene: a value-noise heightfield of ``2*grid^2``
+    triangles (grid=500 -> 500k) — the driver config 5 "large quantized
+    scene" workload and the streamed-traversal capability bar
+    (render_vulkan.cpp:472-545 handles multi-million-tri BLAS batches)."""
+    n = grid + 1
+    h = _value_noise_heights(n, height, seed)
 
     gx, gz = np.meshgrid(
         np.linspace(-extent / 2, extent / 2, n, dtype=np.float32),
@@ -260,40 +267,14 @@ def village(grid: int = 200, extent: float = 24.0, seed: int = 13) -> vkr.VkrSce
 
     rng = np.random.default_rng(seed)
 
-    base = terrain(grid=grid, extent=extent, height=1.2, seed=seed)
-    ground_mesh = base.meshes[0]
-    # re-make the ground with tiling uvs (terrain() leaves uvs zero)
+    # same heightfield as terrain(), with tiling uvs added
     n = grid + 1
     gx, gz = np.meshgrid(
         np.linspace(-extent / 2, extent / 2, n, dtype=np.float32),
         np.linspace(-extent / 2, extent / 2, n, dtype=np.float32),
         indexing="ij",
     )
-    # recover the terrain's vertex heights from the quantized mesh is
-    # overkill — rebuild the same heightfield deterministically instead
-    vq = ground_mesh  # unused handle; kept for clarity
-
-    def _heights():
-        rng2 = np.random.default_rng(seed)
-        xs = np.linspace(0, 1, n, dtype=np.float32)
-        h = np.zeros((n, n), np.float32)
-        for octave in range(4):
-            res = 4 * (2 ** octave)
-            lattice = rng2.normal(0, 1, (res + 1, res + 1)).astype(np.float32)
-            fx = xs * res
-            ix = np.minimum(fx.astype(np.int32), res - 1)
-            tx = fx - ix
-            a = lattice[ix][:, ix]
-            b = lattice[ix + 1][:, ix]
-            c = lattice[ix][:, ix + 1]
-            d = lattice[ix + 1][:, ix + 1]
-            txc = tx[:, None] * np.ones((1, n), np.float32)
-            tyc = tx[None, :] * np.ones((n, 1), np.float32)
-            h += ((a * (1 - txc) + b * txc) * (1 - tyc)
-                  + (c * (1 - txc) + d * txc) * tyc) * (0.6 ** octave)
-        return h / np.abs(h).max() * 1.2
-
-    h = _heights()
+    h = _value_noise_heights(n, 1.2, seed)
     verts = np.stack([gx, h, gz], axis=-1)
     p00, p10 = verts[:-1, :-1], verts[1:, :-1]
     p01, p11 = verts[:-1, 1:], verts[1:, 1:]

@@ -49,6 +49,7 @@ import numpy as np
 from realtimepathtracingresearchframework_tpu.ops.traverse_pallas2 import (
     _mt_leaf,
     _mt_leaf_any,
+    block_bounds,
 )
 from realtimepathtracingresearchframework_tpu.ops.traverse_stream import (
     LEAF,
@@ -167,30 +168,20 @@ def _bin_positions(sid, s: int, block: int, n_pad: int):
 
 def _binned_bounds(padded, block):
     """(16, nb) per-block packet bounds for the BINNED operand: rows 0-13
-    as traverse_pallas2.block_bounds, row 14 = pruning cap = max over
-    live lanes of min(best_t, tmax) (best rides rows 8-11)."""
+    straight from traverse_pallas2.block_bounds over the ray rows, row
+    14 = pruning cap = max over live lanes of min(best_t, tmax) (best
+    rides rows 8-11 of the 12-row binned operand)."""
     n = padded.shape[1]
     nb = n // block
     r = padded.reshape(12, nb, block)
     live = r[7] > r[6]
-    big = jnp.float32(3.0e38)
-
-    def mn(x):
-        return jnp.min(jnp.where(live, x, big), axis=1)
-
-    def mx(x):
-        return jnp.max(jnp.where(live, x, -big), axis=1)
-
-    d = r[3:6]
-    inv = jnp.where(d >= 0.0, 1.0, -1.0) / jnp.maximum(jnp.abs(d), 1e-20)
-    rows = [mn(r[k]) for k in range(3)]
-    rows += [mx(r[k]) for k in range(3)]
-    rows += [mn(inv[k]) for k in range(3)]
-    rows += [mx(inv[k]) for k in range(3)]
-    rows += [mn(r[6]), mx(r[7])]
-    rows += [mx(jnp.minimum(r[8], r[7]))]  # pruning cap from best-in
-    rows += [jnp.zeros((nb,), jnp.float32)]
-    return jnp.stack(rows, axis=0)
+    base = block_bounds(padded[:8], block)[0:14]
+    cap = jnp.max(
+        jnp.where(live, jnp.minimum(r[8], r[7]), jnp.float32(-3.0e38)),
+        axis=1,
+    )
+    pad = jnp.zeros((nb,), jnp.float32)
+    return jnp.concatenate([base, cap[None], pad[None]], axis=0)
 
 
 def _kernel_binned(bounds_ref, sid_ref, subn_ref, tris_ref, rays_ref,

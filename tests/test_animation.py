@@ -205,3 +205,85 @@ def test_tlas_pallas_animation_repack(monkeypatch):
         assert tri[0] == 0
     finally:
         traverse_tlas.INTERPRET = False
+
+
+def test_lod_with_animation_refit():
+    """set_animation_frame on an LoD scene re-flattens with the SAME LoD
+    selection the topology was built over and keeps the render loop's
+    frame bookkeeping in sync — a base-LoD flatten refit against a
+    coarse-LoD topology would pair new vertex arrays with mismatched
+    leaf/row indices (VERDICT r3 code-review finding)."""
+    fine_tris = np.array(
+        [
+            [[-1, -1, 0], [0, -1, 0], [-0.5, 0, 0]],
+            [[0, -1, 0], [1, -1, 0], [0.5, 0, 0]],
+            [[-0.5, 0, 0], [0.5, 0, 0], [0, 1, 0]],
+            [[-0.5, 0, 0], [0, -1, 0], [0.5, 0, 0]],
+        ],
+        np.float32,
+    )
+    fine = procedural.make_mesh("fine", fine_tris)
+    fine.lod_group = 1
+    coarse = procedural.make_mesh(
+        "fine_lod1",
+        np.array([[[-1, -1, 0], [1, -1, 0], [0, 1, 0]]], np.float32),
+    )
+    coarse.lod_group = 1
+    anim = procedural.make_mesh(
+        "anim", np.array([[[-1, -1, 0], [1, -1, 0], [0, 1, 0]]], np.float32)
+    )
+    ident = np.zeros((3, 4), np.float32)
+    ident[:, :3] = np.eye(3)
+    frames = []
+    for f in range(3):
+        m = ident.copy()
+        m[0, 3] = 4.0 + f  # animated tri rides x = 4 + frame
+        frames.append(m)
+    vs = vkr.VkrScene(
+        materials=[
+            vkr.VkrMaterial(name="m", base_color=np.ones(3, np.float32))
+        ],
+        meshes=[fine, coarse, anim],
+        instances=[
+            vkr.VkrInstance(name="fine", mesh_id=0, transform_index=0),
+            vkr.VkrInstance(name="anim", mesh_id=2, transform_index=1),
+        ],
+        lod_groups=[
+            vkr.VkrLodGroup(),
+            vkr.VkrLodGroup(mesh_ids=[0, 1], detail_reduction=[0.0, 0.5]),
+        ],
+        num_static_transforms=1,
+        num_animated_transforms=1,
+        num_frames=3,
+        transforms_q=quantize_transforms(np.stack([ident] + frames)),
+    )
+    scene = Scene.from_vkr_scene(vs)
+    assert scene.has_lod_groups()
+
+    r = Renderer()
+    r.initialize(8, 8)
+    r.options = r.options.replace(rebuild_triangle_budget=0)  # force refit
+    r.set_scene(scene)
+    # far camera -> the render loop re-flattens with the COARSE level
+    cfg = FrameConfig(
+        camera=OrientedCamera.look_at([0, 0, 60.0], [0, 0, 0], fovy=40),
+        params=RenderParams(batch_spp=1, max_path_depth=2),
+    )
+    r.render(cfg)
+    assert r._flat.num_tris == 2  # coarse (1) + animated (1)
+
+    r.set_animation_frame(2)
+    # the coarse selection must survive the refit (base LoD would be 5)
+    assert r._flat.num_tris == 2
+    assert r._scene_frame == 2
+    # animated tri now at x=6, no longer at x=4
+    t, tri, _, _ = r.render_ray_queries(
+        np.array([[6.0, -0.5, 5.0]], np.float32),
+        np.array([[0.0, 0.0, -1.0]], np.float32),
+    )
+    assert tri[0] >= 0
+    t, tri, _, _ = r.render_ray_queries(
+        np.array([[4.0, -0.5, 5.0]], np.float32),
+        np.array([[0.0, 0.0, -1.0]], np.float32),
+    )
+    assert tri[0] == -1

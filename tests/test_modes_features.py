@@ -230,3 +230,26 @@ def test_capture_poi_radiance():
     assert rad.shape == (min(8, len(pois)), 4)
     assert np.isfinite(rad).all()
     assert rad[:, :3].max() > 0.0
+
+
+def test_integrator_ray_query_t_max_bounds_primary():
+    """A finite RenderRayQuery.t_max bounds the PRIMARY segment of
+    integrator-variant queries (render_params.glsl.h:169): a surface
+    beyond t_max is a miss, not shaded radiance."""
+    from realtimepathtracingresearchframework_tpu.backend.renderer import (
+        VARIANT_MEGAKERNEL,
+    )
+
+    r = _renderer(8, 8)
+    o = np.array([[0, 1.0, 3.2]], np.float32)
+    d = np.array([[0, 0, -1.0]], np.float32)
+    unbounded = r.render_ray_queries(
+        o, d, variant=VARIANT_MEGAKERNEL, spp_per_query=2,
+        params=RenderParams(max_path_depth=2),
+    )
+    bounded = r.render_ray_queries(
+        o, d, t_max=0.5, variant=VARIANT_MEGAKERNEL, spp_per_query=2,
+        params=RenderParams(max_path_depth=2),
+    )
+    assert unbounded[0, 3] == 1.0  # hits the back wall
+    assert bounded[0, 3] < 1.0  # segment ends before any surface

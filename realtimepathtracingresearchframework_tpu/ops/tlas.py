@@ -69,7 +69,9 @@ class TwoLevelBuffers(NamedTuple):
     inst_inv: jnp.ndarray  # (I,12) object_from_world affine (row-major 3x4)
     inst_linear: jnp.ndarray  # (I,9) world_from_object linear A
     inst_inv_t: jnp.ndarray  # (I,9) A^-T (normal transform)
-    inst_scale: jnp.ndarray  # (I,) |uniform scale|
+    inst_scale: jnp.ndarray  # (I,) cbrt|det A| (texel-density scale)
+    inst_cull_scale: jnp.ndarray  # (I,) sigma_min(A): conservative
+    # object-distance -> world-t factor for the Pallas culling test
     inst_sign: jnp.ndarray  # (I,) handedness sign(det A)
     inst_mesh: jnp.ndarray  # (I,) i32
     inst_mat_offset: jnp.ndarray  # (I,) i32
@@ -167,6 +169,11 @@ def build_instance_tables(blas: BlasSet, mesh_ids, mat_offsets, transforms):
     tinv = -np.einsum("iab,ib->ia", Ainv, t)
     det = np.linalg.det(A)
     scale = np.cbrt(np.abs(det))
+    # conservative culling scale: |A^-1 d| <= 1/sigma_min for unit d, so
+    # object_distance * sigma_min lower-bounds the world t to reach it.
+    # Equals cbrt|det| for uniform scales; strictly smaller (= safe,
+    # never over-culls) for anisotropic instance transforms.
+    cull_scale = np.linalg.svd(A, compute_uv=False)[:, -1]
     inv12 = np.concatenate([Ainv.reshape(-1, 9), tinv], axis=1).astype(np.float32)
     return dict(
         inst_inv=jnp.asarray(inv12),
@@ -175,6 +182,7 @@ def build_instance_tables(blas: BlasSet, mesh_ids, mat_offsets, transforms):
             np.transpose(Ainv, (0, 2, 1)).reshape(-1, 9).astype(np.float32)
         ),
         inst_scale=jnp.asarray(scale.astype(np.float32)),
+        inst_cull_scale=jnp.asarray(cull_scale.astype(np.float32)),
         inst_sign=jnp.asarray(np.sign(det).astype(np.float32)),
         inst_mesh=jnp.asarray(mesh_ids.astype(np.int32)),
         inst_mat_offset=jnp.asarray(np.asarray(mat_offsets, np.int32)),

@@ -50,6 +50,7 @@ from realtimepathtracingresearchframework_tpu.ops.traverse_pallas2 import (
     _mt_leaf,
     _mt_leaf_any,
     block_bounds,
+    interval_node_test_entry,
 )
 from realtimepathtracingresearchframework_tpu.ops.traverse_stream import (
     LEAF,
@@ -61,6 +62,7 @@ from realtimepathtracingresearchframework_tpu.ops.traverse_stream import (
     StreamedBVHBuffers,
     _coherence_key,
     _out_to_hit,
+    coherence_order as ts_coherence_order,
     _traverse_streamed,
     dequant_tile,
 )
@@ -150,11 +152,12 @@ def _bin_positions(sid, s: int, block: int, n_pad: int):
     )
     delta = pstart - start  # (s+1,) pad offset per bin
     perm = jnp.argsort(b, stable=True)
-    b_sorted = jnp.sort(b)
-    pos_sorted = jnp.arange(n, dtype=jnp.int32) + delta[b_sorted]
-    pos = jnp.zeros((n,), jnp.int32).at[perm].set(
-        pos_sorted, unique_indices=True
+    # pos[i] = rank of i in the stable bin order + its bin's pad offset;
+    # the rank is the inverse permutation (scatter), no second sort
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True
     )
+    pos = inv + delta[b]
     nb = n_pad // block
     blk_start = jnp.arange(nb, dtype=jnp.int32) * block
     fill = jnp.concatenate([pstart, jnp.array([n_pad], jnp.int32)])
@@ -278,36 +281,10 @@ def _kernel_binned(bounds_ref, sid_ref, subn_ref, tris_ref, rays_ref,
         )
 
         def node_test(bmn3, bmx3, cap):
-            U = jnp.minimum(thi, cap)
-            L = tlo
-            expand_ok = True
-            for k in range(3):
-                alo = bmn3[k] - ohi[k]
-                ahi = bmn3[k] - olo[k]
-                blo = bmx3[k] - ohi[k]
-                bhi = bmx3[k] - olo[k]
-                t0lo = jnp.minimum(
-                    jnp.minimum(alo * ilo[k], alo * ihi[k]),
-                    jnp.minimum(ahi * ilo[k], ahi * ihi[k]),
-                )
-                t0hi = jnp.maximum(
-                    jnp.maximum(alo * ilo[k], alo * ihi[k]),
-                    jnp.maximum(ahi * ilo[k], ahi * ihi[k]),
-                )
-                t1lo = jnp.minimum(
-                    jnp.minimum(blo * ilo[k], blo * ihi[k]),
-                    jnp.minimum(bhi * ilo[k], bhi * ihi[k]),
-                )
-                t1hi = jnp.maximum(
-                    jnp.maximum(blo * ilo[k], blo * ihi[k]),
-                    jnp.maximum(bhi * ilo[k], bhi * ihi[k]),
-                )
-                L = jnp.maximum(L, jnp.minimum(t0lo, t1lo))
-                U = jnp.minimum(U, jnp.maximum(t0hi, t1hi))
-                expand_ok = expand_ok & (
-                    jnp.maximum(alo, -bhi) <= jnp.minimum(thi, cap)
-                )
-            return (L <= U) & expand_ok
+            # shared conservative packet-vs-AABB test (traverse_pallas2)
+            return interval_node_test_entry(
+                bmn3, bmx3, olo, ohi, ilo, ihi, tlo, thi, cap
+            )[0]
 
         def flush(count, cap, nhit, waited):
             @pl.when(~waited)
@@ -451,15 +428,11 @@ def _dispatch_binned(sid_blk, sub_nodes, tri_tiles, padded,
 
 def _coherence_perm(bb, rays):
     """One up-front (octant, origin-morton) ordering so stable binning
-    keeps blocks octant-pure and origin-local; dead lanes last."""
+    keeps blocks octant-pure and origin-local; dead lanes last (the
+    shared traverse_stream.coherence_order contract)."""
     comps = tuple(rays[k] for k in range(6))
-    key = _coherence_key(bb, comps)
-    dead = ~(rays[7] > rays[6])
-    key = key | (dead.astype(jnp.uint32) << 31)
-    perm = jnp.argsort(key, stable=True)
-    n = rays.shape[1]
-    inv = jnp.zeros((n,), jnp.int32).at[perm].set(
-        jnp.arange(n, dtype=jnp.int32), unique_indices=True
+    perm, inv = ts_coherence_order(
+        _coherence_key(bb, comps), ~(rays[7] > rays[6])
     )
     return rays[:, perm], inv
 
@@ -609,7 +582,13 @@ def _run_multislot(bb: StreamedBVHBuffers, rays, block: int, k_max: int,
     orig = jnp.full((t_pad,), n, jnp.int32).at[pos].set(
         jnp.where(sid_dup >= 0, ray_idx, n), unique_indices=True
     )
-    t_bits = jax.lax.bitcast_convert_type(out[0], jnp.int32)  # positive f32
+    # order-preserving f32 -> i32 map (an involution: negatives flip
+    # their magnitude bits) so the scatter-min matches float order even
+    # for negative t (t_min < 0 is legal through the public signature)
+    def _ord_i32(bits):
+        return jnp.where(bits >= 0, bits, bits ^ jnp.int32(0x7FFFFFFF))
+
+    t_bits = _ord_i32(jax.lax.bitcast_convert_type(out[0], jnp.int32))
     inf_bits = jax.lax.bitcast_convert_type(jnp.float32(_INF), jnp.int32)
     min_bits = jnp.full((n,), inf_bits, jnp.int32).at[orig].min(
         t_bits, mode="drop"
@@ -623,7 +602,7 @@ def _run_multislot(bb: StreamedBVHBuffers, rays, block: int, k_max: int,
     win_c = jnp.minimum(win, t_pad - 1)
     best = jnp.stack(
         [
-            jax.lax.bitcast_convert_type(min_bits, jnp.float32),
+            jax.lax.bitcast_convert_type(_ord_i32(min_bits), jnp.float32),
             jnp.where(
                 win < t_pad, out[1, win_c],
                 jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32),

@@ -179,6 +179,52 @@ def block_bounds_with_dir(rays: jnp.ndarray, block: int) -> jnp.ndarray:
     return jnp.concatenate([base, jnp.stack(rows, axis=0)], axis=0)
 
 
+def interval_node_test_entry(bmn3, bmx3, olo, ohi, ilo, ihi, tlo, thi, cap,
+                             dist_scale=None):
+    """Conservative scalar packet-vs-AABB test shared by every walk
+    kernel (resident v2, streamed, binned, TLAS): Wald interval slab
+    over the packet's origin box [olo, ohi] and inverse-direction box
+    [ilo, ihi], plus the origin-box expansion term that still culls when
+    the direction interval spans zero and the slab degenerates.
+
+    Returns ``(overlap, L)`` where L is the packet's conservative
+    entry-t lower bound — the front-to-back sort key of the ordered
+    walks. ``dist_scale`` (None = world space, no multiply) converts a
+    per-axis object-space DISTANCE into a minimum world t for the
+    two-level kernel (sigma_min of the instance transform)."""
+    U = jnp.minimum(thi, cap)
+    L = tlo
+    expand_ok = True
+    for k in range(3):
+        alo = bmn3[k] - ohi[k]
+        ahi = bmn3[k] - olo[k]
+        blo = bmx3[k] - ohi[k]
+        bhi = bmx3[k] - olo[k]
+        t0lo = jnp.minimum(
+            jnp.minimum(alo * ilo[k], alo * ihi[k]),
+            jnp.minimum(ahi * ilo[k], ahi * ihi[k]),
+        )
+        t0hi = jnp.maximum(
+            jnp.maximum(alo * ilo[k], alo * ihi[k]),
+            jnp.maximum(ahi * ilo[k], ahi * ihi[k]),
+        )
+        t1lo = jnp.minimum(
+            jnp.minimum(blo * ilo[k], blo * ihi[k]),
+            jnp.minimum(bhi * ilo[k], bhi * ihi[k]),
+        )
+        t1hi = jnp.maximum(
+            jnp.maximum(blo * ilo[k], blo * ihi[k]),
+            jnp.maximum(bhi * ilo[k], bhi * ihi[k]),
+        )
+        L = jnp.maximum(L, jnp.minimum(t0lo, t1lo))
+        U = jnp.minimum(U, jnp.maximum(t0hi, t1hi))
+        dist_k = jnp.maximum(alo, -bhi)  # max(bmin-ohi, olo-bmax)
+        if dist_scale is not None:
+            dist_k = dist_k * dist_scale
+        expand_ok = expand_ok & (dist_k <= jnp.minimum(thi, cap))
+    return (L <= U) & expand_ok, L
+
+
 def _mt_leaf(tile_f, rox, roy, roz, rdx, rdy, rdz, tmin, tmax, sub_iota,
              leaf_id, t_best, best_row, best_u, best_v, leaf_size=LEAF):
     """(leaf_size tris, B rays) Moller-Trumbore over one leaf. Rays stay
@@ -410,42 +456,11 @@ def _kernel2(bounds_ref, nodes_ref, tris_ref, rays_ref, out_ref,
         skip = nodes_ref[cur, 6].astype(jnp.int32)
         leaf_id = nodes_ref[cur, 7].astype(jnp.int32)
 
-        # conservative packet-interval slab (all scalar)
-        U = jnp.minimum(thi, cap)
-        L = tlo
-        expand_ok = True
-        for k, (bmn, bmx) in enumerate(
-            ((bminx, bmaxx), (bminy, bmaxy), (bminz, bmaxz))
-        ):
-            alo = bmn - ohi[k]
-            ahi = bmn - olo[k]
-            blo = bmx - ohi[k]
-            bhi = bmx - olo[k]
-            t0lo = jnp.minimum(
-                jnp.minimum(alo * ilo[k], alo * ihi[k]),
-                jnp.minimum(ahi * ilo[k], ahi * ihi[k]),
-            )
-            t0hi = jnp.maximum(
-                jnp.maximum(alo * ilo[k], alo * ihi[k]),
-                jnp.maximum(ahi * ilo[k], ahi * ihi[k]),
-            )
-            t1lo = jnp.minimum(
-                jnp.minimum(blo * ilo[k], blo * ihi[k]),
-                jnp.minimum(bhi * ilo[k], bhi * ihi[k]),
-            )
-            t1hi = jnp.maximum(
-                jnp.maximum(blo * ilo[k], blo * ihi[k]),
-                jnp.maximum(bhi * ilo[k], bhi * ihi[k]),
-            )
-            L = jnp.maximum(L, jnp.minimum(t0lo, t1lo))
-            U2 = jnp.maximum(t0hi, t1hi)
-            U = jnp.minimum(U, U2)
-            # origin-box expansion: per-axis distance from the origin box
-            # to the node box must be reachable within U (still culls when
-            # the direction interval spans 0 and the slab degenerates)
-            dist_k = jnp.maximum(alo, -bhi)  # max(bmin-ohi, olo-bmax)
-            expand_ok = expand_ok & (dist_k <= jnp.minimum(thi, cap))
-        live = (L <= U) & expand_ok
+        # conservative packet-interval slab (all scalar, shared helper)
+        live, _ = interval_node_test_entry(
+            (bminx, bminy, bminz), (bmaxx, bmaxy, bmaxz),
+            olo, ohi, ilo, ihi, tlo, thi, cap,
+        )
         is_leaf = leaf_id >= 0
 
         # branchless leaf append: unconditional store + masked increment

@@ -39,8 +39,10 @@ import numpy as np
 
 from realtimepathtracingresearchframework_tpu.ops.bvh import build_threaded_bvh
 from realtimepathtracingresearchframework_tpu.ops.traverse_pallas2 import (
+    LIST_CAP,
     _mt_leaf,
     block_bounds,
+    interval_node_test_entry,
 )
 
 try:  # pallas requires the TPU backend; keep CPU test runs importable
@@ -407,9 +409,6 @@ def reconstruct_quantized(v0, e1, e2):
     return out0, out1, out2
 
 
-LIST_CAP = 16  # leaf flush batch (see traverse_pallas2.LIST_CAP)
-
-
 def dequant_tile(qt, dq):
     """In-kernel decode of one quantized leaf tile (the dequantize.glsl
     analogue): int16 codes (offset -32768) -> the (16, 128) f32
@@ -480,40 +479,13 @@ def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
     is_shadow = pid >= shadow_from if shadow_from >= 0 else None
 
     def node_test_entry(bmn3, bmx3, cap):
-        """Conservative scalar packet-vs-AABB test (interval slab +
-        origin-box expansion) — see traverse_pallas2._kernel2. Returns
-        (overlap, L) where L is the packet's conservative entry-t lower
-        bound, the front-to-back sort key of the ordered walk."""
-        U = jnp.minimum(thi, cap)
-        L = tlo
-        expand_ok = True
-        for k in range(3):
-            alo = bmn3[k] - ohi[k]
-            ahi = bmn3[k] - olo[k]
-            blo = bmx3[k] - ohi[k]
-            bhi = bmx3[k] - olo[k]
-            t0lo = jnp.minimum(
-                jnp.minimum(alo * ilo[k], alo * ihi[k]),
-                jnp.minimum(ahi * ilo[k], ahi * ihi[k]),
-            )
-            t0hi = jnp.maximum(
-                jnp.maximum(alo * ilo[k], alo * ihi[k]),
-                jnp.maximum(ahi * ilo[k], ahi * ihi[k]),
-            )
-            t1lo = jnp.minimum(
-                jnp.minimum(blo * ilo[k], blo * ihi[k]),
-                jnp.minimum(bhi * ilo[k], bhi * ihi[k]),
-            )
-            t1hi = jnp.maximum(
-                jnp.maximum(blo * ilo[k], blo * ihi[k]),
-                jnp.maximum(bhi * ilo[k], bhi * ihi[k]),
-            )
-            L = jnp.maximum(L, jnp.minimum(t0lo, t1lo))
-            U = jnp.minimum(U, jnp.maximum(t0hi, t1hi))
-            expand_ok = expand_ok & (
-                jnp.maximum(alo, -bhi) <= jnp.minimum(thi, cap)
-            )
-        return (L <= U) & expand_ok, L
+        """Conservative scalar packet-vs-AABB test (the shared
+        traverse_pallas2 helper). Returns (overlap, L) where L is the
+        packet's conservative entry-t lower bound, the front-to-back
+        sort key of the ordered walk."""
+        return interval_node_test_entry(
+            bmn3, bmx3, olo, ohi, ilo, ihi, tlo, thi, cap
+        )
 
     def node_test(bmn3, bmx3, cap):
         return node_test_entry(bmn3, bmx3, cap)[0]
@@ -854,26 +826,31 @@ def _coherence_key(bb: StreamedBVHBuffers, comps):
     return (octant << 21) | morton
 
 
-def _sort_queue(bb, comps, t_min, t_max):
-    """Sort one ray queue by the coherence key, DEAD LANES LAST (bit 31:
-    a dead lane's block membership only wastes walk work, so clustering
-    them lets whole blocks short-circuit — the streamed twin of
-    traverse_pallas2._compact). Returns (sorted comps, sorted
-    t_min/t_max, inverse permutation). Stable sort + permutation
-    gathers: deterministic and bit-exact."""
-    n = comps[0].shape[0]
-    key = _coherence_key(bb, comps)
-    dead = ~(
-        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-        > jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
-    )
+def coherence_order(key, dead):
+    """The coherence-ordering contract shared by the sorted streamed
+    walk and the binned dispatch (traverse_binned._coherence_perm):
+    stable argsort of the key with DEAD LANES LAST (bit 31: a dead
+    lane's block membership only wastes walk work, so clustering them
+    lets whole blocks short-circuit — the streamed twin of
+    traverse_pallas2._compact). Returns (perm, inverse perm)."""
     key = key | (dead.astype(jnp.uint32) << 31)
     perm = jnp.argsort(key, stable=True)
-    inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(
-        jnp.arange(n, dtype=jnp.int32)
+    n = key.shape[0]
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True
     )
+    return perm, inv
+
+
+def _sort_queue(bb, comps, t_min, t_max):
+    """Sort one ray queue by the coherence key (see coherence_order).
+    Returns (sorted comps, sorted t_min/t_max, inverse permutation).
+    Stable sort + permutation gathers: deterministic and bit-exact."""
+    n = comps[0].shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    perm, inv_perm = coherence_order(_coherence_key(bb, comps),
+                                     ~(t_max > t_min))
     sorted_comps = tuple(c[perm] for c in comps)
     return sorted_comps, t_min[perm], t_max[perm], inv_perm
 

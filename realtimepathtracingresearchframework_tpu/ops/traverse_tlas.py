@@ -42,6 +42,7 @@ from realtimepathtracingresearchframework_tpu.ops.traverse_pallas2 import (
     _mt_leaf,
     _mt_leaf_any,
     block_bounds_with_dir,
+    interval_node_test_entry,
 )
 
 try:  # pallas requires the TPU backend; keep CPU test runs importable
@@ -151,7 +152,11 @@ def pack_two_level_pallas(blas_static: BlasPallasStatic, mesh_ids, tri_base,
 
     # --- instance table (exact small ints as f32 values)
     inv12 = np.asarray(inst_tables["inst_inv"], np.float32)  # (I,12)
-    scale = np.asarray(inst_tables["inst_scale"], np.float32)  # (I,)
+    # conservative culling scale (sigma_min of the instance linear part,
+    # NOT cbrt|det|): the kernel's expansion test multiplies object-space
+    # axis distances by this, and an over-estimate would cull reachable
+    # BLAS nodes on anisotropic instances
+    scale = np.asarray(inst_tables["inst_cull_scale"], np.float32)  # (I,)
     i_count = inv12.shape[0]
     it = np.zeros((i_count, 16), np.float32)
     it[:, 0:12] = inv12
@@ -176,7 +181,8 @@ def _interval_node_test(bmn3, bmx3, olo, ohi, ilo, ihi, tlo, thi, cap,
     """Conservative packet-vs-AABB: Wald interval slab + origin-box
     expansion (see traverse_pallas2._kernel2). ``dist_scale`` converts an
     axis DISTANCE into a minimum t (1 for unit world directions; the
-    instance's uniform scale s in object space where |d_obj| <= 1/s)."""
+    instance's sigma_min(A) in object space, where |d_obj| <= 1/sigma_min
+    holds for ANY affine instance transform, not just uniform scales)."""
     return _interval_node_test_entry(
         bmn3, bmx3, olo, ohi, ilo, ihi, tlo, thi, cap, dist_scale
     )[0]
@@ -185,37 +191,12 @@ def _interval_node_test(bmn3, bmx3, olo, ohi, ilo, ihi, tlo, thi, cap,
 def _interval_node_test_entry(bmn3, bmx3, olo, ohi, ilo, ihi, tlo, thi, cap,
                               dist_scale):
     """_interval_node_test plus the packet's conservative entry-t lower
-    bound L (the ordered-walk's front-to-back sort key)."""
-    U = jnp.minimum(thi, cap)
-    L = tlo
-    expand_ok = True
-    for k in range(3):
-        alo = bmn3[k] - ohi[k]
-        ahi = bmn3[k] - olo[k]
-        blo = bmx3[k] - ohi[k]
-        bhi = bmx3[k] - olo[k]
-        t0lo = jnp.minimum(
-            jnp.minimum(alo * ilo[k], alo * ihi[k]),
-            jnp.minimum(ahi * ilo[k], ahi * ihi[k]),
-        )
-        t0hi = jnp.maximum(
-            jnp.maximum(alo * ilo[k], alo * ihi[k]),
-            jnp.maximum(ahi * ilo[k], ahi * ihi[k]),
-        )
-        t1lo = jnp.minimum(
-            jnp.minimum(blo * ilo[k], blo * ihi[k]),
-            jnp.minimum(bhi * ilo[k], bhi * ihi[k]),
-        )
-        t1hi = jnp.maximum(
-            jnp.maximum(blo * ilo[k], blo * ihi[k]),
-            jnp.maximum(bhi * ilo[k], bhi * ihi[k]),
-        )
-        L = jnp.maximum(L, jnp.minimum(t0lo, t1lo))
-        U = jnp.minimum(U, jnp.maximum(t0hi, t1hi))
-        expand_ok = expand_ok & (
-            jnp.maximum(alo, -bhi) * dist_scale <= jnp.minimum(thi, cap)
-        )
-    return (L <= U) & expand_ok, L
+    bound L (the ordered-walk's front-to-back sort key) — the shared
+    traverse_pallas2 helper with the instance dist_scale applied."""
+    return interval_node_test_entry(
+        bmn3, bmx3, olo, ohi, ilo, ihi, tlo, thi, cap,
+        dist_scale=dist_scale,
+    )
 
 
 def _kernel_tlas(bounds_ref, tnodes_ref, bnodes_ref, inst_ref, tris_ref,

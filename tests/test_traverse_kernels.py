@@ -310,6 +310,44 @@ def test_binned_multislot_matches_resident_v2(rng):
         )
 
 
+def test_binned_multislot_negative_t(rng):
+    """The multislot merge's scatter-min runs in an order-preserving int
+    domain: with t_min < 0 (legal through the public signature) the
+    winner must still be the MOST NEGATIVE t, not the one whose raw f32
+    bit pattern is the smallest signed int."""
+    from realtimepathtracingresearchframework_tpu.ops import (
+        traverse_binned as tbin,
+    )
+
+    v0, e1, e2 = _terrain(16)
+    # two stacked copies; origins in between looking down: the lower
+    # copy hits at positive t, the upper BEHIND the origin (negative t)
+    v0 = np.concatenate([v0, v0 + np.array([0.0, 30.0, 0.0], np.float32)])
+    e1 = np.concatenate([e1, e1])
+    e2 = np.concatenate([e2, e2])
+    sb = ts.pack_streamed(v0, e1, e2)
+    tb = bvh_mod.build_threaded_bvh(v0, e1, e2, leaf_size=128)
+    bb = tp2.pack_for_pallas2(tb)
+
+    n = 128
+    ro, _ = _rays(n, rng, "incoherent")
+    ro[:, 1] = 15.0  # between the two copies
+    rd = np.tile(np.array([[0.0, -1.0, 0.0]], np.float32), (n, 1))
+    comps = tuple(jnp.asarray(x) for x in (ro[:, 0], ro[:, 1], ro[:, 2],
+                                           rd[:, 0], rd[:, 1], rd[:, 2]))
+    hs = tbin.closest_hit_binned_all(
+        sb, None, None, t_min=-100.0, comps=comps, block=128, k_max=4
+    )
+    hr = tp2.closest_hit_pallas2(
+        bb, jnp.asarray(ro), jnp.asarray(rd), t_min=-100.0
+    )
+    t_r = np.asarray(hr.t)
+    assert (t_r[np.asarray(hr.tri) >= 0] < 0).any()  # scenario is real
+    assert np.array_equal(np.asarray(hs.tri), np.asarray(hr.tri))
+    agree = np.asarray(hs.tri) == np.asarray(hr.tri)
+    assert np.array_equal(np.asarray(hs.t)[agree], t_r[agree])
+
+
 @pytest.mark.parametrize("leaf_size", [32, 64])
 def test_resident_v2_narrow_leaves(rng, leaf_size):
     """Narrow-leaf v2 layout (leaf_size 32/64 sharing 128-lane tiles):
@@ -346,8 +384,11 @@ def test_resident_v2_narrow_leaves(rng, leaf_size):
     assert np.array_equal(on, oref)
 
 
-def _instanced_scene(rng):
-    """Two unique meshes, several rotated/scaled/translated instances."""
+def _instanced_scene(rng, aniso=False):
+    """Two unique meshes, several rotated/scaled/translated instances.
+    ``aniso`` uses per-axis (non-uniform) scales — the culling test must
+    stay conservative there (inst_cull_scale = sigma_min, not
+    cbrt|det|)."""
     from realtimepathtracingresearchframework_tpu.ops import tlas as tlas_mod
 
     v0a, e1a, e2a = _terrain(12)  # 242 tris
@@ -369,8 +410,11 @@ def _instanced_scene(rng):
         ang = rng.uniform(0, 2 * np.pi)
         c, s = np.cos(ang), np.sin(ang)
         rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
-        scale = rng.uniform(0.5, 2.0)
-        transforms[i, :, :3] = rot * scale
+        if aniso:
+            scale = np.diag(rng.uniform(0.3, 3.0, 3).astype(np.float32))
+            transforms[i, :, :3] = rot @ scale
+        else:
+            transforms[i, :, :3] = rot * rng.uniform(0.5, 2.0)
         transforms[i, :, 3] = rng.uniform(-8, 8, 3).astype(np.float32)
 
     blas = tlas_mod.build_blas_set(mesh_tris)
@@ -390,20 +434,23 @@ def _instanced_scene(rng):
     return mesh_tris, mesh_ids, blas, nodes, row_inst, tables, tb
 
 
-@pytest.mark.parametrize("ordered", [False, True])
-def test_tlas_pallas_matches_xla_two_level(rng, ordered):
+@pytest.mark.parametrize("ordered,aniso", [
+    (False, False), (True, False), (False, True),
+])
+def test_tlas_pallas_matches_xla_two_level(rng, ordered, aniso):
     """Pallas two-level traversal (ops/traverse_tlas.py) vs the XLA
     nested walk: same winning shading row / instance, world-t close
     (identical parametrization, different association order), and exact
     occlusion verdicts — the use_two_level -> xla cliff removed. The
-    ordered (front-to-back instance entry) walk must agree too."""
+    ordered (front-to-back instance entry) walk must agree too, and
+    anisotropic instance transforms must not over-cull (holes)."""
     from realtimepathtracingresearchframework_tpu.ops import (
         tlas as tlas_mod,
         traverse_tlas as tt,
     )
 
     mesh_tris, mesh_ids, blas, nodes, row_inst, tables, tb = (
-        _instanced_scene(rng)
+        _instanced_scene(rng, aniso=aniso)
     )
     static = tt.pack_blas_pallas(mesh_tris)
     bb = tt.pack_two_level_pallas(

@@ -21,6 +21,7 @@ command streams; ``jax.block_until_ready`` only at readback.
 from __future__ import annotations
 
 import os
+import threading
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -179,6 +180,7 @@ class Renderer:
         self.timers = DeviceTimers()
         self._render_fns: Dict = {}  # jit cache (GpuProgramCache analogue)
         self._pass_fns: Dict = {}  # scene-capturing pass programs
+        self._pass_fn_lock = threading.Lock()  # warmup_async vs render()
         self._device_scene_revision = 0
         self._last_rays = 0
         self._last_render_ms = 0.0
@@ -422,15 +424,31 @@ class Renderer:
                     return False
         if adjusted != self.options:
             last_good = self.options
+            # CPU-stage scene options change what _rebuild_scene builds
+            # (TLAS vs flattened, quantized streamed tiles) — a plain
+            # re-upload would silently keep the old structures
+            rebuild = self.scene is not None and any(
+                getattr(adjusted, f) != getattr(self.options, f)
+                for f in ("use_tlas", "quantized_geometry")
+            )
+            # the lights/sky rebuild must use the scene's ACTUAL config
+            # (sun/turbidity/albedo from set_scene), not the defaults
+            sc_cfg = getattr(self, "_scene_config", None) or SceneConfig()
             try:
                 self.options = adjusted
-                if self.scene is not None:
-                    self._upload_lights_and_sky(SceneConfig())
+                if rebuild:
+                    self._rebuild_scene(
+                        sc_cfg,
+                        frame=getattr(self, "_scene_frame", 0),
+                        camera_pos=getattr(self, "_lod_camera_pos", None),
+                    )
+                elif self.scene is not None:
+                    self._upload_lights_and_sky(sc_cfg)
             except Exception as e:  # revert to last-known-good
                 warning("option apply failed (%s); reverting", e)
                 self.options = last_good
                 if self.scene is not None:
-                    self._upload_lights_and_sky(SceneConfig())
+                    self._upload_lights_and_sky(sc_cfg)
                 return False
         return ok
 
@@ -442,14 +460,44 @@ class Renderer:
             for ext in self.extensions:
                 ext.update_scene_from_backend(scene)
 
+    def _get_or_make_pass_fn(self, pkey, cfg):
+        """The ONE pass-program creation point, shared by render() and
+        warmup_async (lock: a racing pair would otherwise build two
+        distinct jit instances — separate jit caches, double compile —
+        and overwrite each other's dict entry). The fn is published
+        BEFORE any warm call, so both sides hold the same jit instance
+        and the compile happens once inside it."""
+        pass_fn = self._pass_fns.get(pkey)
+        if pass_fn is not None:
+            return pass_fn
+        with self._pass_fn_lock:
+            pass_fn = self._pass_fns.get(pkey)
+            if pass_fn is not None:
+                return pass_fn
+            # evict closures over STALE scene revisions (they pin the
+            # old device scene in HBM); same-revision entries for other
+            # configs stay warm
+            for k in [k for k in self._pass_fns if k[3] != pkey[3]]:
+                del self._pass_fns[k]
+            if self._multi:
+                pass_fn = [
+                    make_pass_fn(ds_d, cfg, self.fb_width, self.fb_height)
+                    for ds_d in self._device_scenes
+                ]
+            else:
+                pass_fn = make_pass_fn(
+                    self.device_scene, cfg, self.fb_width, self.fb_height
+                )
+            self._pass_fns[pkey] = pass_fn
+        return pass_fn
+
     def warmup_async(self, params: Optional[RenderParams] = None):
         """Background-compile the pass program for the current scene +
         options — the reference's std::async pipeline builds
         (render_vulkan.cpp:139-155 wait_for_construction). Returns the
         Thread; the first render() blocks only if it outruns the warmup
-        (both sides hit the same jit cache entry)."""
-        import threading
-
+        (both sides hold the same jit instance, so the compile happens
+        once)."""
         params = params or RenderParams()
         cfg = self._integrator_config(params)
         if self.active_variant == VARIANT_WAVEFRONT:
@@ -458,20 +506,7 @@ class Renderer:
 
         def build():
             try:
-                pass_fn = self._pass_fns.get(pkey)
-                if pass_fn is None:
-                    if self._multi:
-                        pass_fn = [
-                            make_pass_fn(
-                                ds_d, cfg, self.fb_width, self.fb_height
-                            )
-                            for ds_d in self._device_scenes
-                        ]
-                    else:
-                        pass_fn = make_pass_fn(
-                            self.device_scene, cfg,
-                            self.fb_width, self.fb_height,
-                        )
+                pass_fn = self._get_or_make_pass_fn(pkey, cfg)
                 px_c, py_c, valid_c, _inv, _nc, chunk = _swizzle_tables(
                     self.fb_width, self.fb_height
                 )
@@ -501,7 +536,6 @@ class Renderer:
                         put(jnp.uint32(0)), put(jnp.uint32(0)),
                     )
                     jax.block_until_ready(out)
-                self._pass_fns[pkey] = pass_fn
             except Exception as e:  # warmup is best-effort
                 warning("warmup_async failed: %s", e)
 
@@ -565,6 +599,10 @@ class Renderer:
     def _rebuild_scene(self, scene_config: SceneConfig, frame: int = 0,
                        camera_pos=None) -> None:
         scene = self.scene
+        # the scene's lighting config is needed by every later rebuild
+        # trigger (configure_for, set_animation_frame) — rebuilding with
+        # a default SceneConfig() would silently reset the sun/sky
+        self._scene_config = scene_config
         self._use_two_level = bool(self.options.use_tlas)
         if not self._use_two_level:
             # a previous two-level scene must not leak its Pallas TLAS
@@ -674,6 +712,18 @@ class Renderer:
                     )
             self._topology = None
             self._bvh = None
+        elif self._use_two_level:
+            # every two-level consumer traverses ds.tlas, never ds.bvh;
+            # keep DeviceScene.bvh structurally present as a 1-tri dummy
+            # (like the 1-texel atlas) instead of building + uploading a
+            # world-flatten SAH BVH nothing reads — for a large
+            # instanced scene that build dominated set_scene
+            self._streamed = None
+            dz = np.zeros((1, 3), np.float32)
+            self._topology = bvh_mod.build_bvh(
+                dz, dz, dz, leaf_size=bvh_mod.LEAF_SIZE
+            )
+            self._bvh = bvh_mod.thread_bvh(self._topology, dz, dz, dz)
         else:
             self._streamed = None
             if self._use_pallas:
@@ -882,6 +932,19 @@ class Renderer:
     def reset_accumulation(self) -> None:
         self.frame_id = 0
 
+    _STREAM_CLOSEST_STRATEGIES = ("sorted", "ordered", "binned", "multislot")
+
+    def _stream_closest_strategy(self) -> str:
+        """RPTR_STREAM_CLOSEST, validated — a typo would silently fall
+        through to the default sorted walk and mislabel an A/B run."""
+        v = os.environ.get("RPTR_STREAM_CLOSEST", "sorted")
+        if v not in self._STREAM_CLOSEST_STRATEGIES:
+            raise ValueError(
+                f"RPTR_STREAM_CLOSEST={v!r}: expected one of "
+                f"{self._STREAM_CLOSEST_STRATEGIES}"
+            )
+        return v
+
     def _integrator_config(self, params: RenderParams) -> IntegratorConfig:
         return IntegratorConfig(
             max_path_depth=int(params.max_path_depth),
@@ -910,7 +973,7 @@ class Renderer:
             aniso_taps=int(self.options.aniso_taps)
             if not getattr(self, "_use_two_level", False) else 0,
             compact=os.environ.get("RPTR_COMPACT", "") not in ("", "0"),
-            stream_closest=os.environ.get("RPTR_STREAM_CLOSEST", "sorted"),
+            stream_closest=self._stream_closest_strategy(),
         )
 
     def render(self, config: FrameConfig, batch_spp: Optional[int] = None) -> RenderStats:
@@ -960,11 +1023,11 @@ class Renderer:
                 cam_dir_top_left=jnp.asarray(tl),
             )
             self._view_cache = (vkey, view)
-        pixel_spread = float(np.linalg.norm(du)) / max(self.fb_width, 1)
+        sc_cfg = config.scene_config or SceneConfig()
         fkey = (
             params.rr_path_depth, params.glossy_only_mode,
-            self.shot_offset, params.pixel_radius * pixel_spread,
-            config.scene_config.bump_scale, params.aperture_radius,
+            self.shot_offset, params.pixel_radius,
+            sc_cfg.bump_scale, params.aperture_radius,
             params.focus_distance,
         )
         cached = getattr(self, "_fp_cache", None)
@@ -976,8 +1039,7 @@ class Renderer:
                 glossy_only_mode=jnp.int32(params.glossy_only_mode),
                 sample_offset=jnp.uint32(0),
                 shot_offset=jnp.uint32(self.shot_offset),
-                pixel_spread=jnp.float32(params.pixel_radius * pixel_spread),
-                bump_scale=jnp.float32(config.scene_config.bump_scale),
+                bump_scale=jnp.float32(sc_cfg.bump_scale),
                 aperture_radius=jnp.float32(params.aperture_radius),
                 focus_distance=jnp.float32(params.focus_distance),
                 pixel_radius=jnp.float32(params.pixel_radius),
@@ -1002,22 +1064,10 @@ class Renderer:
         # degrades when waves share a module or the scene arrives as a
         # parameter — see integrator.make_pass_fn)
         pkey = (cfg, self.fb_width, self.fb_height, self._device_scene_revision)
-        pass_fn = self._pass_fns.get(pkey)
-        if pass_fn is None:
-            self._pass_fns.clear()  # stale scene closures
-            if self._multi:
-                # one pass program per device, each capturing that
-                # device's scene replica (round-robin chunk dispatch —
-                # the host-dispatch fast path scaled across chips)
-                pass_fn = [
-                    make_pass_fn(ds_d, cfg, self.fb_width, self.fb_height)
-                    for ds_d in self._device_scenes
-                ]
-            else:
-                pass_fn = make_pass_fn(
-                    self.device_scene, cfg, self.fb_width, self.fb_height
-                )
-            self._pass_fns[pkey] = pass_fn
+        # shared get-or-create (multi-device: one pass program per chip,
+        # each capturing that device's scene replica — the host-dispatch
+        # fast path scaled across chips)
+        pass_fn = self._get_or_make_pass_fn(pkey, cfg)
 
         fast = (
             params.reprojection_mode != REPROJECTION_MODE_ACCUMULATE
@@ -1613,12 +1663,18 @@ class Renderer:
     #  machinery but not animation playback — we support both)
     # ------------------------------------------------------------------
 
-    def set_animation_frame(self, frame: int, scene_config: SceneConfig = SceneConfig()) -> None:
+    def set_animation_frame(self, frame: int,
+                            scene_config: Optional[SceneConfig] = None) -> None:
         """Re-pose instances at an animation frame. Same topology -> the
         acceleration structure is REFIT (AABBs recomputed over the same
         tree, vulkanrt_utils.h:92-101) unless force_bvh_rebuild or the
         triangle count is within rebuild_triangle_budget, in which case a
-        full rebuild keeps quality (render_vulkan.cpp:472-545 budget)."""
+        full rebuild keeps quality (render_vulkan.cpp:472-545 budget).
+
+        ``scene_config`` defaults to the one from set_scene — animating
+        must not silently reset a custom sun/turbidity."""
+        if scene_config is None:
+            scene_config = getattr(self, "_scene_config", None) or SceneConfig()
         scene = self.scene
         if getattr(self, "_use_two_level", False):
             # two-level fast path: only the instance-count TLAS is rebuilt

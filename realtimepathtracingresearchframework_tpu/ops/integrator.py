@@ -356,7 +356,6 @@ class FrameParams(NamedTuple):
     glossy_only_mode: jnp.ndarray
     sample_offset: jnp.ndarray  # accumulation frame offset (uint32)
     shot_offset: jnp.ndarray  # frame_offset randomization (uint32)
-    pixel_spread: jnp.ndarray = jnp.float32(0.001)  # radians/px, for mip LOD
     bump_scale: jnp.ndarray = jnp.float32(1.0)  # SceneConfig.bump_scale
     aperture_radius: jnp.ndarray = jnp.float32(0.0)  # thin-lens DoF
     focus_distance: jnp.ndarray = jnp.float32(1.0)  # (render_params.glsl.h)

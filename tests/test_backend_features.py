@@ -357,3 +357,55 @@ def test_thin_transmission_material_renders():
     assert not np.allclose(imgs[0], imgs[1]), (
         "thin transmission did not change shading"
     )
+
+
+def test_configure_for_keeps_scene_config():
+    """configure_for re-uploads lights/sky with the SceneConfig from
+    set_scene (app.cpp:397-432 applies options, not lighting): a default
+    SceneConfig() here would silently reset a custom sun/turbidity."""
+    from realtimepathtracingresearchframework_tpu.backend.params import (
+        SceneConfig,
+    )
+
+    r = Renderer()
+    r.initialize(8, 8)
+    sc = SceneConfig(sun_dir=(0.3, 0.8, 0.5), turbidity=8.0)
+    r.set_scene(_cornell(), scene_config=sc)
+    key_before = r._sky_cache_key
+    assert r.configure_for(r.options.replace(light_sampling_bucket_count=8))
+    assert r._sky_cache_key == key_before  # custom sun survived
+
+    # set_animation_frame without an explicit config keeps it too
+    r.set_animation_frame(0)
+    assert r._sky_cache_key == key_before
+
+
+def test_configure_for_rebuilds_for_cpu_stage_options():
+    """CPU-stage scene options (use_tlas, quantized_geometry) change what
+    _rebuild_scene builds; configure_for must rebuild, not just
+    re-upload (RBO_STAGES_CPU_ONLY, render_params.glsl.h:107-114)."""
+    r = _small_renderer(w=8, h=8)
+    assert not r._use_two_level
+    assert r.configure_for(r.options.replace(use_tlas=True))
+    assert r._use_two_level
+    assert r._tlas_buffers is not None
+    # closest-hit queries traverse the TLAS path end-to-end
+    t, tri, _, _ = r.render_ray_queries(
+        np.array([[0.0, 1.0, 3.2]], np.float32),
+        np.array([[0.0, 0.0, -1.0]], np.float32),
+    )
+    assert tri[0] >= 0
+    assert r.configure_for(r.options.replace(use_tlas=False))
+    assert not r._use_two_level
+
+
+def test_render_accepts_none_scene_config():
+    """FrameConfig(scene_config=None) is legal everywhere in render()."""
+    cam = OrientedCamera.look_at([0, 1.0, 3.2], [0, 1.0, 0.0], fovy=50)
+    cfg = FrameConfig(
+        camera=cam, params=RenderParams(max_path_depth=2),
+        scene_config=None,
+    )
+    r = _small_renderer(w=8, h=8)
+    stats = r.render(cfg)
+    assert stats is not None

@@ -46,13 +46,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("scenes", nargs="*", help=".vks files or cornell|triangle")
     p.add_argument("--img", nargs=2, type=int, default=[1920, 1080], metavar=("W", "H"))
-    p.add_argument("--upscale", type=int, default=1)
+    # state-backed values default to None: an omitted flag must NOT
+    # clobber what --config/--frame/adjacent-ini files loaded (the
+    # dataclass defaults in app/state.py match the old CLI defaults)
+    p.add_argument("--upscale", type=int, default=None)
     p.add_argument("--config", action="append", default=[], help="ini config file(s)")
     p.add_argument("--frame", action="append", default=[], help="keyframe ini file(s)")
     p.add_argument("--eye", nargs=3, type=float, default=None)
     p.add_argument("--center", nargs=3, type=float, default=None)
-    p.add_argument("--up", nargs=3, type=float, default=[0.0, 1.0, 0.0])
-    p.add_argument("--fov", type=float, default=65.0)
+    p.add_argument("--up", nargs=3, type=float, default=None)
+    p.add_argument("--fov", type=float, default=None)
     p.add_argument("--camera", type=int, default=-1, help="scene camera index")
     p.add_argument("--device", "--vulkan-device", type=int, default=0)
     p.add_argument(
@@ -84,10 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pfm", action="store_true")
     p.add_argument("--png", action="store_true")
     p.add_argument("--resource-dir", default=None)
-    p.add_argument("--spp", type=int, default=1, help="batch spp per frame")
-    p.add_argument("--max-depth", type=int, default=9)
-    p.add_argument("--rr-depth", type=int, default=2)
-    p.add_argument("--exposure", type=float, default=0.0)
+    p.add_argument("--spp", type=int, default=None, help="batch spp per frame")
+    p.add_argument("--max-depth", type=int, default=None)
+    p.add_argument("--rr-depth", type=int, default=None)
+    p.add_argument("--exposure", type=float, default=None)
     p.add_argument("--light-sampling", choices=["none", "ris"], default="ris")
     p.add_argument(
         "--rng",
@@ -113,10 +116,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--reprojection",
         choices=["none", "discard", "accumulate"],
-        default="none",
+        default=None,
     )
-    p.add_argument("--sun-dir", nargs=3, type=float, default=[0.0, 1.0, 0.0])
-    p.add_argument("--turbidity", type=float, default=3.0)
+    p.add_argument("--sun-dir", nargs=3, type=float, default=None)
+    p.add_argument("--turbidity", type=float, default=None)
     return p
 
 
@@ -181,26 +184,37 @@ def main(argv=None) -> int:
         ims.load_ini(path)
     ims.apply_base()
 
-    eye = args.eye if args.eye is not None else None
-    center = args.center
-    if eye is not None:
-        bundle.scene.camera.position = np.asarray(eye, np.float64)
-    if center is not None:
+    # explicit CLI flags override config/state; omitted flags keep
+    # whatever the ini files loaded (or the dataclass defaults — the
+    # old CLI defaults — when nothing was loaded)
+    if args.eye is not None:
+        bundle.scene.camera.position = np.asarray(args.eye, np.float64)
+    if args.center is not None:
         pos = np.asarray(bundle.scene.camera.position, np.float64)
-        d = np.asarray(center, np.float64) - pos
+        d = np.asarray(args.center, np.float64) - pos
         bundle.scene.camera.direction = d / np.linalg.norm(d)
-    if args.eye is None and args.center is None and not (args.config or args.frame):
-        bundle.scene.camera.position = np.array([0.0, 1.0, 3.2])
-        bundle.scene.camera.direction = np.array([0.0, 0.0, -1.0])
-    bundle.scene.camera.up = np.asarray(args.up, np.float64)
-    bundle.scene.camera.fov = args.fov
-    bundle.scene.sun.direction = np.asarray(args.sun_dir, np.float64)
-    bundle.scene.sun.turbidity = args.turbidity
-    bundle.scene.exposure = args.exposure
-    bundle.app.batch_spp = args.spp
-    bundle.app.max_path_depth = args.max_depth
-    bundle.app.rr_path_depth = args.rr_depth
-    bundle.app.render_upscale_factor = args.upscale
+    if args.up is not None:
+        bundle.scene.camera.up = np.asarray(args.up, np.float64)
+    if args.fov is not None:
+        bundle.scene.camera.fov = args.fov
+    if args.sun_dir is not None:
+        bundle.scene.sun.direction = np.asarray(args.sun_dir, np.float64)
+    if args.turbidity is not None:
+        bundle.scene.sun.turbidity = args.turbidity
+    if args.exposure is not None:
+        bundle.scene.exposure = args.exposure
+    if args.spp is not None:
+        bundle.app.batch_spp = args.spp
+    if args.max_depth is not None:
+        bundle.app.max_path_depth = args.max_depth
+    if args.rr_depth is not None:
+        bundle.app.rr_path_depth = args.rr_depth
+    if args.upscale is not None:
+        bundle.app.render_upscale_factor = args.upscale
+    if args.reprojection is not None:
+        bundle.app.reprojection_mode = (
+            ["none", "discard", "accumulate"].index(args.reprojection)
+        )
     camera = bundle.scene.camera.to_camera()
 
     import jax
@@ -216,8 +230,12 @@ def main(argv=None) -> int:
     else:
         renderer = Renderer(device=jax.devices()[args.device])
     renderer.set_variant(args.variant)
+    # params + scene config come from the state bundle (ini-loaded
+    # values with CLI overrides applied above) — one source of truth
+    # shared with the viewer/profiling/data-capture paths
+    base = bundle.frame_config()
     opts = renderer.options.replace(
-        render_upscale_factor=args.upscale,
+        render_upscale_factor=int(bundle.app.render_upscale_factor),
         light_sampling_variant=(
             LIGHT_SAMPLING_VARIANT_RIS if args.light_sampling == "ris" else 0
         ),
@@ -229,20 +247,12 @@ def main(argv=None) -> int:
     )
     renderer.options = opts
     renderer.initialize(args.img[0], args.img[1])
-    renderer.set_scene(
-        scene,
-        SceneConfig(sun_dir=tuple(args.sun_dir), turbidity=args.turbidity),
-    )
+    renderer.set_scene(scene, base.scene_config)
 
-    params = RenderParams(
-        batch_spp=args.spp,
-        max_path_depth=args.max_depth,
-        rr_path_depth=args.rr_depth,
-        exposure=args.exposure,
-        render_upscale_factor=args.upscale,
-        reprojection_mode=["none", "discard", "accumulate"].index(args.reprojection),
+    params = base.params
+    config = FrameConfig(
+        camera=camera, params=params, scene_config=base.scene_config
     )
-    config = FrameConfig(camera=camera, params=params)
     # async pipeline warmup (render_vulkan.cpp:139-155): overlap the jit
     # compile of the hot pass program with remaining startup work — only
     # ahead of the interactive viewer; headless modes start rendering
@@ -357,7 +367,7 @@ def main(argv=None) -> int:
         "rendered %dx%d @ %d spp in %.2f ms (%.2f Mrays/s)",
         args.img[0],
         args.img[1],
-        args.spp,
+        int(bundle.app.batch_spp),
         stats.render_time,
         stats.rays_per_second / 1e6,
     )

@@ -83,14 +83,33 @@ def prune_pois(
         return []
     order = rng.permutation(len(pois))
     cell = max(min_separation, 1e-12)
-    seen = set()
+    # grid hash with a 27-neighborhood distance check: same-cell-only
+    # dedup keeps near-duplicates that straddle a cell boundary
+    seen: dict = {}
     kept: List[Poi] = []
     for i in order:
         p = pois[int(i)]
-        key = tuple(np.floor(p.position / cell).astype(np.int64))
-        if key in seen:
+        pos = np.asarray(p.position, np.float64)
+        key = tuple(np.floor(pos / cell).astype(np.int64))
+        close = False
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    for q in seen.get(
+                        (key[0] + dx, key[1] + dy, key[2] + dz), ()
+                    ):
+                        if np.linalg.norm(pos - q) < min_separation:
+                            close = True
+                            break
+                    if close:
+                        break
+                if close:
+                    break
+            if close:
+                break
+        if close:
             continue
-        seen.add(key)
+        seen.setdefault(key, []).append(pos)
         kept.append(p)
         if max_pois is not None and len(kept) >= max_pois:
             break

@@ -315,6 +315,18 @@ def _get_field(obj, name):
 def _apply_attr(obj, name: str, raw: str) -> None:
     import numpy as np
 
+    if not hasattr(obj, name):
+        # case-insensitive fallback, matching _get_field's scope lookup:
+        # reference-written inis capitalize attribute lines too
+        # ("Position= 1 2 3" onto CameraState.position)
+        low = name.lower()
+        name = next(
+            (
+                a for a in dir(obj)
+                if a.lower() == low and not a.startswith("_")
+            ),
+            name,
+        )
     cur = getattr(obj, name, None)
     if cur is None and not hasattr(obj, name):
         return

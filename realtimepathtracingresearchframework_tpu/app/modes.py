@@ -178,9 +178,9 @@ def run_data_capture(
     timeline, named <prefix>_vp%02d_*."""
     saved = []
     ims.pad_frames(1)
-    kf = 0
+    t = 0.0
     while True:
-        if ims.have_new_settings(float(kf)):
+        if ims.have_new_settings(t):
             ims.handled_new_settings()
         renderer.reset_accumulation()
         config = bundle.frame_config()
@@ -195,9 +195,13 @@ def run_data_capture(
             renderer, f"{prefix}_{ims.current_keyframe() + 1:04d}",
             rgba, albedo_roughness, normal_depth, motion,
         )
-        if ims.last_keyframe_coming_up(float(kf + 1)):
+        # one capture per KEYFRAME: jump logical time straight to the
+        # next settings frame's constraint (stepping by 1.0 re-rendered
+        # and overwrote the same capture once per unit of keyframe gap)
+        nxt = ims.next_settings_index
+        if nxt >= ims.num_keyframes():
             break
-        kf += 1
+        t = float(ims.settings[nxt].timeline_constraint)
 
     if viewpoints > 0:
         from realtimepathtracingresearchframework_tpu.app.datacapture import (

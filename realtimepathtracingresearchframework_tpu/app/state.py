@@ -85,6 +85,7 @@ class ApplicationState:
     continuous_restart: bool = False
     output_channel: int = 0
     render_upscale_factor: int = 1
+    reprojection_mode: int = 0  # REPROJECTION_MODE_* (--reprojection)
 
 
 def make_scene_id(scene_path: str) -> str:
@@ -119,6 +120,7 @@ class AppStateBundle:
             exposure=float(self.scene.exposure),
             early_tone_mapping_mode=int(self.scene.tonemap_operator),
             render_upscale_factor=int(self.app.render_upscale_factor),
+            reprojection_mode=int(self.app.reprojection_mode),
         )
         scene_config = SceneConfig(
             bump_scale=float(self.scene.bump_scale),

@@ -403,6 +403,10 @@ class Scene:
                 mesh_remap[i] = i
         for pm in self.parameterized_meshes:
             pm.mesh_id = mesh_remap[pm.mesh_id]
+        for lg in self.lod_groups:
+            lg.mesh_ids = [
+                mesh_remap.get(i, i) for i in lg.mesh_ids
+            ]
 
         # canonical parameterized mesh per (mesh, materials) binding
         pm_canon: dict = {}
@@ -425,7 +429,22 @@ class Scene:
         for inst in self.instances:
             inst.parameterized_mesh_id = pm_new_ids[inst.parameterized_mesh_id]
 
-        used_m = sorted({pm.mesh_id for pm in self.parameterized_meshes})
+        used_m_set = {pm.mesh_id for pm in self.parameterized_meshes}
+        # LoD variant meshes are reachable only through their group —
+        # instances point at the base level (append_vkr_scene) — so GC
+        # must keep every member of a group a surviving mesh belongs to,
+        # or LoD selection is silently destroyed
+        for gi in {
+            self.meshes[i].lod_group
+            for i in used_m_set
+            if self.meshes[i].lod_group < len(self.lod_groups)
+        }:
+            used_m_set.update(
+                mid
+                for mid in self.lod_groups[gi].mesh_ids
+                if 0 <= mid < len(self.meshes)
+            )
+        used_m = sorted(used_m_set)
         m_new_ids = {old: new for new, old in enumerate(used_m)}
         meshes_removed = len(self.meshes) - len(used_m)
         self.meshes = [self.meshes[i] for i in used_m]
@@ -648,7 +667,11 @@ def _uv_mapping_attrs(flat: FlatScene):
     fallback = np.zeros_like(tangent)
     fallback[:, 0] = 1.0
     tangent = np.where(tl > 1e-12, tangent / np.maximum(tl, 1e-20), fallback)
-    bitangent = (flat.e2 * duv1[:, 0:1] - flat.e1 * duv2[:, 0:1]) * -r[:, None]
+    # standard uv-basis bitangent B = (e2*u1 - e1*u2)/det: verified
+    # numerically to give sign(dot(cross(n, T), B)) == the reference's
+    # bitangent_l sign (rt/hit.glsl:118) on random triangles — a negated
+    # B here would flip the green channel of every normal map
+    bitangent = (flat.e2 * duv1[:, 0:1] - flat.e1 * duv2[:, 0:1]) * r[:, None]
     handed = np.where(
         np.sum(np.cross(gn, tangent) * bitangent, axis=-1) >= 0.0, 1.0, -1.0
     ).astype(np.float32)

@@ -430,9 +430,13 @@ def open_scene(path: str, load_textures: bool = True) -> VkrScene:
     # -- meshes
     for _ in range(num_meshes):
         mesh = VkrMesh()
-        mesh.vertex_scale = np.frombuffer(mm, "<f4", 3, pos).copy()
-        mesh.vertex_offset = np.frombuffer(mm, "<f4", 3, pos + 12).copy()
-        pos += 24
+        if version != 2:
+            # v2 stores scale/offset AFTER the name + id fields; reading
+            # them here too would misalign the whole v2 record by 24
+            # bytes (vkr.c:886-890 guards this read identically)
+            mesh.vertex_scale = np.frombuffer(mm, "<f4", 3, pos).copy()
+            mesh.vertex_offset = np.frombuffer(mm, "<f4", 3, pos + 12).copy()
+            pos += 24
         header_end = vertex_buffer_offset = 0
         num_segments = 1
         mesh.num_triangles = num_triangles_total
@@ -870,14 +874,51 @@ def optimize_mesh(mesh: "VkrMesh") -> "VkrMesh":
     ).astype(np.int64)
     vq = mesh.vertices_q.reshape(-1, 3)[order].reshape(-1)
     nq = mesh.normal_uv_q.reshape(-1, 3)[order].reshape(-1)
+
+    # material assignment must survive the segment collapse: resolve
+    # per-triangle ABSOLUTE ids under the scene.cpp:665-676 rule (id
+    # buffer only for single-segment meshes with num_materials_in_range
+    # > 1; segment base offsets otherwise), reorder, then re-emit in the
+    # canonical single-segment encoding of the same assignment
+    if mesh.num_segments == 1 and mesh.num_materials_in_range > 1:
+        resolved = np.asarray(mesh.material_ids, np.int64) + int(
+            mesh.material_id_buffer_base
+        )
+    else:
+        resolved = np.repeat(
+            np.asarray(mesh.segment_material_base_offsets, np.int64),
+            np.asarray(mesh.segment_num_triangles, np.int64),
+        )
+    resolved = resolved[order]
+    base = int(resolved.min()) if len(resolved) else 0
+    local = resolved - base
+    nmir = int(local.max()) + 1 if len(local) else 1
     import dataclasses
 
+    if nmir > 1:
+        # id-buffer path (1 segment + nmir > 1 keeps it honored)
+        return dataclasses.replace(
+            mesh,
+            vertices_q=vq,
+            normal_uv_q=nq,
+            material_ids=local.astype(
+                np.uint16 if nmir > 0x100 else np.uint8
+            ),
+            material_id_buffer_base=base,
+            num_materials_in_range=nmir,
+            segment_num_triangles=[mesh.num_triangles],
+            segment_material_base_offsets=[base],
+            indices=None,
+        )
+    # uniform material: the offset path carries it (id buffer ignored)
     return dataclasses.replace(
         mesh,
         vertices_q=vq,
         normal_uv_q=nq,
-        material_ids=np.asarray(mesh.material_ids)[order],
+        material_ids=np.zeros(len(order), np.uint8),
+        material_id_buffer_base=base,
+        num_materials_in_range=1,
         segment_num_triangles=[mesh.num_triangles],
-        segment_material_base_offsets=[0],
+        segment_material_base_offsets=[base],
         indices=None,
     )

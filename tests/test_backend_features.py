@@ -409,3 +409,35 @@ def test_render_accepts_none_scene_config():
     r = _small_renderer(w=8, h=8)
     stats = r.render(cfg)
     assert stats is not None
+
+
+def test_deduplicate_keeps_lod_variant_meshes():
+    """LoD variant meshes are referenced only through lod_groups (the
+    base level alone is instanced, append_vkr_scene); dedup GC must not
+    collect them — that would silently disable LoD selection."""
+    from realtimepathtracingresearchframework_tpu.models import vkr
+
+    vs = procedural.single_triangle()
+    coarse = procedural.make_mesh(
+        "tri_lod1",
+        np.array([[[-2, -2, 0], [2, -2, 0], [0, 2, 0]]], np.float32),
+    )
+    coarse.lod_group = 1
+    vs.meshes[0].lod_group = 1
+    vs.meshes.append(coarse)
+    vs.lod_groups.append(
+        vkr.VkrLodGroup(mesh_ids=[0, 1], detail_reduction=[0.0, 0.5])
+    )
+    scene = Scene.from_vkr_scene(vs)
+    assert scene.has_lod_groups()
+    n_meshes = len(scene.meshes)
+
+    scene.deduplicate()
+    assert len(scene.meshes) == n_meshes  # coarse level survives GC
+    groups = [g for g in scene.lod_groups if len(g.mesh_ids) >= 2]
+    assert groups, "LoD group lost its variant list"
+    xform = np.zeros((3, 4), np.float32)
+    xform[:, :3] = np.eye(3)
+    far = scene.select_lod(0, xform, camera_pos=[0, 0, 1e5],
+                           lod_threshold=0.02)
+    assert far != 0  # coarse level still selectable

@@ -127,3 +127,35 @@ def test_reference_cased_nested_scopes_load():
         ims.apply_base()
     np.testing.assert_allclose(b.scene.camera.position, [4.0, 5.0, 6.0])
     np.testing.assert_allclose(b.scene.camera.direction, [0.0, -1.0, 0.0])
+
+
+def test_capitalized_attribute_lines_apply():
+    """Reference-written inis capitalize attribute names too (Position,
+    Direction); _apply_attr must fall back case-insensitively like the
+    scope lookup does."""
+    ims = ImState()
+    b = AppStateBundle(ims)
+    ims.loads(
+        """
+[Application][Scene]
+[.][Camera]
+Position= 4 5 6
+Fov= 41
+"""
+    )
+    ims.apply_base()
+    np.testing.assert_allclose(b.scene.camera.position, [4, 5, 6])
+    assert b.scene.camera.fov == pytest.approx(41.0)
+
+
+def test_cli_flags_do_not_clobber_config_values():
+    """Omitted CLI flags keep ini-loaded state: the state-backed flags
+    default to None and apply only when explicitly passed."""
+    from realtimepathtracingresearchframework_tpu.app.cli import build_parser
+
+    args = build_parser().parse_args(["cornell"])
+    for f in ("fov", "up", "spp", "max_depth", "rr_depth", "exposure",
+              "sun_dir", "turbidity", "upscale", "reprojection"):
+        assert getattr(args, f) is None, f
+    args2 = build_parser().parse_args(["cornell", "--fov", "40"])
+    assert args2.fov == 40.0

@@ -148,3 +148,53 @@ def test_aniso_render_valid_and_close_to_iso(tmp_path):
     # images not identical (the filter actually engaged)
     np.testing.assert_allclose(aniso.mean(), iso.mean(), rtol=0.1)
     assert np.abs(aniso - iso).max() > 1e-4
+
+
+def test_tangent_handedness_matches_reference_convention():
+    """scene._uv_mapping_attrs handedness == sign of the reference's
+    bitangent_l (rt/hit.glsl:98-118) for random triangles — a flipped
+    sign inverts every normal map's green channel."""
+    from realtimepathtracingresearchframework_tpu.models.scene import (
+        FlatScene,
+        _uv_mapping_attrs,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 256
+    v = rng.normal(size=(n, 3, 3)).astype(np.float32)
+    uv = rng.normal(size=(n, 3, 2)).astype(np.float32)
+    e1 = v[:, 1] - v[:, 0]
+    e2 = v[:, 2] - v[:, 0]
+    z3 = np.zeros((n, 3), np.float32)
+    flat = FlatScene(
+        v0=v[:, 0], e1=e1, e2=e2,
+        n0=z3, n1=z3, n2=z3,
+        uv0=uv[:, 0], uv1=uv[:, 1], uv2=uv[:, 2],
+        material_id=np.zeros(n, np.int32),
+        instance_id=np.zeros(n, np.int32),
+        texel_density=None, tangent=None,
+    )
+    _, tang = _uv_mapping_attrs(flat)
+    hand = tang[:, 3]
+
+    # reference: T/B from the dp-perp construction, bitangent_l =
+    # dot(normalize(cross(n, T)), B)
+    gn = np.cross(e1, e2)
+    frame_n = gn / np.maximum(
+        np.linalg.norm(gn, axis=-1, keepdims=True) ** 2, 1e-20
+    )
+    duv1 = uv[:, 1] - uv[:, 0]
+    duv2 = uv[:, 2] - uv[:, 0]
+    dp2perp = np.cross(e2, frame_n)
+    dp1perp = np.cross(frame_n, e1)
+    t_ref = dp2perp * duv1[:, 0:1] + dp1perp * duv2[:, 0:1]
+    b_ref = dp2perp * duv1[:, 1:2] + dp1perp * duv2[:, 1:2]
+    gnu = gn / np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+    bl = np.sum(np.cross(gnu, t_ref) * b_ref, axis=-1)
+
+    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    ok = (np.abs(det) > 1e-5) & (np.linalg.norm(gn, axis=-1) > 1e-5) & (
+        np.abs(bl) > 1e-7
+    )
+    assert ok.sum() > 200
+    assert np.array_equal(np.sign(bl[ok]), hand[ok])

@@ -241,3 +241,105 @@ def test_multi_segment_material_assignment(tmp_path):
     s.append_vkr_scene(vs)
     ids = s.meshes[0].geometries[0].material_ids
     np.testing.assert_array_equal(np.asarray(ids), [0, 1])
+
+
+def test_open_scene_v2_deprecated_order(tmp_path):
+    """v2 .vks mesh records store vertex scale/offset AFTER the name and
+    id fields (the deprecated order vkr.c:957-967 preserves); parsing
+    must not consume them up front, or every later field misaligns."""
+    import struct
+
+    tri = np.array([[[-1, -1, 0], [1, -1, 0], [0, 1, 0]]], np.float32)
+    mesh = procedural.make_mesh("tri", tri)
+
+    def s(name):
+        b = name.encode()
+        return struct.pack("<Q", len(b)) + b + b"\0"
+
+    buf = struct.pack("<ii", vkr.VKS_MAGIC, 2)
+    buf += struct.pack("<QQQQ", 1, 1, 1, 1)  # meshes, insts, materials, tris
+    # mesh record in v2 order: name, (matIdBase, nmir, numTris), scale, offset
+    buf += s("tri")
+    buf += struct.pack("<iQQ", 0, 1, 1)
+    buf += np.asarray(mesh.vertex_scale, "<f4").tobytes()
+    buf += np.asarray(mesh.vertex_offset, "<f4").tobytes()
+    # instance group in v2 order: name, mesh_id, column-major 4x3 transform
+    buf += s("inst")
+    buf += struct.pack("<i", 0)
+    t = np.zeros((4, 3), np.float32)
+    t[:3] = np.eye(3, dtype=np.float32)
+    buf += t.astype("<f4").tobytes()
+    buf += s("mat0")
+    buf += np.asarray(mesh.vertices_q, "<u8").tobytes()
+    buf += np.asarray(mesh.normal_uv_q, "<u8").tobytes()
+    buf += np.asarray(mesh.material_ids, "<u1").tobytes()
+
+    p = tmp_path / "legacy_v2.vks"
+    p.write_bytes(buf)
+    sc = vkr.open_scene(str(p), load_textures=False)
+    assert sc.version == 2
+    m = sc.meshes[0]
+    assert m.name == "tri"
+    assert int(m.num_triangles) == 1
+    np.testing.assert_allclose(m.vertex_scale, mesh.vertex_scale)
+    np.testing.assert_allclose(m.vertex_offset, mesh.vertex_offset)
+    assert sc.instances[0].name == "inst"
+    assert sc.instances[0].mesh_id == 0
+    assert sc.materials[0].name == "mat0"
+    # decoded geometry round-trips through the quantization
+    from realtimepathtracingresearchframework_tpu.models.quantization import (
+        dequantize_vertices,
+    )
+
+    v = dequantize_vertices(m.vertices_q, m.vertex_scale, m.vertex_offset)
+    np.testing.assert_allclose(
+        np.sort(v.ravel()), np.sort(tri.reshape(-1, 3).ravel()), atol=2e-4
+    )
+
+
+def test_optimize_mesh_preserves_material_assignment(tmp_path):
+    """optimize_mesh collapses segments; the per-triangle material
+    assignment under the scene.cpp:665-676 resolution rule must be
+    IDENTICAL before and after (segment-offset meshes previously lost
+    their offsets)."""
+    from realtimepathtracingresearchframework_tpu.models.quantization import (
+        dequantize_vertices,
+    )
+
+    rng = np.random.default_rng(5)
+    tris = rng.uniform(-1, 1, (16, 3, 3)).astype(np.float32)
+    mesh = procedural.make_mesh("m", tris, num_materials=1)
+    # two segments with distinct base offsets; id buffer deliberately
+    # garbage (ignored in the offset path)
+    mesh = type(mesh)(**{**mesh.__dict__})
+    mesh.segment_num_triangles = [10, 6]
+    mesh.segment_material_base_offsets = [2, 5]
+    mesh.material_ids = rng.integers(0, 7, 16).astype(np.uint8)
+    mesh.num_materials_in_range = 1
+
+    def resolve(m):
+        if m.num_segments == 1 and m.num_materials_in_range > 1:
+            ids = np.asarray(m.material_ids, np.int64) + int(
+                m.material_id_buffer_base
+            )
+        else:
+            ids = np.repeat(
+                np.asarray(m.segment_material_base_offsets, np.int64),
+                np.asarray(m.segment_num_triangles, np.int64),
+            )
+        c = dequantize_vertices(
+            m.vertices_q, m.vertex_scale, m.vertex_offset
+        ).reshape(-1, 3, 3).mean(axis=1)
+        return {tuple(np.round(cc, 4)): int(i) for cc, i in zip(c, ids)}
+
+    before = resolve(mesh)
+    opt = vkr.optimize_mesh(mesh)
+    after = resolve(opt)
+    assert after == before
+
+    # uniform-material mesh keeps its single offset too
+    mesh2 = procedural.make_mesh("m2", tris, num_materials=1,
+                                 material_base=3)
+    before2 = resolve(mesh2)
+    after2 = resolve(vkr.optimize_mesh(mesh2))
+    assert after2 == before2

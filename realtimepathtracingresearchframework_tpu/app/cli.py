@@ -124,21 +124,43 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def load_scene(names, resource_dir=None) -> Scene:
+    from realtimepathtracingresearchframework_tpu.models.scene import (
+        CameraDesc,
+    )
+
     if not names:
         names = ["cornell"]
     paths = []
     scene = Scene()
     scene.animation_data = []
     for name in names:
+        # procedural scenes ship their canonical viewpoint as a scene
+        # camera (scene.h:60); .vks files carry none, like the reference
         if name == "cornell":
             scene.append_vkr_scene(procedural.cornell_box())
+            scene.cameras.append(CameraDesc(
+                position=np.array([0.0, 1.0, 3.2]),
+                center=np.array([0.0, 1.0, 0.0]), fov_y=50.0,
+            ))
         elif name == "triangle":
             scene.append_vkr_scene(procedural.single_triangle())
+            scene.cameras.append(CameraDesc(
+                position=np.array([0.0, 0.0, 3.0]),
+                center=np.array([0.0, 0.0, 0.0]), fov_y=55.0,
+            ))
         elif name == "village":
             scene.append_vkr_scene(procedural.village())
+            scene.cameras.append(CameraDesc(
+                position=np.array([0.0, 4.0, 13.0]),
+                center=np.array([0.0, 0.5, 0.0]), fov_y=55.0,
+            ))
         elif name.startswith("terrain"):
             grid = int(name.split(":", 1)[1]) if ":" in name else 500
             scene.append_vkr_scene(procedural.terrain(grid=grid))
+            scene.cameras.append(CameraDesc(
+                position=np.array([0.0, 5.0, 12.0]),
+                center=np.array([0.0, 0.0, 0.0]), fov_y=55.0,
+            ))
         else:
             path = name
             if resource_dir and not os.path.exists(path):
@@ -174,6 +196,21 @@ def main(argv=None) -> int:
 
     ims = ImState()
     bundle = AppStateBundle(ims, args.scenes[0] if args.scenes else "")
+    # scene-provided camera seeds the state BEFORE inis/flags override
+    # (scene_state.cpp:45-49: applies only without explicit camera args)
+    got_camera_args = any(
+        x is not None for x in (args.eye, args.center, args.up, args.fov)
+    )
+    cam_id = max(args.camera, 0)
+    if not got_camera_args and cam_id < len(scene.cameras):
+        desc = scene.cameras[cam_id]
+        bundle.scene.camera.position = np.asarray(desc.position, np.float64)
+        d = np.asarray(desc.center, np.float64) - np.asarray(
+            desc.position, np.float64
+        )
+        bundle.scene.camera.direction = d / np.linalg.norm(d)
+        bundle.scene.camera.up = np.asarray(desc.up, np.float64)
+        bundle.scene.camera.fov = float(desc.fov_y)
     for path in args.scenes:
         adj = os.path.splitext(path)[0] + ".ini"
         if os.path.exists(adj):
@@ -246,6 +283,7 @@ def main(argv=None) -> int:
         quantized_geometry=args.quantized_geometry,
     )
     renderer.options = opts
+    renderer.freeze_frame = bool(args.freeze_frame)
     renderer.initialize(args.img[0], args.img[1])
     renderer.set_scene(scene, base.scene_config)
 

@@ -31,9 +31,12 @@ class RebuildWatcher:
     """Snapshot source mtimes at startup; ``changed()`` flips true once any
     watched file is rewritten (the reference's executable-mtime check)."""
 
-    def __init__(self, paths: Optional[Iterable[str]] = None):
+    def __init__(self, paths: Optional[Iterable[str]] = None,
+                 min_interval_s: float = 2.0):
         self._paths = list(paths) if paths is not None else list(_package_sources())
         self._mtimes: Dict[str, float] = {}
+        self._min_interval_s = float(min_interval_s)
+        self._last_check = 0.0
         for p in self._paths:
             try:
                 self._mtimes[p] = os.stat(p).st_mtime
@@ -41,6 +44,14 @@ class RebuildWatcher:
                 pass
 
     def changed(self) -> bool:
+        # called from the viewer's frame loop: throttle the full-package
+        # stat sweep (one stat per source file) to every couple seconds
+        import time
+
+        now = time.monotonic()
+        if now - self._last_check < self._min_interval_s:
+            return False
+        self._last_check = now
         for p, old in self._mtimes.items():
             try:
                 if os.stat(p).st_mtime != old:

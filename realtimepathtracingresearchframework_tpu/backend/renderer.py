@@ -177,6 +177,10 @@ class Renderer:
         self._fb_img: Optional[jnp.ndarray] = None
         self.frame_id = 0  # accumulated samples (render_vulkan.cpp:2152)
         self.shot_offset = 0
+        # --freeze-frame: re-render the same sample sequence every frame
+        # (frame_id pinned, render_vulkan.cpp:2152-2154; shot_offset not
+        # advanced on reset, :1937-1940) — the determinism/debug tool
+        self.freeze_frame = False
         self.timers = DeviceTimers()
         self._render_fns: Dict = {}  # jit cache (GpuProgramCache analogue)
         self._pass_fns: Dict = {}  # scene-capturing pass programs
@@ -1215,7 +1219,8 @@ class Renderer:
                     self._last_render_ms = (now - t0) * 1e3
             self.timers.add(ProfilingMarker.RENDERING, self._last_render_ms)
             self.timers.end_frame()
-            self.frame_id += spp
+            if not self.freeze_frame:
+                self.frame_id += spp
             return self.stats()
 
         new_accum, rays = render_tile_host(
@@ -1292,7 +1297,8 @@ class Renderer:
         self._last_render_ms = dt_ms
         self.timers.add(ProfilingMarker.RENDERING, dt_ms)
         self.timers.end_frame()
-        self.frame_id += spp
+        if not self.freeze_frame:
+            self.frame_id += spp
 
         return self.stats()
 

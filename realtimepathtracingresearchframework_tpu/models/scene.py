@@ -163,6 +163,18 @@ class FlatScene:
         return len(self.material_id)
 
 
+@dataclass
+class CameraDesc:
+    """A scene-provided camera (librender/scene.h:60 CameraDesc): used
+    as the startup viewpoint when the user gives no camera args
+    (scene_state.cpp:45-49, ``--camera <n>`` selects among several)."""
+
+    position: np.ndarray
+    center: np.ndarray
+    up: np.ndarray = field(default_factory=lambda: np.array([0.0, 1.0, 0.0]))
+    fov_y: float = 65.0
+
+
 class Scene:
     """Scene container with revision tracking (librender/scene.h:48-108)."""
 
@@ -175,6 +187,7 @@ class Scene:
         self.textures: List = []  # texture_mod.Texture
         self.animation_data: List[AnimationData] = [AnimationData(num_static=1)]
         self.lod_groups: List[LodGroup] = []
+        self.cameras: List[CameraDesc] = []  # scene.h:60 (empty for .vks)
         self.revision = 0
         self.lights_revision = 0
 

@@ -207,7 +207,7 @@ def test_rebuild_watcher(tmp_path):
 
     f = tmp_path / "mod.py"
     f.write_text("x = 1\n")
-    w = RebuildWatcher([str(f)])
+    w = RebuildWatcher([str(f)], min_interval_s=0.0)
     assert not w.changed()
     os.utime(f, (0, 0))
     assert w.changed()

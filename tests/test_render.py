@@ -214,3 +214,23 @@ def test_wavefront_renders_textured_scene():
     img = r.readback_accumulation()
     assert np.isfinite(img).all()
     assert img[..., :3].mean() > 0.01
+
+
+def test_freeze_frame_pins_sample_sequence(cornell_renderer):
+    """--freeze-frame: frame_id stays pinned so every frame re-renders
+    the same sample sequence (render_vulkan.cpp:2152-2154)."""
+    r = cornell_renderer
+    cfg = FrameConfig(
+        camera=_cam(), params=RenderParams(batch_spp=2, max_path_depth=3)
+    )
+    r.freeze_frame = True
+    try:
+        r.reset_accumulation()
+        r.render(cfg)
+        a = r.readback_accumulation()
+        assert r.frame_id == 0
+        r.render(cfg)  # NOT reset: same samples again, same average
+        b = r.readback_accumulation()
+        np.testing.assert_array_equal(a, b)
+    finally:
+        r.freeze_frame = False

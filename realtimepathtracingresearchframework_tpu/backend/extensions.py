@@ -21,6 +21,7 @@ hooks drive when those contributions are recomputed.
 from __future__ import annotations
 
 import enum
+import time
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -236,15 +237,9 @@ class TAAExtension(RenderExtension):
         motion = aovs.motion_jitter[..., :2]
         if up > 1:
             motion = jnp.repeat(jnp.repeat(motion, up, axis=0), up, axis=1)
-        import time
-
-        from realtimepathtracingresearchframework_tpu.utils.profiling import (
-            ProfilingMarker as PM,
-        )
-
         t0 = time.perf_counter()
         r.framebuffer = taa_mod.taa_resolve(r.framebuffer, hist, motion)
-        r.timers.add(PM.TAA, (time.perf_counter() - t0) * 1e3)
+        r.timers.add(ProfilingMarker.TAA, (time.perf_counter() - t0) * 1e3)
         self._history = r.framebuffer
 
 

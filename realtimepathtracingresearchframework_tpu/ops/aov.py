@@ -124,7 +124,12 @@ def render_aovs(
 
     uv_now = project(view, p)
     uv_prev = project(prev_view, p)
-    motion = jnp.where(was_hit[..., None], uv_prev - uv_now, 0.0)
+    # motion rides in NDC units ([-1,1] spans the screen) like the
+    # reference's motion AOV — its TAA reprojects with
+    # `start + 0.5 * motion` in UV space (process_taa.comp:75), and
+    # ops/taa.py mirrors that 0.5; a UV-unit delta here would reproject
+    # at HALF the true offset
+    motion = jnp.where(was_hit[..., None], 2.0 * (uv_prev - uv_now), 0.0)
     jit_out = (jitter - 0.5) * 2.0 / dims  # jitter in NDC-ish units
 
     ar = jnp.concatenate([albedo, rough[..., None]], axis=-1)

@@ -57,9 +57,22 @@ class GLTFMaterial(NamedTuple):
 def _mat_to_soa(mat: GLTFMaterial) -> GLTFMaterial:
     if isinstance(mat.base_color, Vec3):
         return mat
+    # scalar fields become jnp arrays too: a raw np.ndarray scalar field
+    # would hijack `ndarray * Vec3` via np's __mul__ (coercing the
+    # NamedTuple to a (3, N) array) instead of deferring to Vec3.__rmul__
     return mat._replace(
         base_color=v3.from_array(jnp.asarray(mat.base_color)),
         transmission_color=v3.from_array(jnp.asarray(mat.transmission_color)),
+        metallic=jnp.asarray(mat.metallic),
+        specular=jnp.asarray(mat.specular),
+        roughness=jnp.asarray(mat.roughness),
+        ior=jnp.asarray(mat.ior),
+        specular_transmission=jnp.asarray(mat.specular_transmission),
+        onesided=jnp.asarray(mat.onesided),
+        transmission_roughness=(
+            None if mat.transmission_roughness is None
+            else jnp.asarray(mat.transmission_roughness)
+        ),
     )
 
 

@@ -49,6 +49,10 @@ def build_atlas(textures: List) -> Optional[TextureAtlas]:
     for ti, tex in enumerate(textures):
         srgb[ti] = bool(tex.srgb)
         mips = tex.mips[:MAX_MIPS]
+        if not mips:
+            # an all-zero descriptor row would surface as remainder-by-0
+            # and garbage texels at sample time — fail fast instead
+            raise ValueError(f"texture {ti} has no mip levels")
         num_mips[ti] = len(mips)
         for mi, mip in enumerate(mips):
             h, w = mip.shape[:2]
@@ -132,9 +136,11 @@ def sample_atlas(atlas: TextureAtlas, tex_id, uv, mip_level):
     return jnp.concatenate([rgb, out[..., 3:4]], axis=-1)
 
 
-def footprint_mip(atlas: TextureAtlas, tex_id, footprint_world, texels_per_world):
+def footprint_mip(footprint_world, texels_per_world):
     """Isotropic mip from a world-space footprint radius and the hit
-    triangle's texel density (texels per world unit at mip 0)."""
+    triangle's texel density (texels per world unit at mip 0 — the
+    per-texture resolution is already folded into texels_per_world by
+    the flatten, so no atlas lookup is needed here)."""
     texels = footprint_world * texels_per_world
     return jnp.log2(jnp.maximum(texels, 1.0))
 

@@ -72,7 +72,8 @@ def build_sharded_render_2d(mesh, cfg: IntegratorConfig, width: int,
     cols = mesh.shape[TILE_X_AXIS]
     if height % rows != 0 or width % cols != 0:
         raise ValueError(
-            f"frame {width}x{height} not divisible by mesh {cols}x{rows}"
+            f"frame {width}x{height} not divisible by mesh "
+            f"(tile_x={cols}, tile_y={rows})"
         )
     tile_h = height // rows
     tile_w = width // cols

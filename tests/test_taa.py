@@ -80,3 +80,52 @@ def test_render_with_taa_and_reprojection():
     img = r.readback_framebuffer()
     assert np.isfinite(img).all()
     assert img.mean() > 0.01
+
+
+def test_motion_aov_is_ndc_units():
+    """The motion AOV rides in NDC units ([-1,1] spans the screen), the
+    reference's convention — its TAA applies `start + 0.5 * motion` in
+    UV space (process_taa.comp:75). A UV-unit delta here would make
+    every reprojection land at HALF the true offset."""
+    import math
+
+    from realtimepathtracingresearchframework_tpu.backend.params import (
+        RenderParams,
+    )
+    from realtimepathtracingresearchframework_tpu.backend.renderer import (
+        FrameConfig,
+        Renderer,
+    )
+    from realtimepathtracingresearchframework_tpu.models import procedural
+    from realtimepathtracingresearchframework_tpu.models.camera import (
+        OrientedCamera,
+    )
+    from realtimepathtracingresearchframework_tpu.models.scene import Scene
+
+    w = h = 32
+    r = Renderer()
+    r.initialize(w, h)
+    r.set_scene(Scene.from_vkr_scene(procedural.cornell_box()))
+    params = RenderParams(max_path_depth=2)
+    cam_a = OrientedCamera.look_at([0.0, 1.0, 3.2], [0.0, 1.0, 0.0], fovy=50)
+    cam_b = OrientedCamera.look_at([0.3, 1.0, 3.2], [0.3, 1.0, 0.0], fovy=50)
+    r.render_aovs(FrameConfig(camera=cam_a, params=params))  # seeds prev
+    aovs = r.render_aovs(FrameConfig(camera=cam_b, params=params))
+    mj = np.asarray(aovs.motion_jitter)
+
+    # the center pixel sees the back wall (z = -1), depth from the AOV;
+    # compute its NDC displacement with an independent pinhole model
+    nd = np.asarray(aovs.normal_depth)
+    depth = float(nd[h // 2, w // 2, 3])
+    p = np.array([0.3, 1.0, 3.2]) + depth * np.array([0.0, 0.0, -1.0])
+
+    def ndc_x(cam_x):
+        # horizontal NDC coordinate of p from a -z-looking camera at
+        # (cam_x, 1, 3.2) with fovy 50 and square aspect
+        half = math.tan(math.radians(25.0))
+        view_x = (p[0] - cam_x) / (3.2 - p[2])
+        return view_x / half  # [-1, 1]
+
+    expected = ndc_x(0.0) - ndc_x(0.3)  # prev - now
+    got = float(mj[h // 2, w // 2, 0])
+    assert got == pytest.approx(expected, rel=0.08)

@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 
 from realtimepathtracingresearchframework_tpu.backend.params import (
-    OUTPUT_CHANNEL_COLOR,
     TONEMAP_MODE_FAST,
     TONEMAP_MODE_NEUTRAL,
 )
@@ -24,12 +23,18 @@ from realtimepathtracingresearchframework_tpu.utils import color as color_mod
 
 
 def accumulate_history(history, new_accum, sample_base_index, batch_size):
-    """Progressive average (process_samples.comp:116-131).
+    """Progressive average (process_samples.comp:116-131; the reference
+    reaches the same mean via per-sample layers with global indices).
 
-    history/new_accum: (H,W,4). sample_base_index==0 resets to new_accum.
+    ``new_accum`` is the MEAN of this batch's ``batch_size`` samples
+    (render_tile_host blends with base 0), so the exact running mean is
+    ``history + (mean - history) * batch / (base + batch)`` — a 1/n
+    weight here would under-count every multi-sample batch by a factor
+    of batch_size. history/new_accum: (H,W,4); base==0 resets.
     """
     n = (sample_base_index + batch_size).astype(jnp.float32)
-    blended = history + (new_accum - history) / jnp.maximum(n, 1.0)
+    w = batch_size.astype(jnp.float32) / jnp.maximum(n, 1.0)
+    blended = history + (new_accum - history) * w
     return jnp.where(sample_base_index > 0, blended, new_accum)
 
 
@@ -45,12 +50,9 @@ def resolve_channels(channels, exposure, tonemap_mode: int = -1):
     r, g, b = channels[0] * scale, channels[1] * scale, channels[2] * scale
     a = jnp.minimum(channels[3], 1.0)
     if tonemap_mode == TONEMAP_MODE_NEUTRAL:
-        lum = jnp.maximum(jnp.maximum(r, g), jnp.maximum(b, 1.0))
-        t = 0.1 * jnp.log2(lum)
-        s = (t + (1.0 - t) * 0.8) / lum
-        r, g, b = r * s, g * s, b * s
+        r, g, b = color_mod.neutral_tone_map_rgb(r, g, b)
     elif tonemap_mode == TONEMAP_MODE_FAST:
-        r, g, b = r / (1.0 + r), g / (1.0 + g), b / (1.0 + b)
+        r, g, b = color_mod.fast_tone_map_rgb(r, g, b)
     enc = color_mod.linear_to_srgb
     return (enc(r), enc(g), enc(b), a)
 

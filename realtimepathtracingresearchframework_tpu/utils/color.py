@@ -42,15 +42,27 @@ def srgb_to_linear(x):
     return xp.where(x <= 0.04045, x / 12.92, xp.power((x + 0.055) / 1.055, 2.4))
 
 
+def neutral_tone_map_rgb(r, g, b):
+    """Channel-separate neutral operator — the ONE home of the rolloff
+    constants, shared by the packed path below and the planar resolve
+    (ops/resolve.py), so a parity fix cannot drift between them."""
+    xp = _xp(r)
+    lum = xp.maximum(xp.maximum(r, g), xp.maximum(b, 1.0))
+    t = 0.1 * xp.log2(lum)
+    s = (t + (1.0 - t) * 0.8) / lum
+    return r * s, g * s, b * s
+
+
 def neutral_tone_map(c):
     """Log-luminance rolloff operator (tonemapping_utils.glsl:10-16)."""
     xp = _xp(c)
-    lum = xp.maximum(
-        xp.maximum(c[..., 0], c[..., 1]), xp.maximum(c[..., 2], 1.0)
-    )
-    t = 0.1 * xp.log2(lum)
-    scale = (t + (1.0 - t) * 0.8) / lum
-    return c * scale[..., None]
+    r, g, b = neutral_tone_map_rgb(c[..., 0], c[..., 1], c[..., 2])
+    return xp.stack([r, g, b], axis=-1)
+
+
+def fast_tone_map_rgb(r, g, b):
+    """Channel-separate Reinhard (shared with ops/resolve.py)."""
+    return r / (1.0 + r), g / (1.0 + g), b / (1.0 + b)
 
 
 def fast_tone_map(c):

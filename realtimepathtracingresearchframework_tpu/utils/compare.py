@@ -64,10 +64,13 @@ def compare_images(
         base, _ = os.path.splitext(test_path)
         write_exr_rgba(base + "_err.exr", err_img, half=False)
 
+    # a PIXEL fails if any of its channels does (the printed count says
+    # "pixels"; a raw component sum over-reports by up to nchan)
+    failed_px = failed.any(axis=-1) if failed.ndim == 3 else failed
     return CompareResult(
         max_rel_error=float(rel.max()),
         mean_rel_error=float(rel.mean()),
-        num_failed=int(failed.sum()),
+        num_failed=int(failed_px.sum()),
         passed=bool(rel.max() <= threshold),
     )
 

@@ -83,30 +83,33 @@ def _exr_attr(name: bytes, typ: bytes, data: bytes) -> bytes:
 
 
 def _zip_reorder(data: bytes) -> bytes:
-    """EXR ZIP predictor: delta-encode then split odd/even bytes."""
-    arr = np.frombuffer(data, dtype=np.uint8).astype(np.int16)
-    d = np.empty_like(arr)
-    d[0] = arr[0]
-    d[1:] = arr[1:] - arr[:-1] + 128 + 256
-    d = d.astype(np.uint8)
-    n = len(d)
-    half = (n + 1) // 2
-    out = np.empty(n, dtype=np.uint8)
-    out[:half] = d[0::2]
-    out[half:] = d[1::2]
-    return out.tobytes()
-
-
-def _zip_unreorder(data: bytes) -> bytes:
+    """EXR ZIP preprocessing, OpenEXR's ImfZip order: SPLIT the bytes
+    into even/odd halves first, THEN delta-encode the split stream.
+    (Predict-then-split produces files standard loaders decode to
+    garbage — the two steps do not commute.)"""
     arr = np.frombuffer(data, dtype=np.uint8)
     n = len(arr)
     half = (n + 1) // 2
-    inter = np.empty(n, dtype=np.uint8)
-    inter[0::2] = arr[:half]
-    inter[1::2] = arr[half:]
-    d = inter.astype(np.int16)
+    split = np.empty(n, dtype=np.uint8)
+    split[:half] = arr[0::2]
+    split[half:] = arr[1::2]
+    d = split.astype(np.int16)
+    out = np.empty_like(d)
+    out[0] = d[0]
+    out[1:] = d[1:] - d[:-1] + 128 + 256
+    return out.astype(np.uint8).tobytes()
+
+
+def _zip_unreorder(data: bytes) -> bytes:
+    """Inverse of ``_zip_reorder``: predictor-undo, then interleave."""
+    d = np.frombuffer(data, dtype=np.uint8).astype(np.int16).copy()
     d[1:] -= 128 + 256
-    out = np.cumsum(d, dtype=np.int64).astype(np.uint8)
+    split = np.cumsum(d, dtype=np.int64).astype(np.uint8)
+    n = len(split)
+    half = (n + 1) // 2
+    out = np.empty(n, dtype=np.uint8)
+    out[0::2] = split[:half]
+    out[1::2] = split[half:]
     return out.tobytes()
 
 
@@ -223,6 +226,7 @@ def read_exr(path: str) -> Dict[str, np.ndarray]:
     for off in offsets:
         by, size = struct.unpack_from("<ii", data, off)
         payload = data[off + 8 : off + 8 + size]
+        by -= y0  # block y is absolute in the dataWindow, rows are 0-based
         ny = min(lines_per_block, h - by)
         raw_size = ny * w * sum(bytes_per_px[pt] for _, pt in channels)
         if comp == _COMPRESSION_ZIP and size < raw_size:
@@ -323,7 +327,11 @@ def read_png(path: str) -> np.ndarray:
             idat += payload
         elif tag == b"IEND":
             break
-    nchan = {0: 1, 2: 3, 6: 4}[color_type]
+    nchan = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if nchan is None:
+        raise ValueError(
+            f"unsupported PNG color type {color_type} (palette/gray+alpha)"
+        )
     raw = zlib.decompress(idat)
     stride = w * nchan
     img = np.empty((h, stride), np.uint8)

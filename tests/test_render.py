@@ -234,3 +234,19 @@ def test_freeze_frame_pins_sample_sequence(cornell_renderer):
         np.testing.assert_array_equal(a, b)
     finally:
         r.freeze_frame = False
+
+
+def test_accumulate_history_batch_mean_weighting():
+    """accumulate_history blends a batch MEAN: weight batch/(base+batch)
+    (a 1/n weight under-counts every multi-sample batch by batch_size)."""
+    from realtimepathtracingresearchframework_tpu.ops import resolve
+
+    import jax.numpy as jnp
+
+    h = jnp.full((2, 2, 4), 1.0, jnp.float32)  # mean of 4 base samples
+    m = jnp.full((2, 2, 4), 3.0, jnp.float32)  # mean of 4 new samples
+    out = resolve.accumulate_history(h, m, jnp.int32(4), jnp.int32(4))
+    np.testing.assert_allclose(np.asarray(out), 2.0)  # true 8-sample mean
+    # base 0 resets to the new batch
+    out0 = resolve.accumulate_history(h, m, jnp.int32(0), jnp.int32(4))
+    np.testing.assert_allclose(np.asarray(out0), 3.0)

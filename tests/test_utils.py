@@ -126,3 +126,35 @@ def test_halton_23_matches_reference_table():
     np.testing.assert_allclose(t[2], [0.75, 1.0 / 9.0], rtol=1e-6)
     j = halton_jitter(65)  # wraps mod 64
     np.testing.assert_allclose(j, t[1] - 0.5, rtol=1e-6)
+
+
+def test_exr_zip_preprocessing_matches_openexr_order():
+    """OpenEXR's ImfZip DEcompress is: predictor-undo, then interleave
+    the two halves (t1 = buf, t2 = buf + (n+1)//2). Our writer's
+    preprocessing must be its exact inverse (split THEN delta) — the
+    two steps do not commute, and the wrong order writes files standard
+    loaders decode to garbage. This decodes our writer's output with an
+    independent, literal transcription of the ImfZip.cpp loop."""
+    from realtimepathtracingresearchframework_tpu.utils.image_io import (
+        _zip_reorder,
+        _zip_unreorder,
+    )
+
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 7, 64, 1001):
+        raw = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        enc = bytearray(_zip_reorder(raw))
+
+        # ImfZip.cpp decompress, verbatim semantics:
+        # predictor: t[0] = t[-1] + t[0] - 128 (mod 256), left to right
+        for i in range(1, len(enc)):
+            enc[i] = (enc[i - 1] + enc[i] - 128) & 0xFF
+        # reorder: interleave first half with second half
+        half = (len(enc) + 1) // 2
+        out = bytearray(len(enc))
+        out[0::2] = enc[:half]
+        out[1::2] = enc[half:]
+        assert bytes(out) == raw
+
+        # and our own reader inverts it too
+        assert _zip_unreorder(_zip_reorder(raw)) == raw

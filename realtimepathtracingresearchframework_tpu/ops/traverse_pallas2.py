@@ -239,10 +239,13 @@ def _mt_leaf(tile_f, rox, roy, roz, rdx, rdy, rdz, tmin, tmax, sub_iota,
     order-independent)."""
     tile = jnp.transpose(tile_f, (1, 0))  # (128 tris, 16 fields)
     if leaf_size != LEAF:
+        # dynamic sublane rotate + static slice: Mosaic lowers
+        # tpu.dynamic_rotate natively, whereas a value-level
+        # lax.dynamic_slice has no TPU kernel lowering (interpret mode
+        # accepts it, the chip rejects it)
         lpt = LEAF // leaf_size
-        tile = jax.lax.dynamic_slice_in_dim(
-            tile, (leaf_id % lpt) * leaf_size, leaf_size, 0
-        )
+        tile = pltpu.roll(tile, -(leaf_id % lpt) * leaf_size, 0)
+        tile = tile[0:leaf_size, :]
     v0x = tile[:, 0:1]
     v0y = tile[:, 1:2]
     v0z = tile[:, 2:3]
@@ -303,10 +306,10 @@ def _mt_leaf_any(tile_f, rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
     orientation and sublane-band slicing as ``_mt_leaf``."""
     tile = jnp.transpose(tile_f, (1, 0))  # (128 tris, 16 fields)
     if leaf_size != LEAF:
+        # see _mt_leaf: dynamic rotate + static slice (TPU-lowerable)
         lpt = LEAF // leaf_size
-        tile = jax.lax.dynamic_slice_in_dim(
-            tile, (leaf_id % lpt) * leaf_size, leaf_size, 0
-        )
+        tile = pltpu.roll(tile, -(leaf_id % lpt) * leaf_size, 0)
+        tile = tile[0:leaf_size, :]
     v0x = tile[:, 0:1]
     v0y = tile[:, 1:2]
     v0z = tile[:, 2:3]

@@ -244,7 +244,13 @@ def _mt_leaf(tile_f, rox, roy, roz, rdx, rdy, rdz, tmin, tmax, sub_iota,
         # lax.dynamic_slice has no TPU kernel lowering (interpret mode
         # accepts it, the chip rejects it)
         lpt = LEAF // leaf_size
-        tile = pltpu.roll(tile, -(leaf_id % lpt) * leaf_size, 0)
+        # non-negative rotate amount: tpu.dynamic_rotate expects the
+        # shift in [0, dim) and a traced negative bypasses the wrapper's
+        # static check (interpret mode's jnp.roll accepts negatives, the
+        # chip's behavior is unspecified)
+        tile = pltpu.roll(
+            tile, ((lpt - leaf_id % lpt) % lpt) * leaf_size, 0
+        )
         tile = tile[0:leaf_size, :]
     v0x = tile[:, 0:1]
     v0y = tile[:, 1:2]
@@ -306,9 +312,12 @@ def _mt_leaf_any(tile_f, rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
     orientation and sublane-band slicing as ``_mt_leaf``."""
     tile = jnp.transpose(tile_f, (1, 0))  # (128 tris, 16 fields)
     if leaf_size != LEAF:
-        # see _mt_leaf: dynamic rotate + static slice (TPU-lowerable)
+        # see _mt_leaf: dynamic rotate + static slice (TPU-lowerable),
+        # non-negative amount (tpu.dynamic_rotate wants [0, dim))
         lpt = LEAF // leaf_size
-        tile = pltpu.roll(tile, -(leaf_id % lpt) * leaf_size, 0)
+        tile = pltpu.roll(
+            tile, ((lpt - leaf_id % lpt) % lpt) * leaf_size, 0
+        )
         tile = tile[0:leaf_size, :]
     v0x = tile[:, 0:1]
     v0y = tile[:, 1:2]
@@ -568,48 +577,86 @@ def _traverse2(nodes, tri_tiles, rays, num_nodes: int, block: int,
     )(bounds, nodes, tri_tiles, rays)
 
 
-def _compact(rays):
-    """Stable live-first lane partition of a packed (8, Np) ray operand —
-    the TPU-native expression of the north-star wavefront design's
-    stream-compacted queues (SURVEY §7): with RR from depth 2 most lanes
-    are dead past bounce 3, and after this partition they cluster into
-    all-dead trailing blocks whose packet bounds are empty, so the v2
-    walk culls the ROOT node and exits in one scalar step per block.
+def _part1by2_u32(x):
+    """Spread the low 10 bits of x two apart (morton dilation)."""
+    x = x & jnp.uint32(0x3FF)
+    x = (x | (x << 16)) & jnp.uint32(0x30000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x30C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x9249249)
+    return x
 
-    Cost: one 1-D cumsum + one 1-D scatter (the permutation build) + one
-    (8, Np) gather here + one (4, Np) un-permute gather on the output —
-    fixed-shape ops, no data-dependent shapes, so the whole thing lives
-    inside the jitted pass program.
 
-    Returns (rays_sorted, pos): ``pos[i]`` is lane i's column in the
-    sorted operand; gathering ``out[:, pos]`` restores original order.
-    Per-ray results are EXACT under any block composition (a live ray's
-    leaves always pass the conservative packet test and the per-ray MT is
-    independent of its block mates), so compaction is bit-invisible."""
-    live = rays[7] > rays[6]
-    li = live.astype(jnp.int32)
-    n_live = jnp.sum(li)
-    pos_live = jnp.cumsum(li) - 1
-    pos_dead = n_live + jnp.cumsum(1 - li) - 1
-    pos = jnp.where(live, pos_live, pos_dead).astype(jnp.int32)
-    npd = rays.shape[1]
-    perm = jnp.zeros((npd,), jnp.int32).at[pos].set(
-        jnp.arange(npd, dtype=jnp.int32), unique_indices=True,
-        indices_are_sorted=False,
+def _coherence_key2(rays, scene_lo, scene_hi):
+    """u32 coherence key for the resident packet walk, from the packed
+    (8, Np) operand: bit 31 = dead lane (always sorts last — compaction),
+    bits 21-23 = direction octant (octant-major: the per-block
+    inverse-direction INTERVAL test degenerates when a block mixes
+    direction signs), bits 0-20 = origin morton on a 128^3 grid over the
+    scene AABB (origin-local blocks keep the packet origin box tight).
+    Same key contract as traverse_stream._coherence_key."""
+    lo = scene_lo
+    inv = 127.0 / jnp.maximum(scene_hi - scene_lo, 1e-12)
+
+    def q(k):
+        return jnp.clip(
+            (rays[k] - lo[k]) * inv[k], 0.0, 127.0
+        ).astype(jnp.uint32)
+
+    morton = (
+        _part1by2_u32(q(0))
+        | (_part1by2_u32(q(1)) << 1)
+        | (_part1by2_u32(q(2)) << 2)
     )
-    # BOTH permutation applications are lane-dim SCATTERS: an XLA
-    # lane-dim gather stages every index through scalar memory
-    # (measured 51 ms per (8, 262K) operand vs ~10 ms for the scatter)
-    rays_sorted = jnp.zeros_like(rays).at[:, pos].set(
-        rays, unique_indices=True
+    octant = (
+        (rays[3] < 0.0).astype(jnp.uint32) << 2
+        | (rays[4] < 0.0).astype(jnp.uint32) << 1
+        | (rays[5] < 0.0).astype(jnp.uint32)
     )
-    return rays_sorted, pos, perm
+    dead = ~(rays[7] > rays[6])
+    return (dead.astype(jnp.uint32) << 31) | (octant << 21) | morton
 
 
-def _uncompact(out, perm):
-    """Scatter a sorted-order result back to original lane order:
-    out_orig[:, perm[j]] = out[:, j] (see _compact)."""
-    return jnp.zeros_like(out).at[:, perm].set(out, unique_indices=True)
+def _compact(rays, scene_lo=None, scene_hi=None):
+    """Stable live-first (and, given the scene box, coherence-ordered)
+    lane sort of a packed (8, Np) ray operand — the TPU-native expression
+    of the north-star wavefront design's stream-compacted queues (SURVEY
+    §7): with RR from depth 2 most lanes are dead past bounce 3, and
+    after this sort they cluster into all-dead trailing blocks whose
+    packet bounds are empty, so the v2 walk culls the ROOT node and exits
+    in one scalar step per block. With ``scene_lo/hi`` the live lanes are
+    further ordered (octant, origin-morton) so incoherent bounce blocks
+    become octant-pure and origin-local — the per-block conservative
+    bounds stay tight on real-scene BVHs (the village-cliff fix,
+    VERDICT r3 #1).
+
+    Cost (measured r4 on v5e per 524K lanes, prof/prof_r4_sortcost.py):
+    stable argsort 1.9 ms x2 (perm + inverse) + ONE 2-D lane gather of
+    the (8, Np) operand 4.3 ms + the (4, Np) un-permute gather ~2.2 ms
+    — ~10 ms per dispatch. The round-3 implementation used lane-dim
+    SCATTERS and per-component 1-D gathers based on stale measurements;
+    those primitives measure 45.7 ms / 42 ms TODAY, which is exactly why
+    default compaction regressed cornell in round 3.
+
+    Returns (rays_sorted, inv): ``out[:, inv]`` restores original lane
+    order for a sorted-order kernel result. Per-ray results are EXACT
+    under any block composition (a live ray's leaves always pass the
+    conservative packet test and the per-ray MT is independent of its
+    block mates), so the sort is bit-invisible."""
+    if scene_lo is not None:
+        key = _coherence_key2(rays, scene_lo, scene_hi)
+        perm = jnp.argsort(key, stable=True)
+    else:
+        live = rays[7] > rays[6]
+        perm = jnp.argsort(~live, stable=True)
+    inv = jnp.argsort(perm)  # a permutation's argsort is its inverse
+    return rays[:, perm], inv
+
+
+def _uncompact(out, inv):
+    """Gather a sorted-order result back to original lane order:
+    out_orig[:, i] = out[:, inv[i]] (see _compact)."""
+    return out[:, inv]
 
 
 def _out_to_hit(bb: PallasBVH2Buffers, out, n, map_tri: bool):
@@ -636,14 +683,14 @@ def closest_hit_pallas2(
 
     rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=True)
     if compact:
-        rays, pos, perm = _compact(rays)
+        rays, inv = _compact(rays, bb.nodes[0, 0:3], bb.nodes[0, 3:6])
     out = _traverse2(
         bb.nodes, bb.tri_tiles, rays,
         num_nodes=bb.num_nodes, block=block, interpret=INTERPRET,
         leaf_size=bb.leaf_size,
     )
     if compact:
-        out = _uncompact(out, perm)
+        out = _uncompact(out, inv)
     return _out_to_hit(bb, out, n, map_tri)
 
 
@@ -657,14 +704,14 @@ def occluded_pallas2(
 
     rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=True)
     if compact:
-        rays, pos, perm = _compact(rays)
+        rays, inv = _compact(rays, bb.nodes[0, 0:3], bb.nodes[0, 3:6])
     out = _traverse2(
         bb.nodes, bb.tri_tiles, rays,
         num_nodes=bb.num_nodes, block=block, shadow_from=0,
         interpret=INTERPRET, leaf_size=bb.leaf_size,
     )
     if compact:
-        rowbits = _uncompact(out[1:2], perm)[0, :n]
+        rowbits = _uncompact(out[1:2], inv)[0, :n]
     else:
         rowbits = out[1, :n]
     return jax.lax.bitcast_convert_type(rowbits, jnp.int32) >= 0
@@ -691,8 +738,9 @@ def closest_and_occluded_pallas2(
     rays_s, n2 = _prep_rays(None, None, t_min_s, t_max_s, block,
                             comps=comps_s, wide=True)
     if compact:
-        rays_c, pos_c, perm_c = _compact(rays_c)
-        rays_s, pos_s, perm_s = _compact(rays_s)
+        lo, hi = bb.nodes[0, 0:3], bb.nodes[0, 3:6]
+        rays_c, inv_c = _compact(rays_c, lo, hi)
+        rays_s, inv_s = _compact(rays_s, lo, hi)
     rays = jnp.concatenate([rays_c, rays_s], axis=1)
     shadow_from = rays_c.shape[1] // block
     out = _traverse2(
@@ -704,8 +752,8 @@ def closest_and_occluded_pallas2(
     out_c = out[:, :np_c]
     srow = out[1, np_c:]
     if compact:
-        out_c = _uncompact(out_c, perm_c)[:, :n]
-        srow = _uncompact(srow[None], perm_s)[0, :n2]
+        out_c = _uncompact(out_c, inv_c)[:, :n]
+        srow = _uncompact(srow[None], inv_s)[0, :n2]
     else:
         out_c = out_c[:, :n]
         srow = srow[:n2]

@@ -832,27 +832,30 @@ def coherence_order(key, dead):
     stable argsort of the key with DEAD LANES LAST (bit 31: a dead
     lane's block membership only wastes walk work, so clustering them
     lets whole blocks short-circuit — the streamed twin of
-    traverse_pallas2._compact). Returns (perm, inverse perm)."""
+    traverse_pallas2._compact). Returns (perm, inverse perm). The
+    inverse comes from a second argsort (a permutation's argsort IS its
+    inverse): 1.9 ms vs 2.6 ms for the 1-D scatter build (measured r4,
+    prof/prof_r4_sortcost.py)."""
     key = key | (dead.astype(jnp.uint32) << 31)
     perm = jnp.argsort(key, stable=True)
-    n = key.shape[0]
-    inv = jnp.zeros((n,), jnp.int32).at[perm].set(
-        jnp.arange(n, dtype=jnp.int32), unique_indices=True
-    )
+    inv = jnp.argsort(perm)
     return perm, inv
 
 
-def _sort_queue(bb, comps, t_min, t_max):
-    """Sort one ray queue by the coherence key (see coherence_order).
-    Returns (sorted comps, sorted t_min/t_max, inverse permutation).
-    Stable sort + permutation gathers: deterministic and bit-exact."""
-    n = comps[0].shape[0]
-    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    perm, inv_perm = coherence_order(_coherence_key(bb, comps),
-                                     ~(t_max > t_min))
-    sorted_comps = tuple(c[perm] for c in comps)
-    return sorted_comps, t_min[perm], t_max[perm], inv_perm
+def _sort_operand(bb, rays):
+    """Coherence-sort a packed (8, Np) operand (see coherence_order):
+    ONE 2-D lane gather (4.3 ms per (8, 524K), measured r4) instead of
+    the round-3 per-component 1-D gathers (~7 ms EACH — index staging).
+    Returns (rays_sorted, inv); ``out[:, inv]`` restores caller order.
+    Padding lanes (tmax <= tmin) sort last with the dead."""
+    from realtimepathtracingresearchframework_tpu.ops.traverse_pallas2 import (
+        _coherence_key2,
+    )
+
+    key = _coherence_key2(rays, bb.top_nodes[0, 0:3], bb.top_nodes[0, 3:6])
+    perm = jnp.argsort(key, stable=True)
+    inv = jnp.argsort(perm)
+    return rays[:, perm], inv
 
 
 def closest_hit_streamed(
@@ -864,20 +867,17 @@ def closest_hit_streamed(
         _prep_rays,
     )
 
-    if sort and comps is not None:
-        comps, t_min, t_max, inv_perm = _sort_queue(bb, comps, t_min, t_max)
-    else:
-        inv_perm = None
     rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=True)
+    if sort:
+        rays, inv = _sort_operand(bb, rays)
     out = _traverse_streamed(
         bb.top_nodes, bb.sub_nodes, bb.tri_tiles, rays,
         top_nodes=bb.num_top_nodes, block=block,
         interpret=INTERPRET, ordered=ordered,
     )
-    out = out[:, :n]
-    if inv_perm is not None:
-        out = out[:, inv_perm]
-    return _out_to_hit(bb, out, n, map_tri)
+    if sort:
+        out = out[:, inv]
+    return _out_to_hit(bb, out[:, :n], n, map_tri)
 
 
 def occluded_streamed(
@@ -888,21 +888,18 @@ def occluded_streamed(
         _prep_rays,
     )
 
-    if sort and comps is not None:
-        comps, t_min, t_max, inv_perm = _sort_queue(bb, comps, t_min, t_max)
-    else:
-        inv_perm = None
     rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=True)
+    if sort:
+        rays, inv = _sort_operand(bb, rays)
     out = _traverse_streamed(
         bb.top_nodes, bb.sub_nodes, bb.tri_tiles, rays,
         top_nodes=bb.num_top_nodes, block=block, shadow_from=0,
         interpret=INTERPRET,
     )
+    if sort:
+        out = out[:, inv]
     rowbits = out[1, :n]
-    blocked = jax.lax.bitcast_convert_type(rowbits, jnp.int32) >= 0
-    if inv_perm is not None:
-        blocked = blocked[inv_perm]
-    return blocked
+    return jax.lax.bitcast_convert_type(rowbits, jnp.int32) >= 0
 
 
 def closest_and_occluded_streamed(
@@ -918,19 +915,15 @@ def closest_and_occluded_streamed(
         _prep_rays,
     )
 
-    if sort:
-        comps_c, t_min_c, t_max_c, inv_c = _sort_queue(
-            bb, comps_c, t_min_c, t_max_c
-        )
-        comps_s, t_min_s, t_max_s, inv_s = _sort_queue(
-            bb, comps_s, t_min_s, t_max_s
-        )
-    else:
-        inv_c = inv_s = None
     rays_c, n = _prep_rays(None, None, t_min_c, t_max_c, block,
                            comps=comps_c, wide=True)
     rays_s, n2 = _prep_rays(None, None, t_min_s, t_max_s, block,
                             comps=comps_s, wide=True)
+    if sort:
+        rays_c, inv_c = _sort_operand(bb, rays_c)
+        rays_s, inv_s = _sort_operand(bb, rays_s)
+    else:
+        inv_c = inv_s = None
     rays = jnp.concatenate([rays_c, rays_s], axis=1)
     shadow_from = rays_c.shape[1] // block
     out = _traverse_streamed(

@@ -111,10 +111,14 @@ def test_streamed_matches_xla_reference():
 
 
 def test_coherence_sort_permutation_roundtrip():
-    """_sort_queue must be a pure permutation: sorted comps are a
-    reordering of the input, keys are non-decreasing, and the inverse
-    permutation restores original order (pure XLA — runs on CPU)."""
+    """_sort_operand must be a pure permutation of the packed (8, Np)
+    operand: the coherence key is non-decreasing over live lanes, dead
+    lanes sort last, and the inverse permutation restores original lane
+    order (pure XLA — runs on CPU)."""
     import jax.numpy as jnp
+    from realtimepathtracingresearchframework_tpu.ops.traverse_pallas2 import (
+        _coherence_key2,
+    )
 
     v0, e1, e2 = _soup(4000)
     bb = TS.pack_streamed(v0, e1, e2)
@@ -123,23 +127,29 @@ def test_coherence_sort_permutation_roundtrip():
     ro = rng.uniform(-2, 12, (3, n)).astype(np.float32)
     rd = rng.normal(size=(3, n)).astype(np.float32)
     rd /= np.linalg.norm(rd, axis=0, keepdims=True)
-    comps = tuple(jnp.asarray(a) for a in (*ro, *rd))
-    t_min = jnp.zeros((n,))
-    t_max = jnp.full((n,), 7.5)
+    t_max = np.full((n,), 7.5, np.float32)
+    t_max[::5] = 0.0  # dead lanes
+    rays = jnp.asarray(
+        np.concatenate([ro, rd, np.zeros((1, n), np.float32),
+                        t_max[None]], axis=0)
+    )
 
-    sc, stmin, stmax, inv_perm = TS._sort_queue(bb, comps, t_min, t_max)
-    key_sorted = np.asarray(TS._coherence_key(bb, sc))
+    rays_sorted, inv = TS._sort_operand(bb, rays)
+    lo, hi = bb.top_nodes[0, 0:3], bb.top_nodes[0, 3:6]
+    key_sorted = np.asarray(_coherence_key2(rays_sorted, lo, hi))
     assert (np.diff(key_sorted.astype(np.int64)) >= 0).all()
-    # permutation roundtrip: unsorting the sorted arrays restores input
-    for orig, srt in zip(comps, sc):
-        np.testing.assert_array_equal(
-            np.asarray(srt)[np.asarray(inv_perm)], np.asarray(orig)
-        )
-    np.testing.assert_array_equal(np.asarray(stmax)[np.asarray(inv_perm)],
-                                  np.asarray(t_max))
-    # sorted arrays are a permutation (same multiset)
-    np.testing.assert_array_equal(np.sort(np.asarray(sc[0])),
-                                  np.sort(ro[0]))
+    # dead lanes (bit 31 set) cluster at the end
+    dead_sorted = key_sorted >> 31
+    assert (np.diff(dead_sorted.astype(np.int64)) >= 0).all()
+    assert dead_sorted.sum() == (t_max == 0.0).sum()
+    # permutation roundtrip: unsorting restores the input exactly
+    np.testing.assert_array_equal(
+        np.asarray(rays_sorted[:, inv]), np.asarray(rays)
+    )
+    # sorted lanes are a permutation (same multiset)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(rays_sorted[0])), np.sort(ro[0])
+    )
 
 
 @pytest.mark.skipif(

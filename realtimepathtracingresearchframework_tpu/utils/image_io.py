@@ -73,9 +73,12 @@ _PT_HALF = 1
 _PT_FLOAT = 2
 _COMPRESSION_NONE = 0
 _COMPRESSION_ZIP = 3  # zlib, blocks of 16 scanlines
+_COMPRESSION_PIZ = 4  # wavelet + Huffman, blocks of 32 scanlines
 
 EXR_COMPRESSION_NONE = "none"
 EXR_COMPRESSION_ZIP = "zip"
+EXR_COMPRESSION_PIZ = "piz"  # what the reference binary writes for
+# validation images (libapp/app_state.cpp:467-481) — utils/exr_piz.py
 
 
 def _exr_attr(name: bytes, typ: bytes, data: bytes) -> bytes:
@@ -126,8 +129,13 @@ def write_exr(
     h, w = next(iter(channels.values())).shape
     pt = _PT_HALF if half else _PT_FLOAT
     np_dtype = "<f2" if half else "<f4"
-    comp = _COMPRESSION_ZIP if compression == EXR_COMPRESSION_ZIP else _COMPRESSION_NONE
-    lines_per_block = 16 if comp == _COMPRESSION_ZIP else 1
+    comp = {
+        EXR_COMPRESSION_ZIP: _COMPRESSION_ZIP,
+        EXR_COMPRESSION_PIZ: _COMPRESSION_PIZ,
+    }.get(compression, _COMPRESSION_NONE)
+    lines_per_block = {
+        _COMPRESSION_ZIP: 16, _COMPRESSION_PIZ: 32
+    }.get(comp, 1)
 
     chan_list = b""
     for name in names:
@@ -159,6 +167,15 @@ def write_exr(
         )
         if comp == _COMPRESSION_ZIP:
             packed = zlib.compress(_zip_reorder(raw))
+            if len(packed) >= len(raw):
+                packed = raw
+        elif comp == _COMPRESSION_PIZ:
+            from realtimepathtracingresearchframework_tpu.utils import exr_piz
+
+            bpp = 2 if half else 4
+            packed = exr_piz.piz_compress(
+                raw, w, ny, [(n, bpp) for n in names]
+            )
             if len(packed) >= len(raw):
                 packed = raw
         else:
@@ -214,7 +231,9 @@ def read_exr(path: str) -> Dict[str, np.ndarray]:
     (comp,) = struct.unpack_from("<B", attrs["compression"][1], 0)
     x0, y0, x1, y1 = struct.unpack_from("<iiii", attrs["dataWindow"][1], 0)
     w, h = x1 - x0 + 1, y1 - y0 + 1
-    lines_per_block = {_COMPRESSION_NONE: 1, _COMPRESSION_ZIP: 16}.get(comp)
+    lines_per_block = {
+        _COMPRESSION_NONE: 1, _COMPRESSION_ZIP: 16, _COMPRESSION_PIZ: 32
+    }.get(comp)
     if lines_per_block is None:
         raise ValueError(f"{path}: unsupported EXR compression {comp}")
 
@@ -231,6 +250,13 @@ def read_exr(path: str) -> Dict[str, np.ndarray]:
         raw_size = ny * w * sum(bytes_per_px[pt] for _, pt in channels)
         if comp == _COMPRESSION_ZIP and size < raw_size:
             raw = _zip_unreorder(zlib.decompress(payload))
+        elif comp == _COMPRESSION_PIZ and size < raw_size:
+            from realtimepathtracingresearchframework_tpu.utils import exr_piz
+
+            raw = exr_piz.piz_uncompress(
+                payload, w, ny,
+                [(n, bytes_per_px[pt]) for n, pt in channels],
+            )
         else:
             raw = payload
         rp = 0

@@ -1,5 +1,7 @@
 """Round-4: village through the STREAMED/BINNED dispatches vs resident.
 
+Usage: ... [--chunk TRIS] [--kmax K]
+
 prof_r4_village.py measured the resident v2 path on the 80k-tri village:
 primary 159 ms, bounce 229 ms (sorted), shadow 42.5 ms per 524K rays.
 The structural problem: 40% of rays miss to sky, so the per-block scalar
@@ -44,15 +46,22 @@ def timeit(name, fn, iters=8):
 
 
 def main():
+    chunk = None
+    if "--chunk" in sys.argv:
+        chunk = int(sys.argv[sys.argv.index("--chunk") + 1])
+    kmax = tbn.K_MAX
+    if "--kmax" in sys.argv:
+        kmax = int(sys.argv[sys.argv.index("--kmax") + 1])
     sc = Scene.from_vkr_scene(procedural.village())
     eye = np.array([0, 4.0, 13.0], np.float32)
     look = np.array([0, 0.5, 0], np.float32)
     flat = sc.flatten_world()
     print(f"village: {flat.num_tris} tris")
 
-    bb = ts.pack_streamed(flat.v0, flat.e1, flat.e2)
-    S = bb.sub_nodes.shape[0] // ts.SUB_NODE_ROWS
-    print(f"subtrees={S} top_nodes={bb.num_top_nodes}")
+    bb = ts.pack_streamed(flat.v0, flat.e1, flat.e2, chunk_tris=chunk)
+    S = bb.num_subtrees
+    print(f"subtrees={S} (chunk {bb.sub_leaves * 128}) "
+          f"top_nodes={bb.num_top_nodes} kmax={kmax}")
 
     fwd = look - eye
     fwd /= np.linalg.norm(fwd)
@@ -119,7 +128,7 @@ def main():
     timeit("primary binned r2",
            lambda: tbn.closest_hit_binned(bb, ro_d, rd_d))
     timeit("primary multislot",
-           lambda: tbn.closest_hit_binned_all(bb, ro_d, rd_d))
+           lambda: tbn.closest_hit_binned_all(bb, ro_d, rd_d, k_max=kmax))
 
     timeit("bounce streamed sorted",
            lambda: ts.closest_hit_streamed(bb, bro_d, bd_d, t_max=btmax_d,
@@ -131,7 +140,7 @@ def main():
            lambda: tbn.closest_hit_binned(bb, bro_d, bd_d, t_max=btmax_d))
     timeit("bounce multislot",
            lambda: tbn.closest_hit_binned_all(bb, bro_d, bd_d,
-                                              t_max=btmax_d))
+                                              t_max=btmax_d, k_max=kmax))
 
     timeit("shadow streamed sorted",
            lambda: ts.occluded_streamed(bb, bro_d, sd_d, t_max=btmax_d,
@@ -142,7 +151,8 @@ def main():
 
     # parity spot check
     h0 = ts.closest_hit_streamed(bb, bro_d, bd_d, t_max=btmax_d, sort=True)
-    h1 = tbn.closest_hit_binned_all(bb, bro_d, bd_d, t_max=btmax_d)
+    h1 = tbn.closest_hit_binned_all(bb, bro_d, bd_d, t_max=btmax_d,
+                                    k_max=kmax)
     t0a, t1a = np.asarray(h0.t), np.asarray(h1.t)
     print(f"binned_all vs sorted t mismatches: {(t0a != t1a).sum()}")
 

@@ -57,14 +57,13 @@ from realtimepathtracingresearchframework_tpu.ops.traverse_stream import (
     LIST_CAP,
     SUB_EXIT,
     SUB_LEAVES,
-    SUB_NODE_ROWS,
-    SUB_TILE_ROWS,
     StreamedBVHBuffers,
     _coherence_key,
     _out_to_hit,
     coherence_order as ts_coherence_order,
     _traverse_streamed,
     dequant_tile,
+    node_rows_for,
 )
 
 try:  # pallas requires the TPU backend; keep CPU test runs importable
@@ -88,7 +87,7 @@ def subtree_bounds(bb: StreamedBVHBuffers) -> jnp.ndarray:
     leaf rows (leaf payload = subtree id)."""
     top = bb.top_nodes
     sid = top[:, 7].astype(jnp.int32)
-    s = bb.sub_nodes.shape[0] // SUB_NODE_ROWS
+    s = bb.num_subtrees
     out = jnp.zeros((s, 8), jnp.float32)
     idx = jnp.where(sid >= 0, sid, s)  # dropped (OOB) for inner nodes
     return out.at[idx].set(top, mode="drop", unique_indices=True)
@@ -134,39 +133,68 @@ def _next_subtree(entry, last_e, last_s, cap):
     return sid, mt
 
 
-def _bin_positions(sid, s: int, block: int, n_pad: int):
-    """Counting-sort positions for block-aligned subtree bins.
+def _bin_layout(sid, s: int, block: int, n_pad: int):
+    """Counting-sort layout for block-aligned subtree bins, built from
+    SORTS + GATHERS only. Round 3 built this with lane-dim scatters
+    ("scatters measured ~5x cheaper than lane gathers"); the round-4
+    re-measurement (prof/prof_r4_sortcost.py) found the OPPOSITE on
+    current v5e toolchains — stable argsort 1.9 ms and a packed 2-D lane
+    gather 4.3 ms per 524K lanes vs 42-46 ms for lane scatters — so the
+    permutation layer is now: one stable argsort over bin keys, one
+    elementwise padded-slot map, and the caller moves data with exactly
+    two packed 2-D gathers (operand: sort-order then slot-order; result:
+    one slot-order pick).
 
-    Returns (pos (N,) i32: each ray's slot in the padded operand,
-    sid_blk (n_pad//block,) i32: each block's subtree or -1). Stable: the
-    caller's lane order (coherence-sorted) is preserved inside bins."""
+    Returns (perm (N,) sorted source order,
+             spos (n_pad,) i32: sorted-order index feeding padded slot p
+                  (clamped; dead padding marked by ``valid``),
+             valid (n_pad,) bool: padded slot holds a real source lane,
+             pos (N,) i32: padded slot of each SOURCE lane,
+             sid_blk (n_pad//block,) i32: each block's subtree or -1).
+    Stable: the caller's (coherence-sorted) lane order is preserved
+    inside bins."""
     n = sid.shape[0]
     b = jnp.where(sid < 0, s, sid)  # dead bin last
-    counts = jnp.zeros((s + 1,), jnp.int32).at[b].add(1)
+    perm = jnp.argsort(b, stable=True)
+    rank = jnp.argsort(perm)  # rank of each source lane in sorted order
+    b_sorted = jnp.sort(b)
+    bins = jnp.arange(s + 1, dtype=jnp.int32)
+    start = jnp.searchsorted(b_sorted, bins, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(b_sorted, bins, side="right").astype(jnp.int32)
+    counts = end - start
     padded = ((counts + block - 1) // block) * block
-    start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
-    )
     pstart = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1]]
     )
-    delta = pstart - start  # (s+1,) pad offset per bin
-    perm = jnp.argsort(b, stable=True)
-    # pos[i] = rank of i in the stable bin order + its bin's pad offset;
-    # the rank is the inverse permutation (scatter), no second sort
-    inv = jnp.zeros((n,), jnp.int32).at[perm].set(
-        jnp.arange(n, dtype=jnp.int32), unique_indices=True
-    )
-    pos = inv + delta[b]
+    # source lane -> padded slot (tiny (S+1,) table lookups)
+    pos = pstart[b] + (rank - start[b])
+    # padded slot -> sorted-order source index
+    slot = jnp.arange(n_pad, dtype=jnp.int32)
+    fill = jnp.concatenate([pstart[1:], jnp.array([n_pad], jnp.int32)])
+    bin_of = jnp.searchsorted(
+        fill, slot, side="right"
+    ).astype(jnp.int32)
+    bin_c = jnp.minimum(bin_of, s)
+    off = slot - pstart[bin_c]
+    valid = (bin_of <= s) & (off < counts[bin_c])
+    spos = jnp.minimum(start[bin_c] + off, n - 1)
     nb = n_pad // block
     blk_start = jnp.arange(nb, dtype=jnp.int32) * block
-    fill = jnp.concatenate([pstart, jnp.array([n_pad], jnp.int32)])
-    bin_of_blk = (
-        jnp.searchsorted(fill[1:], blk_start, side="right").astype(jnp.int32)
-    )
+    bin_of_blk = jnp.searchsorted(
+        fill, blk_start, side="right"
+    ).astype(jnp.int32)
     used = blk_start < (pstart + padded)[jnp.minimum(bin_of_blk, s)]
     sid_blk = jnp.where((bin_of_blk >= s) | ~used, -1, bin_of_blk)
-    return pos, sid_blk.astype(jnp.int32)
+    return perm, spos, valid, pos, sid_blk.astype(jnp.int32)
+
+
+def _pad_operand(stack, init_padded, perm, spos, valid):
+    """Move a (rows, N) source stack into bin-padded slot order with two
+    packed 2-D gathers (see _bin_layout); padding slots take the
+    init_padded defaults (dead ray, miss-encoded best)."""
+    sorted_ops = stack[:, perm]
+    gathered = sorted_ops[:, spos]
+    return jnp.where(valid[None, :], gathered, init_padded)
 
 
 def _binned_bounds(padded, block):
@@ -191,7 +219,8 @@ def _kernel_binned(bounds_ref, sid_ref, subn_ref, tris_ref, rays_ref,
                    out_ref,
                    lst, nscr, tscr, prev_ref, sem_n, sem_t,
                    tb_ref, row_ref, u_ref, v_ref,
-                   *, block: int, shadow: bool, quantized: bool):
+                   *, block: int, shadow: bool, quantized: bool,
+                   sub_leaves: int = SUB_LEAVES):
     """One block vs ONE subtree. The walk + flush mirror
     traverse_stream._kernel_streamed's visit_subtree; the differences:
     the block's subtree id arrives via ``sid_ref`` (no top-tree walk),
@@ -202,6 +231,8 @@ def _kernel_binned(bounds_ref, sid_ref, subn_ref, tris_ref, rays_ref,
     b = block
     pid = pl.program_id(0)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (LEAF, 1), 0)
+    node_rows = node_rows_for(sub_leaves)
+    tile_rows = sub_leaves * 16
 
     @pl.when(pid == 0)
     def _():
@@ -259,11 +290,11 @@ def _kernel_binned(bounds_ref, sid_ref, subn_ref, tris_ref, rays_ref,
         prev_ref[0] = sid
 
         tdma = pltpu.make_async_copy(
-            tris_ref.at[pl.ds(sid * SUB_TILE_ROWS, SUB_TILE_ROWS), :],
+            tris_ref.at[pl.ds(sid * tile_rows, tile_rows), :],
             tscr, sem_t,
         )
         ndma = pltpu.make_async_copy(
-            subn_ref.at[pl.ds(sid * SUB_NODE_ROWS, SUB_NODE_ROWS), :],
+            subn_ref.at[pl.ds(sid * node_rows, node_rows), :],
             nscr, sem_n,
         )
 
@@ -277,7 +308,8 @@ def _kernel_binned(bounds_ref, sid_ref, subn_ref, tris_ref, rays_ref,
         # nscr persists across same-subtree blocks, so reading outside
         # the fresh-branch is correct
         dq = (
-            tuple(nscr[7, 120 + k] for k in range(6)) if quantized else None
+            tuple(nscr[node_rows - 1, 120 + k] for k in range(6))
+            if quantized else None
         )
 
         def node_test(bmn3, bmx3, cap):
@@ -303,7 +335,7 @@ def _kernel_binned(bounds_ref, sid_ref, subn_ref, tris_ref, rays_ref,
                         jnp.minimum(tb_ref[:, :], tmax),
                     )
                     row_ref[:, :] = jnp.where(
-                        hit_any, (sid * SUB_LEAVES + ll) * LEAF, row_ref[:, :]
+                        hit_any, (sid * sub_leaves + ll) * LEAF, row_ref[:, :]
                     )
                     return 0
 
@@ -320,7 +352,7 @@ def _kernel_binned(bounds_ref, sid_ref, subn_ref, tris_ref, rays_ref,
                     t_best, best_row, best_u, best_v = _mt_leaf(
                         tile,
                         rox, roy, roz, rdx, rdy, rdz, tmin, tmax, sub_iota,
-                        sid * SUB_LEAVES + ll,
+                        sid * sub_leaves + ll,
                         tb_ref[:, :], row_ref[:, :], u_ref[:, :], v_ref[:, :],
                     )
                     tb_ref[:, :] = t_best
@@ -371,10 +403,11 @@ def _kernel_binned(bounds_ref, sid_ref, subn_ref, tris_ref, rays_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block", "shadow", "interpret")
+    jax.jit, static_argnames=("block", "shadow", "interpret", "sub_leaves")
 )
 def _dispatch_binned(sid_blk, sub_nodes, tri_tiles, padded,
-                     block: int, shadow: bool, interpret: bool = False):
+                     block: int, shadow: bool, interpret: bool = False,
+                     sub_leaves: int = SUB_LEAVES):
     n_pad = padded.shape[1]
     nb = n_pad // block
     grid = (nb,)
@@ -383,7 +416,8 @@ def _dispatch_binned(sid_blk, sub_nodes, tri_tiles, padded,
     sid_blk = sid_blk.reshape(1, nb)
     quantized = tri_tiles.dtype == jnp.int16
     kernel = functools.partial(
-        _kernel_binned, block=block, shadow=shadow, quantized=quantized
+        _kernel_binned, block=block, shadow=shadow, quantized=quantized,
+        sub_leaves=sub_leaves,
     )
     return pl.pallas_call(
         kernel,
@@ -407,9 +441,9 @@ def _dispatch_binned(sid_blk, sub_nodes, tri_tiles, padded,
         ),
         scratch_shapes=[
             pltpu.SMEM((LIST_CAP,), jnp.int32),
-            pltpu.SMEM((SUB_NODE_ROWS, 128), jnp.float32),
+            pltpu.SMEM((node_rows_for(sub_leaves), 128), jnp.float32),
             pltpu.VMEM(
-                (SUB_TILE_ROWS, 128),
+                (sub_leaves * 16, 128),
                 jnp.int16 if quantized else jnp.float32,
             ),
             pltpu.SMEM((1,), jnp.int32),
@@ -480,12 +514,13 @@ def _run_rounds(bb: StreamedBVHBuffers, rays, block: int, rounds: int,
             )
             cap = jnp.where(blocked, -_INF, cap)
         sid, mt = _next_subtree(entry, last_e, last_s, cap)
-        pos, sid_blk = _bin_positions(sid, s, block, n_pad)
+        perm, spos, valid, pos, sid_blk = _bin_layout(sid, s, block, n_pad)
         stack = jnp.concatenate([rays, best], axis=0)
-        padded = init_padded.at[:, pos].set(stack, unique_indices=True)
+        padded = _pad_operand(stack, init_padded, perm, spos, valid)
         out = _dispatch_binned(
             sid_blk, bb.sub_nodes, bb.tri_tiles, padded,
             block=block, shadow=shadow, interpret=interpret,
+            sub_leaves=bb.sub_leaves,
         )
         best = out[:, pos]
         last_e = jnp.where(sid >= 0, mt, jnp.float32(_INF))
@@ -506,6 +541,7 @@ def _run_rounds(bb: StreamedBVHBuffers, rays, block: int, rounds: int,
         bb.top_nodes, bb.sub_nodes, bb.tri_tiles, clean_rays,
         top_nodes=bb.num_top_nodes, block=block,
         shadow_from=0 if shadow else -1, interpret=interpret,
+        sub_leaves=bb.sub_leaves,
     )
     crow = jax.lax.bitcast_convert_type(out[1], jnp.int32)
     improved = live & (crow >= 0)
@@ -551,7 +587,7 @@ def _run_multislot(bb: StreamedBVHBuffers, rays, block: int, k_max: int,
     overflow = c[-1] > k_max
 
     sid_dup = jnp.where(sid_dup >= s, -1, sid_dup)
-    pos, sid_blk = _bin_positions(sid_dup, s, block, t_pad)
+    perm, spos, valid, pos, sid_blk = _bin_layout(sid_dup, s, block, t_pad)
 
     init_padded = jnp.zeros((12, t_pad), jnp.float32)
     init_padded = init_padded.at[8, :].set(_INF)
@@ -570,45 +606,44 @@ def _run_multislot(bb: StreamedBVHBuffers, rays, block: int, k_max: int,
         ],
         axis=0,
     )
-    padded = init_padded.at[:, pos].set(stack, unique_indices=True)
+    padded = _pad_operand(stack, init_padded, perm, spos, valid)
     out = _dispatch_binned(
         sid_blk, bb.sub_nodes, bb.tri_tiles, padded,
         block=block, shadow=False, interpret=interpret,
+        sub_leaves=bb.sub_leaves,
     )
 
-    # merge: per-ray min over the ray's slots, all via scatters (lane
-    # gathers only on small final payload picks). orig maps slot -> ray.
-    ray_idx = jnp.tile(jnp.arange(n, dtype=jnp.int32), (k_max,))
-    orig = jnp.full((t_pad,), n, jnp.int32).at[pos].set(
-        jnp.where(sid_dup >= 0, ray_idx, n), unique_indices=True
+    # merge: gather every slot's result back to (4, K, N) with ONE
+    # packed 2-D gather (pos maps source slot k*N+i -> padded slot),
+    # mask empty slots to misses, and reduce over K with a where-chain —
+    # no scatters anywhere (see _bin_layout's measurement note)
+    slots = out[:, pos]  # (4, K*N) slot-order results
+    empty = (sid_dup < 0).reshape(k_max, n)
+    t_k = jnp.where(empty, _INF, slots[0].reshape(k_max, n))
+    best_t = jnp.full((n,), _INF, jnp.float32)
+    best_row = jnp.full((n,), -1, jnp.int32)
+    best_u = jnp.zeros((n,), jnp.float32)
+    best_v = jnp.zeros((n,), jnp.float32)
+    row_k = jax.lax.bitcast_convert_type(slots[1], jnp.int32).reshape(
+        k_max, n
     )
-    # order-preserving f32 -> i32 map (an involution: negatives flip
-    # their magnitude bits) so the scatter-min matches float order even
-    # for negative t (t_min < 0 is legal through the public signature)
-    def _ord_i32(bits):
-        return jnp.where(bits >= 0, bits, bits ^ jnp.int32(0x7FFFFFFF))
-
-    t_bits = _ord_i32(jax.lax.bitcast_convert_type(out[0], jnp.int32))
-    inf_bits = jax.lax.bitcast_convert_type(jnp.float32(_INF), jnp.int32)
-    min_bits = jnp.full((n,), inf_bits, jnp.int32).at[orig].min(
-        t_bits, mode="drop"
-    )
-    cand = t_bits == min_bits.at[jnp.minimum(orig, n - 1)].get()
-    cand = cand & (orig < n)
-    slot_iota = jnp.arange(t_pad, dtype=jnp.int32)
-    win = jnp.full((n,), t_pad, jnp.int32).at[orig].min(
-        jnp.where(cand, slot_iota, t_pad), mode="drop"
-    )
-    win_c = jnp.minimum(win, t_pad - 1)
+    u_k = slots[2].reshape(k_max, n)
+    v_k = slots[3].reshape(k_max, n)
+    for k in range(k_max):
+        # strict < keeps the lowest-k (nearest-entry) winner on exact-t
+        # ties across subtrees — both are valid (same contract as the
+        # per-round visitor); misses carry t=INF and never win
+        better = (t_k[k] < best_t) & (row_k[k] >= 0)
+        best_t = jnp.where(better, t_k[k], best_t)
+        best_row = jnp.where(better, row_k[k], best_row)
+        best_u = jnp.where(better, u_k[k], best_u)
+        best_v = jnp.where(better, v_k[k], best_v)
     best = jnp.stack(
         [
-            jax.lax.bitcast_convert_type(_ord_i32(min_bits), jnp.float32),
-            jnp.where(
-                win < t_pad, out[1, win_c],
-                jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32),
-            ),
-            jnp.where(win < t_pad, out[2, win_c], 0.0),
-            jnp.where(win < t_pad, out[3, win_c], 0.0),
+            jnp.where(best_row < 0, _INF, best_t),
+            jax.lax.bitcast_convert_type(best_row, jnp.float32),
+            best_u,
+            best_v,
         ],
         axis=0,
     )
@@ -620,6 +655,7 @@ def _run_multislot(bb: StreamedBVHBuffers, rays, block: int, k_max: int,
     out2 = _traverse_streamed(
         bb.top_nodes, bb.sub_nodes, bb.tri_tiles, clean_rays,
         top_nodes=bb.num_top_nodes, block=block, interpret=interpret,
+        sub_leaves=bb.sub_leaves,
     )
     crow = jax.lax.bitcast_convert_type(out2[1], jnp.int32)
     improved = overflow & (crow >= 0)

@@ -54,7 +54,7 @@ except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
 LEAF = 128
-SUB_LEAVES = 64  # fixed leaf slots per subtree (tile block 512 KB)
+SUB_LEAVES = 64  # default leaf slots per subtree (tile block 512 KB)
 CHUNK_TRIS = SUB_LEAVES * LEAF  # 8192 -> <=127 threaded nodes/subtree
 SUB_NODE_ROWS = 8  # (8, 128) node block = 128 node slots of 8 f32
 SUB_TILE_ROWS = SUB_LEAVES * 16  # (1024, 128) tile block per subtree
@@ -63,11 +63,22 @@ DEFAULT_BLOCK = 512
 _INF = 2.0e32
 
 
+def node_rows_for(sub_leaves: int) -> int:
+    """Node-block sublane rows for a subtree granularity: enough 16-slot
+    rows for the worst threaded tree (2*leaves-1 nodes) plus the spare
+    dequant slot, preserving the historic 8-row block at 64 leaves."""
+    return max(1, -(-(2 * sub_leaves) // 16))
+
+
 class StreamedBVHBuffers(NamedTuple):
     top_nodes: jnp.ndarray  # (Mt, 8) f32 SMEM: min3,max3,skip,subtree|-1
-    sub_nodes: jnp.ndarray  # (S*8, 128) f32 HBM: packed subtree nodes
-    tri_tiles: jnp.ndarray  # (S*1024, 128) f32 HBM: padded tile blocks
-    row_tri: jnp.ndarray  # (S*8192,) i32: global row -> source triangle
+    sub_nodes: jnp.ndarray  # (S*R, 128) f32 HBM: packed subtree nodes
+    tri_tiles: jnp.ndarray  # (S*L*16, 128) f32 HBM: padded tile blocks
+    row_tri: jnp.ndarray  # (S*L*128,) i32: global row -> source triangle
+    sub_leaves: int = SUB_LEAVES  # leaf slots per subtree (static); the
+    # chunk granularity knob: 8192-tri subtrees amortize DMA on huge
+    # scenes, 2048-tri subtrees cut per-visit walk+flush work 4x for
+    # the binned per-ray dispatch (the village-class regime)
 
     @property
     def num_top_nodes(self) -> int:
@@ -76,6 +87,18 @@ class StreamedBVHBuffers(NamedTuple):
     @property
     def num_tris_capacity(self) -> int:
         return self.row_tri.shape[0]
+
+    @property
+    def sub_node_rows(self) -> int:
+        return node_rows_for(self.sub_leaves)
+
+    @property
+    def sub_tile_rows(self) -> int:
+        return self.sub_leaves * 16
+
+    @property
+    def num_subtrees(self) -> int:
+        return self.sub_nodes.shape[0] // self.sub_node_rows
 
 
 
@@ -118,9 +141,10 @@ def _build_top_tree(cmin: np.ndarray, cmax: np.ndarray) -> np.ndarray:
     return np.stack(nodes)
 
 
-def _split_chunks(centroid: np.ndarray) -> List[np.ndarray]:
-    """Recursive largest-axis median splits into chunks of <= CHUNK_TRIS,
-    split points snapped to CHUNK multiples (chunks stay full).
+def _split_chunks(centroid: np.ndarray,
+                  chunk_tris: int = CHUNK_TRIS) -> List[np.ndarray]:
+    """Recursive largest-axis median splits into chunks of <= chunk_tris,
+    split points snapped to chunk multiples (chunks stay full).
 
     Replaces plain morton-run chunking: runs of a global morton order
     produce ragged, heavily OVERLAPPING subtree AABBs (measured on the
@@ -131,14 +155,14 @@ def _split_chunks(centroid: np.ndarray) -> List[np.ndarray]:
     stack = [np.arange(len(centroid), dtype=np.int64)]
     while stack:
         idx = stack.pop()
-        if len(idx) <= CHUNK_TRIS:
+        if len(idx) <= chunk_tris:
             out.append(idx)
             continue
         ext = centroid[idx].max(axis=0) - centroid[idx].min(axis=0)
         axis = int(np.argmax(ext))
         order = idx[np.argsort(centroid[idx, axis], kind="stable")]
-        half = (len(order) // 2 + CHUNK_TRIS - 1) // CHUNK_TRIS * CHUNK_TRIS
-        half = min(max(half, CHUNK_TRIS), len(order) - 1)
+        half = (len(order) // 2 + chunk_tris - 1) // chunk_tris * chunk_tris
+        half = min(max(half, chunk_tris), len(order) - 1)
         stack.append(order[half:])
         stack.append(order[:half])
     return out
@@ -182,15 +206,27 @@ class StreamedTopology(NamedTuple):
     host numpy; ``refit_streamed`` turns (topology, new vertices) into
     fresh buffers without re-sorting or re-building SAH trees."""
 
-    gather: np.ndarray  # (S*SUB_LEAVES*LEAF,) i64 tri index per slot, -1 pad
-    node_end: np.ndarray  # (S, 128) i32 preorder subtree-range end (=nn pad)
-    node_leaf: np.ndarray  # (S, 128) i32 LOCAL leaf id of leaf nodes, -1
+    gather: np.ndarray  # (S*L*LEAF,) i64 tri index per slot, -1 pad
+    node_end: np.ndarray  # (S, R*16) i32 preorder subtree-range end (=nn pad)
+    node_leaf: np.ndarray  # (S, R*16) i32 LOCAL leaf id of leaf nodes, -1
     node_count: np.ndarray  # (S,) i32
-    sub_nodes_base: np.ndarray  # (S, 8, 128) f32 links/padding preserved
+    sub_nodes_base: np.ndarray  # (S, R, 128) f32 links/padding preserved
+    sub_leaves: int = SUB_LEAVES  # granularity of the packed buffers
+
+
+def pick_chunk_tris(num_tris: int) -> int:
+    """Subtree granularity for a scene size: target ~64 subtrees (the
+    per-ray binned dispatch wants small subtrees — less walk + flush
+    work per block — while the entry table and top tree stay tiny), but
+    never below 1024 tris (8 leaf tiles: DMA still amortizes) and never
+    above the historic 8192 (HBM tile padding on multi-M-tri scenes)."""
+    per = -(-num_tris // 64)  # ceil
+    per = -(-per // LEAF) * LEAF  # round up to whole leaves
+    return int(min(max(per, 1024), CHUNK_TRIS))
 
 
 def pack_streamed(v0, e1, e2, quantize: bool = False,
-                  with_topology: bool = False):
+                  with_topology: bool = False, chunk_tris: int = None):
     """Chunked two-level build + HBM packing (host-side numpy).
 
     With ``quantize`` the leaf tiles store per-subtree 16-bit vertex
@@ -198,7 +234,10 @@ def pack_streamed(v0, e1, e2, quantize: bool = False,
     HBM footprint and per-visit DMA bytes — and the dequant constants
     ride the spare node slot of each subtree's node block. The subtree
     BVHs are built over the RECONSTRUCTED triangles so the tree is
-    consistent with what the kernel intersects."""
+    consistent with what the kernel intersects.
+
+    ``chunk_tris`` sets the subtree granularity (defaults to
+    ``pick_chunk_tris``); must be a multiple of LEAF."""
     v0 = np.asarray(v0, np.float32)
     e1 = np.asarray(e1, np.float32)
     e2 = np.asarray(e2, np.float32)
@@ -207,18 +246,25 @@ def pack_streamed(v0, e1, e2, quantize: bool = False,
     tmax = np.maximum(np.maximum(v0, v1), v2)
     centroid = 0.5 * (tmin + tmax)
 
-    chunks = _split_chunks(centroid)
+    if chunk_tris is None:
+        chunk_tris = pick_chunk_tris(len(v0))
+    assert chunk_tris % LEAF == 0 and chunk_tris > 0
+    sub_leaves = chunk_tris // LEAF
+    node_rows = node_rows_for(sub_leaves)
+    tile_rows = sub_leaves * 16
+
+    chunks = _split_chunks(centroid, chunk_tris)
     S = len(chunks)
-    sub_nodes = np.zeros((S, SUB_NODE_ROWS, 128), np.float32)
+    sub_nodes = np.zeros((S, node_rows, 128), np.float32)
     tile_list: List[np.ndarray] = []
     row_tri_list: List[np.ndarray] = []
     cmin = np.zeros((S, 3), np.float32)
     cmax = np.zeros((S, 3), np.float32)
     if with_topology:
         assert not quantize, "refit topology implies f32 tiles"
-        topo_gather = np.full((S, SUB_LEAVES * LEAF), -1, np.int64)
-        topo_end = np.zeros((S, 128), np.int32)
-        topo_leaf = np.full((S, 128), -1, np.int32)
+        topo_gather = np.full((S, chunk_tris), -1, np.int64)
+        topo_end = np.zeros((S, node_rows * 16), np.int32)
+        topo_leaf = np.full((S, node_rows * 16), -1, np.int32)
         topo_nn = np.zeros((S,), np.int32)
     for s, idx in enumerate(chunks):
         cv0, ce1, ce2 = v0[idx], e1[idx], e2[idx]
@@ -234,10 +280,10 @@ def pack_streamed(v0, e1, e2, quantize: bool = False,
         tb = build_threaded_bvh(
             cv0, ce1, ce2, leaf_size=LEAF, builder="sah"
         )
-        node_cap = SUB_NODE_ROWS * 16 - (1 if quantize else 0)
+        node_cap = node_rows * 16 - (1 if quantize else 0)
         if (
             tb.num_nodes > node_cap
-            or tb.tri_rows.shape[0] // LEAF > SUB_LEAVES
+            or tb.tri_rows.shape[0] // LEAF > sub_leaves
         ):
             tb = build_threaded_bvh(cv0, ce1, ce2, leaf_size=LEAF)
         nn = tb.num_nodes
@@ -258,31 +304,31 @@ def pack_streamed(v0, e1, e2, quantize: bool = False,
             r, c = divmod(i, 16)
             sub_nodes[s, r, c * 8:(c + 1) * 8] = nodes[i]
         if quantize:
-            # dequant constants ride the spare node slot 127 (the walk
-            # never lands there: nn <= 127 and all exits jump SUB_EXIT)
-            sub_nodes[s, 7, 120:123] = gmin
-            sub_nodes[s, 7, 123:126] = gscale
-        # fixed-size padded tile block: (SUB_LEAVES*16, 128) field rows
+            # dequant constants ride the spare (last) node slot — the
+            # walk never lands there: nn <= cap and exits jump SUB_EXIT
+            sub_nodes[s, node_rows - 1, 120:123] = gmin
+            sub_nodes[s, node_rows - 1, 123:126] = gscale
+        # fixed-size padded tile block: (sub_leaves*16, 128) field rows
         rows = tb.tri_rows  # (R, >=9) leaf-major rows
         R = rows.shape[0]
         num_leaves = R // LEAF
-        assert num_leaves <= SUB_LEAVES
+        assert num_leaves <= sub_leaves
         if quantize:
             q0, q1, q2 = qcodes
             codes = np.concatenate(
                 [q0, q1, q2], axis=1
             )[tb.row_tri]  # (R, 9) u16, leaf order
-            tiles = np.zeros((SUB_LEAVES, 16, 128), np.int16)
+            tiles = np.zeros((sub_leaves, 16, 128), np.int16)
             per_leaf = codes.reshape(num_leaves, LEAF, 9)
             tiles[:num_leaves, 0:9, :] = (
                 per_leaf.astype(np.int32) - 32768
             ).astype(np.int16).transpose(0, 2, 1)
         else:
-            tiles = np.zeros((SUB_LEAVES, 16, 128), np.float32)
+            tiles = np.zeros((sub_leaves, 16, 128), np.float32)
             per_leaf = rows[:, 0:9].reshape(num_leaves, LEAF, 9)
             tiles[:num_leaves, 0:9, :] = per_leaf.transpose(0, 2, 1)
-        tile_list.append(tiles.reshape(SUB_LEAVES * 16, 128))
-        rt = np.zeros(SUB_LEAVES * LEAF, np.int32)
+        tile_list.append(tiles.reshape(sub_leaves * 16, 128))
+        rt = np.zeros(chunk_tris, np.int32)
         rt[:R] = idx[tb.row_tri].astype(np.int32)
         row_tri_list.append(rt)
         cmin[s] = tb.world_min
@@ -295,9 +341,10 @@ def pack_streamed(v0, e1, e2, quantize: bool = False,
     top = _build_top_tree(cmin, cmax)
     bb = StreamedBVHBuffers(
         top_nodes=jnp.asarray(top),
-        sub_nodes=jnp.asarray(sub_nodes.reshape(S * SUB_NODE_ROWS, 128)),
+        sub_nodes=jnp.asarray(sub_nodes.reshape(S * node_rows, 128)),
         tri_tiles=jnp.asarray(np.concatenate(tile_list, axis=0)),
         row_tri=jnp.asarray(np.concatenate(row_tri_list)),
+        sub_leaves=sub_leaves,
     )
     if with_topology:
         return bb, StreamedTopology(
@@ -306,6 +353,7 @@ def pack_streamed(v0, e1, e2, quantize: bool = False,
             node_leaf=topo_leaf,
             node_count=topo_nn,
             sub_nodes_base=sub_nodes,
+            sub_leaves=sub_leaves,
         )
     return bb
 
@@ -325,14 +373,17 @@ def refit_streamed(topo: StreamedTopology, v0, e1, e2) -> StreamedBVHBuffers:
     e2 = np.asarray(e2, np.float32)
     g = topo.gather
     S = topo.node_count.shape[0]
+    sub_leaves = topo.sub_leaves
+    node_rows = node_rows_for(sub_leaves)
+    slots = node_rows * 16
     valid = g >= 0
     gi = np.where(valid, g, 0)
 
     sv0, se1, se2 = v0[gi], e1[gi], e2[gi]
     fields = np.concatenate([sv0, se1, se2], axis=1)  # (slots, 9)
     fields[~valid] = 0.0
-    tiles = np.zeros((S * SUB_LEAVES, 16, 128), np.float32)
-    tiles[:, 0:9, :] = fields.reshape(S * SUB_LEAVES, LEAF, 9).transpose(
+    tiles = np.zeros((S * sub_leaves, 16, 128), np.float32)
+    tiles[:, 0:9, :] = fields.reshape(S * sub_leaves, LEAF, 9).transpose(
         0, 2, 1
     )
 
@@ -343,27 +394,27 @@ def refit_streamed(topo: StreamedTopology, v0, e1, e2) -> StreamedBVHBuffers:
     big = np.float32(np.inf)
     tmin = np.where(valid[:, None], tmin, big)
     tmax = np.where(valid[:, None], tmax, -big)
-    lmin = tmin.reshape(S, SUB_LEAVES, LEAF, 3).min(axis=2)  # (S, 64, 3)
-    lmax = tmax.reshape(S, SUB_LEAVES, LEAF, 3).max(axis=2)
+    lmin = tmin.reshape(S, sub_leaves, LEAF, 3).min(axis=2)  # (S, L, 3)
+    lmax = tmax.reshape(S, sub_leaves, LEAF, 3).max(axis=2)
 
     # node AABBs via prefix sums over preorder leaf presence: node i of
     # subtree s covers leaves seen at preorder positions [i, end_i)
-    P = np.zeros((S, 129, SUB_LEAVES), np.float32)
+    P = np.zeros((S, slots + 1, sub_leaves), np.float32)
     sj, nj = np.nonzero(topo.node_leaf >= 0)
     P[sj, nj + 1, topo.node_leaf[sj, nj]] = 1.0
-    C = np.cumsum(P, axis=1)  # (S, 129, 64)
-    ii = np.arange(128)
+    C = np.cumsum(P, axis=1)  # (S, slots+1, L)
+    ii = np.arange(slots)
     C_end = np.take_along_axis(
         C, topo.node_end[:, :, None].astype(np.int64), axis=1
-    )  # (S, 128, 64)
-    covered = (C_end - C[:, 0:128, :]) > 0  # (S, 128, 64)
+    )  # (S, slots, L)
+    covered = (C_end - C[:, 0:slots, :]) > 0  # (S, slots, L)
     node_valid = ii[None, :] < topo.node_count[:, None]
     nmin = np.where(
         covered[..., None], lmin[:, None, :, :], big
-    ).min(axis=2)  # (S, 128, 3)
+    ).min(axis=2)  # (S, slots, 3)
     nmax = np.where(covered[..., None], lmax[:, None, :, :], -big).max(axis=2)
 
-    sub = topo.sub_nodes_base.copy()  # (S, 8, 128), links preserved
+    sub = topo.sub_nodes_base.copy()  # (S, R, 128), links preserved
     r = ii // 16
     base = (ii % 16) * 8
     for k in range(3):
@@ -380,13 +431,14 @@ def refit_streamed(topo: StreamedTopology, v0, e1, e2) -> StreamedBVHBuffers:
     rt = np.where(valid, g, 0).astype(np.int32)
     return StreamedBVHBuffers(
         top_nodes=jnp.asarray(top),
-        sub_nodes=jnp.asarray(sub.reshape(S * SUB_NODE_ROWS, 128)),
-        tri_tiles=jnp.asarray(tiles.reshape(S * SUB_LEAVES * 16, 128)),
+        sub_nodes=jnp.asarray(sub.reshape(S * node_rows, 128)),
+        tri_tiles=jnp.asarray(tiles.reshape(S * sub_leaves * 16, 128)),
         row_tri=jnp.asarray(rt),
+        sub_leaves=sub_leaves,
     )
 
 
-def reconstruct_quantized(v0, e1, e2):
+def reconstruct_quantized(v0, e1, e2, chunk_tris: int = None):
     """Host-side reference of the quantized-pack geometry: the exact
     triangles the quantized kernel intersects (for parity tests and
     error-bound checks). Mirrors pack_streamed(quantize=True)'s
@@ -401,7 +453,9 @@ def reconstruct_quantized(v0, e1, e2):
     out0 = np.zeros_like(v0)
     out1 = np.zeros_like(e1)
     out2 = np.zeros_like(e2)
-    for idx in _split_chunks(centroid):
+    if chunk_tris is None:
+        chunk_tris = pick_chunk_tris(len(v0))
+    for idx in _split_chunks(centroid, chunk_tris):
         _, _, _, _, _, v0r, e1r, e2r = quantize_chunk(
             v0[idx], v1[idx], v2[idx]
         )
@@ -441,7 +495,8 @@ def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
                      lst, nscr, tscr, sem_n, sem_t,
                      tb_ref, row_ref, u_ref, v_ref, cid_ref, cl_ref,
                      *, top_nodes: int, block: int, shadow_from: int = -1,
-                     quantized: bool = False, ordered: bool = False):
+                     quantized: bool = False, ordered: bool = False,
+                     sub_leaves: int = SUB_LEAVES):
     """v2 walk (see ops/traverse_pallas2.py): pure-scalar top + subtree
     walks against per-block conservative packet bounds (scalar-prefetch
     operand), leaf hits collected into an SMEM list of LOCAL leaf ids
@@ -451,6 +506,8 @@ def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
     b = block
     pid = pl.program_id(0)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (LEAF, 1), 0)
+    node_rows = node_rows_for(sub_leaves)
+    tile_rows = sub_leaves * 16
 
     # lane-major (8, B) operand (cheap XLA concat) stays lane-major:
     # (1, B) component rows, tris-on-sublanes MT — identical arithmetic
@@ -517,19 +574,20 @@ def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
         decisively better than per-leaf 8 KB DMAs for divergent bounce
         waves (which visit most leaves of every entered subtree)."""
         tdma = pltpu.make_async_copy(
-            tris_ref.at[pl.ds(sub_id * SUB_TILE_ROWS, SUB_TILE_ROWS), :],
+            tris_ref.at[pl.ds(sub_id * tile_rows, tile_rows), :],
             tscr, sem_t,
         )
         tdma.start()
         ndma = pltpu.make_async_copy(
-            subn_ref.at[pl.ds(sub_id * SUB_NODE_ROWS, SUB_NODE_ROWS), :],
+            subn_ref.at[pl.ds(sub_id * node_rows, node_rows), :],
             nscr, sem_n,
         )
         ndma.start()
         ndma.wait()
         # dequant constants from the spare node slot (pack_streamed)
         dq = (
-            tuple(nscr[7, 120 + k] for k in range(6)) if quantized else None
+            tuple(nscr[node_rows - 1, 120 + k] for k in range(6))
+            if quantized else None
         )
 
         def flush(count, cap, nhit, waited):
@@ -543,7 +601,7 @@ def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
             def lf(j, _):
                 ll = lst[j]
                 _mt_tile(
-                    tscr[pl.ds(ll * 16, 16), :], sub_id * SUB_LEAVES + ll,
+                    tscr[pl.ds(ll * 16, 16), :], sub_id * sub_leaves + ll,
                     dq,
                 )
                 return 0
@@ -697,12 +755,14 @@ def _kernel_streamed(bounds_ref, top_ref, subn_ref, tris_ref, rays_ref,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "top_nodes", "block", "shadow_from", "interpret", "ordered"
+        "top_nodes", "block", "shadow_from", "interpret", "ordered",
+        "sub_leaves",
     ),
 )
 def _traverse_streamed(top_nodes_arr, sub_nodes, tri_tiles, rays,
                        top_nodes: int, block: int, shadow_from: int = -1,
-                       interpret: bool = False, ordered: bool = False):
+                       interpret: bool = False, ordered: bool = False,
+                       sub_leaves: int = SUB_LEAVES):
     n = rays.shape[1]  # (8, Np) lane-major rows
     # barrier: keep the bounds reduction off the ray-producer chain (see
     # traverse_pallas2._traverse2)
@@ -710,10 +770,12 @@ def _traverse_streamed(top_nodes_arr, sub_nodes, tri_tiles, rays,
     bounds = block_bounds(rays, block)
     grid = (n // block,)
     quantized = tri_tiles.dtype == jnp.int16
-    n_subs = sub_nodes.shape[0] // SUB_NODE_ROWS
+    node_rows = node_rows_for(sub_leaves)
+    n_subs = sub_nodes.shape[0] // node_rows
     kernel = functools.partial(
         _kernel_streamed, top_nodes=top_nodes, block=block,
         shadow_from=shadow_from, quantized=quantized, ordered=ordered,
+        sub_leaves=sub_leaves,
     )
     # bounds as a plain whole-array SMEM operand — see _traverse2
     return pl.pallas_call(
@@ -738,9 +800,9 @@ def _traverse_streamed(top_nodes_arr, sub_nodes, tri_tiles, rays,
         ),
         scratch_shapes=[
             pltpu.SMEM((LIST_CAP,), jnp.int32),
-            pltpu.SMEM((SUB_NODE_ROWS, 128), jnp.float32),
+            pltpu.SMEM((node_rows, 128), jnp.float32),
             pltpu.VMEM(
-                (SUB_TILE_ROWS, 128),
+                (sub_leaves * 16, 128),
                 jnp.int16 if quantized else jnp.float32,
             ),
             pltpu.SemaphoreType.DMA(()),
@@ -873,7 +935,7 @@ def closest_hit_streamed(
     out = _traverse_streamed(
         bb.top_nodes, bb.sub_nodes, bb.tri_tiles, rays,
         top_nodes=bb.num_top_nodes, block=block,
-        interpret=INTERPRET, ordered=ordered,
+        interpret=INTERPRET, ordered=ordered, sub_leaves=bb.sub_leaves,
     )
     if sort:
         out = out[:, inv]
@@ -894,7 +956,7 @@ def occluded_streamed(
     out = _traverse_streamed(
         bb.top_nodes, bb.sub_nodes, bb.tri_tiles, rays,
         top_nodes=bb.num_top_nodes, block=block, shadow_from=0,
-        interpret=INTERPRET,
+        interpret=INTERPRET, sub_leaves=bb.sub_leaves,
     )
     if sort:
         out = out[:, inv]
@@ -929,15 +991,17 @@ def closest_and_occluded_streamed(
     out = _traverse_streamed(
         bb.top_nodes, bb.sub_nodes, bb.tri_tiles, rays,
         top_nodes=bb.num_top_nodes, block=block, shadow_from=shadow_from,
-        interpret=INTERPRET,
+        interpret=INTERPRET, sub_leaves=bb.sub_leaves,
     )
     np_c = rays_c.shape[1]
-    out_c = out[:, :n]
+    # unsort BEFORE truncating: sorted order moves dead/padding lanes
+    # last, so the first n sorted lanes are not the caller's first n
+    out_c = out[:, :np_c]
     if inv_c is not None:
         out_c = out_c[:, inv_c]
-    hit = _out_to_hit(bb, out_c, n, map_tri)
-    srowbits = out[1, np_c:np_c + n2]
-    blocked = jax.lax.bitcast_convert_type(srowbits, jnp.int32) >= 0
+    hit = _out_to_hit(bb, out_c[:, :n], n, map_tri)
+    srowbits = out[1, np_c:]
     if inv_s is not None:
-        blocked = blocked[inv_s]
+        srowbits = srowbits[inv_s]
+    blocked = jax.lax.bitcast_convert_type(srowbits[:n2], jnp.int32) >= 0
     return hit, blocked

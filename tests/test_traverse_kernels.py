@@ -239,7 +239,7 @@ def test_binned_matches_resident_v2(rng, rounds):
     e1 = np.concatenate([e1] * 9)
     e2 = np.concatenate([e2] * 9)
     sb = ts.pack_streamed(v0, e1, e2)
-    assert sb.sub_nodes.shape[0] // ts.SUB_NODE_ROWS >= 3
+    assert sb.num_subtrees >= 3
     tb = bvh_mod.build_threaded_bvh(v0, e1, e2, leaf_size=128)
     bb = tp2.pack_for_pallas2(tb)
 

@@ -22,10 +22,12 @@ def _soup(n=20000, seed=3):
 def test_pack_streamed_invariants():
     v0, e1, e2 = _soup()
     bb = TS.pack_streamed(v0, e1, e2)
-    S = bb.sub_nodes.shape[0] // TS.SUB_NODE_ROWS
-    assert S == -(-len(v0) // TS.CHUNK_TRIS)
-    assert bb.tri_tiles.shape == (S * TS.SUB_TILE_ROWS, 128)
-    assert bb.row_tri.shape == (S * TS.CHUNK_TRIS,)
+    S = bb.num_subtrees
+    chunk = bb.sub_leaves * TS.LEAF
+    assert chunk == TS.pick_chunk_tris(len(v0))
+    assert S == -(-len(v0) // chunk)
+    assert bb.tri_tiles.shape == (S * bb.sub_tile_rows, 128)
+    assert bb.row_tri.shape == (S * chunk,)
 
     top = np.asarray(bb.top_nodes)
     Mt = len(top)
@@ -40,7 +42,7 @@ def test_pack_streamed_invariants():
     assert ((sub == -1) | (sub >= 0)).all()
 
     # subtree node blocks: local skips either advance or exit
-    subn = np.asarray(bb.sub_nodes).reshape(S, TS.SUB_NODE_ROWS, 128)
+    subn = np.asarray(bb.sub_nodes).reshape(S, bb.sub_node_rows, 128)
     for s in range(min(S, 3)):
         block = subn[s].reshape(-1, 8)  # 128 slots
         skips = block[:, 6].astype(np.int64)
@@ -50,7 +52,7 @@ def test_pack_streamed_invariants():
         for i in range(nn):
             assert skips[i] == TS.SUB_EXIT or i < skips[i] <= nn
             if leafs[i] >= 0:
-                assert leafs[i] < TS.SUB_LEAVES
+                assert leafs[i] < bb.sub_leaves
 
     # row_tri values land in the source triangle range (0 padding ok)
     rt = np.asarray(bb.row_tri)

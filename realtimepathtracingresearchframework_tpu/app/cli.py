@@ -67,7 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--freeze-frame", action="store_true")
     p.add_argument("--deduplicate-scene", action="store_true")
     p.add_argument("--backend", default="tpu", help="render backend (tpu)")
-    p.add_argument("--variant", default=VARIANT_MEGAKERNEL)
+    p.add_argument("--variant", default=None,
+                   help="renderer variant (default: ini state, else "
+                        f"{VARIANT_MEGAKERNEL})")
     p.add_argument("--validation", default=None, metavar="PREFIX")
     p.add_argument("--validation-spp", type=int, default=32)
     p.add_argument("--profiling", default=None, metavar="PREFIX")
@@ -266,7 +268,12 @@ def main(argv=None) -> int:
         renderer = Renderer(devices=avail[: args.devices])
     else:
         renderer = Renderer(device=jax.devices()[args.device])
-    renderer.set_variant(args.variant)
+    # explicit --variant wins, else the ini-persisted viewer selection
+    # (app/state.py ApplicationState.variant), else the megakernel
+    renderer.set_variant(
+        args.variant or bundle.app.variant or VARIANT_MEGAKERNEL
+    )
+    bundle.app.variant = renderer.active_variant
     # params + scene config come from the state bundle (ini-loaded
     # values with CLI overrides applied above) — one source of truth
     # shared with the viewer/profiling/data-capture paths

@@ -162,6 +162,63 @@ class ImState:
                 out.append("%s= %s" % (name, _format_value(value)))
 
     # ------------------------------------------------------------------
+    # Widget schema (the ImGui half of the dual-mode declaration)
+    # ------------------------------------------------------------------
+
+    def describe(self) -> List[Dict[str, Any]]:
+        """UI schema for every registered target — the widget half of the
+        reference's IMGUI_STATE dual-mode macro (imstate.h:152-181),
+        where one declaration is simultaneously a live widget and an ini
+        attribute. The schema is produced by the SAME field walk the ini
+        writer uses (:meth:`_serialize_obj`), and values are rendered by
+        the same formatter, so a widget is exactly one ini line."""
+        out: List[Dict[str, Any]] = []
+        seen: set = set()
+        for target, obj in self.targets.items():
+            if id(obj) in seen:  # "Scene" / "Scene##id" alias one object
+                continue
+            seen.add(id(obj))
+            groups: List[Dict[str, Any]] = []
+            self._describe_obj(groups, obj, ())
+            out.append({"target": target, "groups": groups})
+        return out
+
+    def _describe_obj(self, groups: List[Dict[str, Any]], obj: Any,
+                      path: Tuple[str, ...]) -> None:
+        attrs = []
+        nested = []
+        for name, value in _fields_of(obj):
+            if _is_nested(value):
+                nested.append((name, value))
+            else:
+                attrs.append({
+                    "name": name,
+                    "kind": _kind_of(value),
+                    "value": _format_value(value).strip(),
+                })
+        if attrs:
+            groups.append({"path": list(path), "attrs": attrs})
+        for name, value in nested:
+            self._describe_obj(groups, value, path + (name,))
+
+    def apply_raw(self, target: str, path, attr: str, raw: str) -> bool:
+        """Apply one widget edit through the SAME code path an ini
+        attribute line takes (:func:`_apply_attr` after the scope walk of
+        :meth:`_apply_frame`) — UI edits and ini lines are one pipeline,
+        like the reference's ImState::Attribute (imstate.cpp:379-480)."""
+        obj = self.targets.get(target)
+        if obj is None:
+            obj = self.targets.get(target.split("##")[0])
+        if obj is None:
+            return False
+        for part in path:
+            obj = _get_field(obj, part)
+            if obj is None:
+                return False
+        _apply_attr(obj, attr, raw)
+        return True
+
+    # ------------------------------------------------------------------
     # Applying settings frames
     # ------------------------------------------------------------------
 
@@ -294,6 +351,24 @@ def _format_value(value) -> str:
     if isinstance(value, (list, tuple)):
         return " " + " ".join(_format_value(v).strip() for v in value)
     return str(value)
+
+
+def _kind_of(value) -> str:
+    """Widget kind for a serializable leaf value (drives the client-side
+    input element: checkbox / number / N-number row / text)."""
+    import numpy as np
+
+    if isinstance(value, bool):
+        return "bool"
+    if isinstance(value, int):
+        return "int"
+    if isinstance(value, float):
+        return "float"
+    if isinstance(value, np.ndarray):
+        return "vec%d" % value.size
+    if isinstance(value, (list, tuple)):
+        return "vec%d" % len(value)
+    return "str"
 
 
 def _get_field(obj, name):

@@ -79,6 +79,9 @@ class ApplicationState:
 
     target_spp: int = 0  # 0 = unbounded progressive
     batch_spp: int = 1
+    variant: str = ""  # selected renderer variant ("" = CLI/default); the
+    # reference keeps the renderer selection in app state too
+    # (app_state.cpp:117-143), so a viewer widget change persists
     max_path_depth: int = 9
     rr_path_depth: int = 2
     pause_rendering: bool = False

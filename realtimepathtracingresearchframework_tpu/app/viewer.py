@@ -34,14 +34,102 @@ _PAGE = """<!DOCTYPE html>
 body { margin:0; background:#111; color:#ccc; font:12px monospace; }
 #hud { position:fixed; top:4px; left:6px; }
 canvas { display:block; margin:0 auto; image-rendering:pixelated; }
+#panel { position:fixed; top:0; right:0; bottom:0; width:290px;
+  overflow-y:auto; background:#1b1b1bee; padding:8px; display:none; }
+#panel h3 { margin:10px 0 2px; font-size:12px; color:#8ac; }
+#panel h4 { margin:6px 0 2px; font-size:11px; color:#a98; }
+#panel label { display:block; margin:2px 0; }
+#panel input, #panel select { background:#222; color:#ddd;
+  border:1px solid #444; font:11px monospace; width:60px; }
+#panel input[type=checkbox] { width:auto; }
+#panel select { width:180px; }
+#panel .v3 input { width:52px; }
+#gear { position:fixed; top:4px; right:8px; cursor:pointer; }
 </style></head><body>
-<div id="hud"></div><canvas id="c"></canvas>
+<div id="hud"></div><div id="gear">[settings]</div>
+<div id="panel"></div><canvas id="c"></canvas>
 <script>
 const canvas = document.getElementById('c'), hud = document.getElementById('hud');
+const panel = document.getElementById('panel');
 const ctx = canvas.getContext('2d');
 let keys = {}, drag = null, wheel = 0, seq = 0;
-onkeydown = e => { keys[e.key.toLowerCase()] = true; };
+const typing = () => ['INPUT', 'SELECT'].includes(document.activeElement.tagName);
+onkeydown = e => { if (!typing()) keys[e.key.toLowerCase()] = true; };
 onkeyup = e => { keys[e.key.toLowerCase()] = false; };
+document.getElementById('gear').onclick = () => {
+  panel.style.display = panel.style.display === 'block' ? 'none' : 'block';
+  if (panel.style.display === 'block') loadSettings();
+};
+function sendEdit(target, path, attr, value) {
+  fetch('/set', {method:'POST',
+    body: JSON.stringify({target, path, attr, value})});
+}
+async function loadSettings() {
+  const s = await (await fetch('/settings')).json();
+  panel.innerHTML = '';
+  const sel = document.createElement('select');
+  for (const v of s.variants) {
+    const o = document.createElement('option');
+    o.value = o.textContent = v;
+    if (v === s.variant) o.selected = true;
+    sel.appendChild(o);
+  }
+  sel.onchange = () => sendEdit('Renderer', [], 'variant', sel.value);
+  const vl = document.createElement('label');
+  vl.textContent = 'variant ';
+  vl.appendChild(sel);
+  panel.appendChild(vl);
+  for (const t of s.targets) {
+    const h = document.createElement('h3');
+    h.textContent = t.target;
+    panel.appendChild(h);
+    for (const g of t.groups) {
+      if (g.path.length) {
+        const h4 = document.createElement('h4');
+        h4.textContent = g.path.join('.');
+        panel.appendChild(h4);
+      }
+      for (const a of g.attrs) {
+        const lab = document.createElement('label');
+        lab.textContent = a.name + ' ';
+        const send = vals => sendEdit(t.target, g.path, a.name, vals);
+        if (a.kind === 'bool') {
+          const inp = document.createElement('input');
+          inp.type = 'checkbox';
+          inp.checked = a.value.trim() === '1';
+          inp.onchange = () => send(inp.checked ? '1' : '0');
+          lab.appendChild(inp);
+        } else if (a.kind.startsWith('vec')) {
+          lab.className = 'v3';
+          const parts = a.value.split(/\\s+/);
+          const inputs = parts.map(p => {
+            const inp = document.createElement('input');
+            inp.type = 'number'; inp.step = 'any';
+            inp.value = parseFloat(p);
+            lab.appendChild(inp);
+            return inp;
+          });
+          const fire = () => send(inputs.map(i => i.value || '0').join(' '));
+          inputs.forEach(i => i.onchange = fire);
+        } else if (a.kind === 'int' || a.kind === 'float') {
+          const inp = document.createElement('input');
+          inp.type = 'number';
+          inp.step = a.kind === 'int' ? '1' : 'any';
+          inp.value = parseFloat(a.value);
+          inp.onchange = () => send(inp.value);
+          lab.appendChild(inp);
+        } else {
+          const inp = document.createElement('input');
+          inp.type = 'text'; inp.style.width = '160px';
+          inp.value = a.value;
+          inp.onchange = () => send(inp.value);
+          lab.appendChild(inp);
+        }
+        panel.appendChild(lab);
+      }
+    }
+  }
+}
 canvas.onmousedown = e => { drag = {x:e.clientX, y:e.clientY, b:e.button}; };
 onmouseup = () => { drag = null; };
 let dragDelta = [0,0,0];
@@ -91,6 +179,8 @@ class _ViewerState:
         self.drag = np.zeros(3)
         self.wheel = 0.0
         self.quit = False
+        self.edits: list = []  # queued widget edits for the frame loop
+        self.settings_json: bytes = b"{}"  # refreshed by the frame loop
 
 
 def _make_handler(state: _ViewerState):
@@ -118,6 +208,10 @@ def _make_handler(state: _ViewerState):
                 with state.lock:
                     body = json.dumps(state.stats).encode()
                 self._send(200, body, "application/json")
+            elif path == "/settings":
+                with state.lock:
+                    body = state.settings_json
+                self._send(200, body, "application/json")
             else:
                 self._send(404, b"", "text/plain")
 
@@ -135,6 +229,14 @@ def _make_handler(state: _ViewerState):
                     d = ev.get("drag", [0, 0, 0])
                     state.drag += np.asarray(d[:3], np.float64)
                     state.wheel += float(ev.get("wheel", 0.0))
+                self._send(200, b"{}", "application/json")
+            elif path == "/set":
+                try:
+                    ev = json.loads(body)
+                except json.JSONDecodeError:
+                    ev = {}
+                with state.lock:
+                    state.edits.append(ev)
                 self._send(200, b"{}", "application/json")
             elif path == "/quit":
                 with state.lock:
@@ -215,6 +317,40 @@ class InteractiveViewer:
         if self.app_ini:
             self.ims.save_ini(self.app_ini)
 
+    # -- settings widgets (the ImGui half of imstate dual-mode) --
+
+    def _settings_payload(self) -> bytes:
+        r = self.renderer
+        return json.dumps({
+            "targets": self.ims.describe(),
+            "variant": r.active_variant,
+            "variants": r.supported_variants(),
+        }).encode()
+
+    def _apply_edits(self) -> bool:
+        """Drain queued widget edits on the frame-loop thread (renderer
+        mutation + state writes stay single-threaded, like the reference
+        app's UI pass before rendering, app.cpp:262-270). Returns True
+        if anything changed (caller restarts accumulation)."""
+        with self.state.lock:
+            edits, self.state.edits = self.state.edits, []
+        changed = False
+        for ev in edits:
+            target = str(ev.get("target", ""))
+            attr = str(ev.get("attr", ""))
+            value = str(ev.get("value", ""))
+            path = tuple(str(p) for p in ev.get("path", []))
+            if target == "Renderer" and attr == "variant":
+                if self.renderer.set_variant(value):
+                    # keep the selection an ini attribute too
+                    # (app_state.cpp:117-143 stores it in app state)
+                    self.bundle.app.variant = self.renderer.active_variant
+                    changed = True
+                continue
+            if self.ims.apply_raw(target, path, attr, value):
+                changed = True
+        return changed
+
     def run(self, max_frames: Optional[int] = None) -> int:
         """The interactive loop (app.cpp:243-585). Returns rendered frame
         count; exits on /quit, max_frames, or relaunch."""
@@ -230,15 +366,19 @@ class InteractiveViewer:
                         break
                 now = time.perf_counter()
                 dt, last_t = now - last_t, now
-                if self._apply_input(min(dt, 0.1)):
+                changed = self._apply_input(min(dt, 0.1))
+                changed = self._apply_edits() or changed
+                if changed:
                     r.reset_accumulation()  # app.cpp:312-336
                 r.render(self.bundle.frame_config())
                 frames += 1
                 fb = r.readback_framebuffer()
                 stats = r.stats(force_rays=True)
                 png = _encode_png(fb[..., :3])
+                settings_json = self._settings_payload()
                 with self.state.lock:
                     self.state.frame_png = png
+                    self.state.settings_json = settings_json
                     self.state.stats = {
                         "width": r.fb_width, "height": r.fb_height,
                         "spp": int(stats.spp),

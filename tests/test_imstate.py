@@ -159,3 +159,44 @@ def test_cli_flags_do_not_clobber_config_values():
         assert getattr(args, f) is None, f
     args2 = build_parser().parse_args(["cornell", "--fov", "40"])
     assert args2.fov == 40.0
+
+
+def test_describe_and_apply_raw_round_trip():
+    """The widget schema (describe) and widget edits (apply_raw) are the
+    dual-mode halves of one declaration: the schema mirrors serialized
+    attributes, and an edit round-trips into the next serialize()."""
+    from realtimepathtracingresearchframework_tpu.app.imstate import ImState
+    from realtimepathtracingresearchframework_tpu.app.state import AppStateBundle
+
+    ims = ImState()
+    bundle = AppStateBundle(ims, "scenes/test.vks")
+    desc = ims.describe()
+    # aliased targets ("Scene" / "Scene##id") appear once
+    names = [t["target"] for t in desc]
+    assert "Application Settings" in names and "Scene" in names
+    assert len(names) == len(set(names))
+    scene = next(t for t in desc if t["target"] == "Scene")
+    flat = {
+        (tuple(g["path"]), a["name"]): a
+        for g in scene["groups"] for a in g["attrs"]
+    }
+    assert ((), "exposure") in flat
+    assert flat[(("sun",), "turbidity")]["kind"] == "float"
+    assert flat[(("sun",), "direction")]["kind"] == "vec3"
+    assert flat[(("camera",), "fov")]["value"].startswith("6.5")
+
+    # a widget edit is an ini attribute line: same apply path
+    assert ims.apply_raw("Scene", ("sun",), "direction", "0.3 0.9 0.1")
+    assert ims.apply_raw("Scene", (), "exposure", "1.5")
+    assert ims.apply_raw("Application Settings", (), "batch_spp", "4")
+    import numpy as np
+
+    assert np.allclose(bundle.scene.sun.direction, [0.3, 0.9, 0.1])
+    assert bundle.scene.exposure == 1.5
+    assert bundle.app.batch_spp == 4
+    # unknown scope walks fail closed
+    assert not ims.apply_raw("Nope", (), "x", "1")
+    assert not ims.apply_raw("Scene", ("nope",), "x", "1")
+    # and the edit lands in the serialized ini (persistence)
+    txt = ims.serialize()
+    assert "exposure=  1.5" in txt.replace("e+00", "") or "1.5" in txt

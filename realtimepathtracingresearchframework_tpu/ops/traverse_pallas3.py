@@ -1,0 +1,510 @@
+"""Pallas TPU traversal kernel v3: flat vectorized leaf cull.
+
+The v2 kernel (ops/traverse_pallas2.py) walks the BVH with a pure-scalar
+cursor — ~50 cycles per node step. On real-scene bounce queues that walk
+is the boat anchor: the village block sweep (prof/prof_r4_block.py)
+measured the flush term flat from block 512 to 1024 (per-block packet
+bounds SATURATE — every block flushes most leaves any of its rays need)
+while halving the block size to tighten bounds multiplied the ~60-70 us
+per-block walk into dominance. The walk prevents exactly the fix the
+flush needs: smaller ray groups.
+
+v3 deletes the tree walk. The scene's LEAF AABBs live as a dense
+(16, Lpad) VMEM array and every block tests ALL of them on the VPU in a
+few hundred vector ops — a brute-force broad phase that costs less than
+walking even ONE tree path scalar-ly. The test runs at QUARTER-block
+granularity (4 sub-packets of block/4 lanes, bounds reduced in XLA like
+block_bounds): the (4, Lpad) hit mask is packed into a 4-bit-per-leaf
+(1, Lpad) row, DMA'd to SMEM, and a scalar scan flushes each surviving
+leaf with Moller-Trumbore ONLY on the quarters that intersect it.
+Compared to v2 on saturated queues this cuts per-lane flush work by the
+quarter-mask density and removes the per-node scalar serialization
+entirely; the only remaining scalar work is the ~L-iteration scan
+(~4 cycles per leaf).
+
+Exactness: the per-quarter interval test is the SAME conservative
+packet-vs-AABB predicate v2 evaluates per tree node (a leaf's mask
+covers every lane whose exact segment pierces the leaf box), and leaves
+flush in ascending leaf order = v2's preorder leaf order, with the same
+``_mt_leaf`` strict-improvement merge — per-ray results are
+bit-identical to v2/v1 (same closest t, same winning row on ties).
+
+Trade-off: v3 has no shrinking-t cap during the scan (v2 refreshes a
+scalar cap every LIST_CAP leaves), so coherent all-hit queues (camera
+primaries into dense geometry) can flush more leaves than v2 culls.
+Host analysis (prof/prof_r4_flatcull.py) quantifies both effects; the
+dispatcher picks per queue.
+
+Reference semantics: inline ray-query traversal of
+``pt_megakernel.glsl:440-478`` — expressed as a TPU-native broad phase
+instead of a pointer walk (the reference delegates this loop to the RT
+hardware; there is no GLSL counterpart to copy).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realtimepathtracingresearchframework_tpu.ops.traverse_pallas2 import (
+    LEAF,
+    PallasBVH2Buffers,
+    _mt_leaf,
+    _mt_leaf_any,
+    _out_to_hit,
+    block_bounds,
+)
+
+try:  # pallas requires the TPU backend; keep CPU test runs importable
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+DEFAULT_BLOCK = 512
+QUARTERS = 4  # sub-packet flush granularity (block // 4 lanes)
+_INF = 2.0e32
+
+# per-launch grid cap (see traverse_pallas2.MAX_BLOCKS)
+MAX_BLOCKS = 1024
+
+INTERPRET = False
+
+
+def leaf_aabbs_for(bb: PallasBVH2Buffers, tb_nodes: np.ndarray = None,
+                   leaf_count: int = None) -> jnp.ndarray:
+    """(16, Lpad) leaf-AABB rows for the flat cull: rows 0-2 min, 3-5
+    max, padding slots get an empty box (min=+big > max=-big, so the
+    interval test can never pass them). Built from the packed leaf tiles
+    (exact union of the leaf's real triangles; zero-padded slots of the
+    tail tile are excluded via row_tri validity)."""
+    tiles = np.asarray(bb.tri_tiles, np.float32)
+    ls = bb.leaf_size
+    lpt = LEAF // ls
+    nt = tiles.shape[0] // 16
+    t = tiles.reshape(nt, 16, LEAF)
+    v0 = t[:, 0:3, :]
+    v1 = v0 + t[:, 3:6, :]
+    v2 = v0 + t[:, 6:9, :]
+    # a padded slot is all-zero (v0=e1=e2=0); real triangles can be
+    # degenerate at the origin too, but including a zero-point in a real
+    # leaf's box only loosens it conservatively. Exclude TAIL padding
+    # exactly: rows past the last real row belong to no leaf.
+    n_rows = bb.row_tri.shape[0]
+    L = n_rows // ls
+    lo = np.minimum(np.minimum(v0, v1), v2)  # (nt, 3, 128)
+    hi = np.maximum(np.maximum(v0, v1), v2)
+    # per-sub-leaf reduction: (nt, 3, lpt, ls) -> (nt, lpt, 3)
+    lo = lo.reshape(nt, 3, lpt, ls).min(axis=3).transpose(0, 2, 1)
+    hi = hi.reshape(nt, 3, lpt, ls).max(axis=3).transpose(0, 2, 1)
+    lo = lo.reshape(nt * lpt, 3)[:L]
+    hi = hi.reshape(nt * lpt, 3)[:L]
+    # rows with any real (non-degenerate-padding) triangle: a leaf whose
+    # rows are ALL zero-padding is the tail tile's empty band
+    big = np.float32(3.0e38)
+    lpad = -(-L // 128) * 128
+    out = np.zeros((16, lpad), np.float32)
+    out[0:3, :] = big
+    out[3:6, :] = -big
+    out[0:3, :L] = lo.T
+    out[3:6, :L] = hi.T
+    return jnp.asarray(out)
+
+
+def _quarter_bounds(rays: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Per-quarter packet bounds, (16, nb*4) like block_bounds — rides
+    as a whole-array SMEM operand; the kernel reads quarter qi of block
+    pid at column 4*pid + qi and broadcasts the scalars against the
+    (1, Lpad) leaf rows."""
+    return block_bounds(rays, block // QUARTERS)
+
+
+def _kernel3(bounds_ref, qb_ref, aabb_ref, tris_ref, rays_ref, out_ref,
+             mrow_ref, msum_ref, mask_ref, sem_m,
+             tb_ref, row_ref, u_ref, v_ref,
+             *, num_leaves: int, block: int, shadow_from: int = -1,
+             leaf_size: int = LEAF):
+    b = block
+    q = b // QUARTERS
+    pid = pl.program_id(0)
+    lpt = LEAF // leaf_size
+    lpad = aabb_ref.shape[1]
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (leaf_size, 1), 0)
+
+    # quarter-major layout: each (1, B) lane row retiles to (4, B/4) so
+    # quarter qi is SUBLANE row qi (lane-offset slices of a (1, B) row
+    # cannot broadcast against tri columns on Mosaic — sublane slices can)
+    rox = jnp.reshape(rays_ref[0:1, :], (QUARTERS, q))
+    roy = jnp.reshape(rays_ref[1:2, :], (QUARTERS, q))
+    roz = jnp.reshape(rays_ref[2:3, :], (QUARTERS, q))
+    rdx = jnp.reshape(rays_ref[3:4, :], (QUARTERS, q))
+    rdy = jnp.reshape(rays_ref[4:5, :], (QUARTERS, q))
+    rdz = jnp.reshape(rays_ref[5:6, :], (QUARTERS, q))
+    tmin = jnp.reshape(rays_ref[6:7, :], (QUARTERS, q))
+    tmax = jnp.reshape(rays_ref[7:8, :], (QUARTERS, q))
+
+    tb_ref[:, :] = tmax
+    row_ref[:, :] = jnp.full((QUARTERS, q), -1, jnp.int32)
+    u_ref[:, :] = jnp.zeros((QUARTERS, q), jnp.float32)
+    v_ref[:, :] = jnp.zeros((QUARTERS, q), jnp.float32)
+
+    is_shadow = pid >= shadow_from if shadow_from >= 0 else None
+
+    # ---- vectorized broad phase: ALL leaves per quarter, one (1, Lpad)
+    # vector pass per quarter with the quarter's SCALAR packet bounds
+    # (SMEM column 4*pid + qi of the block_bounds(block//4) operand)
+    bmn = [aabb_ref[k:k + 1, :] for k in range(3)]  # (1, Lpad) rows
+    bmx = [aabb_ref[3 + k:4 + k, :] for k in range(3)]
+    mrow = jnp.zeros((1, lpad), jnp.int32)
+    for qi in range(QUARTERS):
+        col = QUARTERS * pid + qi
+        tlo_q = qb_ref[12, col]
+        thi_q = qb_ref[13, col]
+        U = jnp.full((1, lpad), thi_q)
+        Lb = jnp.full((1, lpad), tlo_q)
+        expand_ok = jnp.full((1, lpad), True)
+        for k in range(3):
+            olo_k = qb_ref[k, col]
+            ohi_k = qb_ref[3 + k, col]
+            ilo_k = qb_ref[6 + k, col]
+            ihi_k = qb_ref[9 + k, col]
+            alo = bmn[k] - ohi_k  # (1, Lpad)
+            ahi = bmn[k] - olo_k
+            blo = bmx[k] - ohi_k
+            bhi = bmx[k] - olo_k
+            t0lo = jnp.minimum(
+                jnp.minimum(alo * ilo_k, alo * ihi_k),
+                jnp.minimum(ahi * ilo_k, ahi * ihi_k),
+            )
+            t0hi = jnp.maximum(
+                jnp.maximum(alo * ilo_k, alo * ihi_k),
+                jnp.maximum(ahi * ilo_k, ahi * ihi_k),
+            )
+            t1lo = jnp.minimum(
+                jnp.minimum(blo * ilo_k, blo * ihi_k),
+                jnp.minimum(bhi * ilo_k, bhi * ihi_k),
+            )
+            t1hi = jnp.maximum(
+                jnp.maximum(blo * ilo_k, blo * ihi_k),
+                jnp.maximum(bhi * ilo_k, bhi * ihi_k),
+            )
+            Lb = jnp.maximum(Lb, jnp.minimum(t0lo, t1lo))
+            U = jnp.minimum(U, jnp.maximum(t0hi, t1hi))
+            expand_ok = expand_ok & (jnp.maximum(alo, -bhi) <= thi_q)
+        live_q = (Lb <= U) & expand_ok & (thi_q > tlo_q)  # (1, Lpad)
+        mrow = mrow + live_q.astype(jnp.int32) * (1 << qi)
+
+    mrow_ref[:, :] = mrow
+    msum_ref[0, 0] = jnp.sum(mrow)
+    cp = pltpu.make_async_copy(mrow_ref, mask_ref, sem_m)
+    cp.start()
+    cp.wait()
+
+    def mt_quarter(tile, gid, qi):
+        sl = slice(qi, qi + 1)
+        t_best, best_row, best_u, best_v = _mt_leaf(
+            tile,
+            rox[sl, :], roy[sl, :], roz[sl, :],
+            rdx[sl, :], rdy[sl, :], rdz[sl, :],
+            tmin[sl, :], tmax[sl, :], sub_iota,
+            gid, tb_ref[sl, :], row_ref[sl, :],
+            u_ref[sl, :], v_ref[sl, :],
+            leaf_size=leaf_size,
+        )
+        tb_ref[sl, :] = t_best
+        row_ref[sl, :] = best_row
+        u_ref[sl, :] = best_u
+        v_ref[sl, :] = best_v
+
+    def mt_quarter_any(tile, gid, qi):
+        sl = slice(qi, qi + 1)
+        hit_any = _mt_leaf_any(
+            tile,
+            rox[sl, :], roy[sl, :], roz[sl, :],
+            rdx[sl, :], rdy[sl, :], rdz[sl, :],
+            tmin[sl, :],
+            jnp.minimum(tb_ref[sl, :], tmax[sl, :]),
+            leaf_id=gid, leaf_size=leaf_size,
+        )
+        row_ref[sl, :] = jnp.where(
+            hit_any, gid * leaf_size, row_ref[sl, :]
+        )
+
+    def scan_closest(_):
+        def body(leaf_id, carry):
+            m = mask_ref[0, leaf_id]
+
+            @pl.when(m > 0)
+            def _():
+                tile = tris_ref[pl.ds((leaf_id // lpt) * 16, 16), :]
+                for qi in range(QUARTERS):
+                    @pl.when((m >> qi) & 1 != 0)
+                    def _(qi=qi):
+                        mt_quarter(tile, leaf_id, qi)
+
+            return carry
+
+        jax.lax.fori_loop(0, num_leaves, body, 0, unroll=False)
+
+    def scan_shadow(_):
+        # early exit once every lane is resolved; the check costs one
+        # vector->scalar sync, so it runs every 16 flushed leaves
+        def cond(c):
+            return (c[0] < num_leaves) & (c[2] < b)
+
+        def body(c):
+            leaf_id, since, nhit = c
+            m = mask_ref[0, leaf_id]
+
+            @pl.when(m > 0)
+            def _():
+                tile = tris_ref[pl.ds((leaf_id // lpt) * 16, 16), :]
+                for qi in range(QUARTERS):
+                    @pl.when((m >> qi) & 1 != 0)
+                    def _(qi=qi):
+                        mt_quarter_any(tile, leaf_id, qi)
+
+            since = since + (m > 0).astype(jnp.int32)
+            refresh = since >= 16
+            nhit = jax.lax.cond(
+                refresh,
+                lambda: jnp.sum(
+                    ((row_ref[:, :] >= 0) | (tmax <= tmin)).astype(jnp.int32)
+                ),
+                lambda: nhit,
+            )
+            since = jnp.where(refresh, 0, since)
+            return (leaf_id + 1, since, nhit)
+
+        jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        )
+
+    any_live = msum_ref[0, 0] > 0
+    if shadow_from < 0:
+        pl.when(any_live)(lambda: scan_closest(0))
+    elif shadow_from == 0:
+        pl.when(any_live)(lambda: scan_shadow(0))
+    else:
+        @pl.when(any_live)
+        def _():
+            jax.lax.cond(is_shadow, scan_shadow, scan_closest, 0)
+
+    out_ref[:, :] = jnp.concatenate(
+        [
+            jnp.reshape(
+                jnp.where(
+                    row_ref[:, :] < 0, jnp.float32(_INF), tb_ref[:, :]
+                ),
+                (1, b),
+            ),
+            jnp.reshape(
+                jax.lax.bitcast_convert_type(row_ref[:, :], jnp.float32),
+                (1, b),
+            ),
+            jnp.reshape(u_ref[:, :], (1, b)),
+            jnp.reshape(v_ref[:, :], (1, b)),
+        ],
+        axis=0,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_leaves", "block", "shadow_from", "interpret", "leaf_size"
+    ),
+)
+def _traverse3(aabbs, tri_tiles, rays, num_leaves: int, block: int,
+               shadow_from: int = -1, interpret: bool = False,
+               leaf_size: int = LEAF):
+    n = rays.shape[1]
+    nb = n // block
+    if nb > MAX_BLOCKS:
+        outs = []
+        for s in range(0, nb, MAX_BLOCKS):
+            e = min(s + MAX_BLOCKS, nb)
+            if shadow_from < 0 or shadow_from - s >= e - s:
+                sf = -1
+            else:
+                sf = max(0, shadow_from - s)
+            outs.append(
+                _traverse3(
+                    aabbs, tri_tiles, rays[:, s * block:e * block],
+                    num_leaves=num_leaves, block=block, shadow_from=sf,
+                    interpret=interpret, leaf_size=leaf_size,
+                )
+            )
+        return jnp.concatenate(outs, axis=1)
+    # barrier: see traverse_pallas2._traverse2
+    rays = jax.lax.optimization_barrier(rays)
+    bounds = block_bounds(rays, block)
+    qb = _quarter_bounds(rays, block)
+    lpad = aabbs.shape[1]
+    grid = (nb,)
+    kernel = functools.partial(
+        _kernel3, num_leaves=num_leaves, block=block,
+        shadow_from=shadow_from, leaf_size=leaf_size,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                bounds.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                qb.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                tri_tiles.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((8, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (4, block), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, lpad), jnp.int32),  # packed quarter-mask row
+            pltpu.SMEM((1, 1), jnp.int32),  # total live (block skip)
+            pltpu.SMEM((1, lpad), jnp.int32),  # mask landed for the scan
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((QUARTERS, block // QUARTERS), jnp.float32),
+            pltpu.VMEM((QUARTERS, block // QUARTERS), jnp.int32),
+            pltpu.VMEM((QUARTERS, block // QUARTERS), jnp.float32),
+            pltpu.VMEM((QUARTERS, block // QUARTERS), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
+        interpret=interpret,
+    )(bounds, qb, aabbs, tri_tiles, rays)
+
+
+class PallasBVH3Buffers:
+    """PallasBVH2Buffers + the flat-cull leaf AABB array. Kept as a thin
+    wrapper (not a NamedTuple clone) so existing v2 entry points accept
+    the same object via duck typing."""
+
+    def __init__(self, bb: PallasBVH2Buffers):
+        self.bb = bb
+        self.aabbs = leaf_aabbs_for(bb)
+        self.num_leaves = bb.row_tri.shape[0] // bb.leaf_size
+        # scene box for the coherence sort's morton grid = root AABB
+        self.scene_lo = bb.nodes[0, 0:3]
+        self.scene_hi = bb.nodes[0, 3:6]
+
+    def __getattr__(self, name):
+        return getattr(self.bb, name)
+
+
+def pack_for_pallas3(tb) -> PallasBVH3Buffers:
+    from realtimepathtracingresearchframework_tpu.ops.traverse_pallas2 import (
+        pack_for_pallas2,
+    )
+
+    return PallasBVH3Buffers(pack_for_pallas2(tb))
+
+
+def closest_hit_pallas3(
+    bb: PallasBVH3Buffers, ro, rd, t_min=0.0, t_max=_INF,
+    block: int = DEFAULT_BLOCK, comps=None, map_tri: bool = True,
+    compact: bool = False,
+):
+    from realtimepathtracingresearchframework_tpu.ops.traverse_pallas import (
+        _prep_rays,
+    )
+    from realtimepathtracingresearchframework_tpu.ops.traverse_pallas2 import (
+        _compact,
+        _uncompact,
+    )
+
+    rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=True)
+    if compact:
+        rays, inv = _compact(rays, bb.scene_lo, bb.scene_hi)
+    out = _traverse3(
+        bb.aabbs, bb.tri_tiles, rays, num_leaves=bb.num_leaves,
+        block=block, interpret=INTERPRET, leaf_size=bb.leaf_size,
+    )
+    if compact:
+        out = _uncompact(out, inv)
+    return _out_to_hit(bb.bb, out, n, map_tri)
+
+
+def occluded_pallas3(
+    bb: PallasBVH3Buffers, ro, rd, t_min=0.0, t_max=_INF,
+    block: int = DEFAULT_BLOCK, comps=None, compact: bool = False,
+):
+    from realtimepathtracingresearchframework_tpu.ops.traverse_pallas import (
+        _prep_rays,
+    )
+    from realtimepathtracingresearchframework_tpu.ops.traverse_pallas2 import (
+        _compact,
+        _uncompact,
+    )
+
+    rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=True)
+    if compact:
+        rays, inv = _compact(rays, bb.scene_lo, bb.scene_hi)
+    out = _traverse3(
+        bb.aabbs, bb.tri_tiles, rays, num_leaves=bb.num_leaves,
+        block=block, shadow_from=0, interpret=INTERPRET,
+        leaf_size=bb.leaf_size,
+    )
+    if compact:
+        rowbits = _uncompact(out[1:2], inv)[0, :n]
+    else:
+        rowbits = out[1, :n]
+    return jax.lax.bitcast_convert_type(rowbits, jnp.int32) >= 0
+
+
+def closest_and_occluded_pallas3(
+    bb: PallasBVH3Buffers,
+    comps_c, t_min_c, t_max_c,
+    comps_s, t_min_s, t_max_s,
+    block: int = DEFAULT_BLOCK, map_tri: bool = True,
+    compact: bool = False,
+):
+    """ONE launch for the wavefront's two per-bounce queues (see
+    traverse_pallas2.closest_and_occluded_pallas2)."""
+    from realtimepathtracingresearchframework_tpu.ops.traverse_pallas import (
+        _prep_rays,
+    )
+    from realtimepathtracingresearchframework_tpu.ops.traverse_pallas2 import (
+        _compact,
+        _uncompact,
+    )
+
+    rays_c, n = _prep_rays(None, None, t_min_c, t_max_c, block,
+                           comps=comps_c, wide=True)
+    rays_s, n2 = _prep_rays(None, None, t_min_s, t_max_s, block,
+                            comps=comps_s, wide=True)
+    if compact:
+        lo, hi = bb.scene_lo, bb.scene_hi
+        rays_c, inv_c = _compact(rays_c, lo, hi)
+        rays_s, inv_s = _compact(rays_s, lo, hi)
+    rays = jnp.concatenate([rays_c, rays_s], axis=1)
+    shadow_from = rays_c.shape[1] // block
+    out = _traverse3(
+        bb.aabbs, bb.tri_tiles, rays, num_leaves=bb.num_leaves,
+        block=block, shadow_from=shadow_from, interpret=INTERPRET,
+        leaf_size=bb.leaf_size,
+    )
+    np_c = rays_c.shape[1]
+    out_c = out[:, :np_c]
+    srow = out[1, np_c:]
+    if compact:
+        out_c = _uncompact(out_c, inv_c)[:, :n]
+        srow = _uncompact(srow[None], inv_s)[0, :n2]
+    else:
+        out_c = out_c[:, :n]
+        srow = srow[:n2]
+    hit = _out_to_hit(bb.bb, out_c, n, map_tri)
+    blocked = jax.lax.bitcast_convert_type(srow, jnp.int32) >= 0
+    return hit, blocked

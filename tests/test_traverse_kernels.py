@@ -665,3 +665,91 @@ def test_integrator_stream_closest_strategies_agree(rng):
             np.asarray(hits[strategy].t)[hitm],
             np.asarray(hits["sorted"].t)[hitm], rtol=1e-6,
         )
+
+
+@pytest.mark.parametrize("kind", ["coherent", "incoherent"])
+@pytest.mark.parametrize("leaf_size", [128, 32])
+def test_flat_cull_v3_matches_v2(rng, kind, leaf_size):
+    """The v3 flat vectorized leaf cull must be BIT-identical to the v2
+    tree walk (same conservative per-quarter leaf predicate is a superset
+    of the per-block one; strict-improvement MT in ascending leaf order =
+    v2's preorder leaf order)."""
+    from realtimepathtracingresearchframework_tpu.ops import (
+        traverse_pallas3 as tp3,
+    )
+
+    tp3.INTERPRET = True
+    try:
+        v0, e1, e2 = _terrain(24)
+        tb = bvh_mod.build_threaded_bvh(v0, e1, e2, leaf_size=leaf_size)
+        bb2 = tp2.pack_for_pallas2(tb)
+        bb3 = tp3.PallasBVH3Buffers(bb2)
+        ro, rd = _rays(1024, rng, kind)
+        ro_d, rd_d = jnp.asarray(ro), jnp.asarray(rd)
+
+        h3 = tp3.closest_hit_pallas3(bb3, ro_d, rd_d)
+        h2 = tp2.closest_hit_pallas2(bb2, ro_d, rd_d)
+        assert np.array_equal(np.asarray(h3.t), np.asarray(h2.t))
+        assert np.array_equal(np.asarray(h3.tri), np.asarray(h2.tri))
+        assert np.array_equal(np.asarray(h3.u), np.asarray(h2.u))
+
+        t_ref = np.asarray(h2.t)
+        tmax = np.where(
+            np.isfinite(t_ref) & (t_ref < 1e30), t_ref * 0.999, 8.0
+        )
+        o3 = np.asarray(
+            tp3.occluded_pallas3(bb3, ro_d, rd_d, t_max=jnp.asarray(tmax))
+        )
+        o2 = np.asarray(
+            tp2.occluded_pallas2(bb2, ro_d, rd_d, t_max=jnp.asarray(tmax))
+        )
+        assert np.array_equal(o3, o2)
+    finally:
+        tp3.INTERPRET = False
+
+
+def test_flat_cull_v3_merged_and_compacted(rng):
+    """v3's fused closest+shadow launch and compacted dispatch match the
+    plain separate dispatches bit-exactly (the same contracts the v2
+    kernel holds)."""
+    from realtimepathtracingresearchframework_tpu.ops import (
+        traverse_pallas3 as tp3,
+    )
+
+    tp3.INTERPRET = True
+    try:
+        v0, e1, e2 = _terrain(24)
+        tb = bvh_mod.build_threaded_bvh(v0, e1, e2, leaf_size=128)
+        bb3 = tp3.pack_for_pallas3(tb)
+        ro, rd = _rays(512, rng, "coherent")
+        ros, rds = _rays(512, rng, "incoherent")
+        comps_c = tuple(jnp.asarray(x) for x in (ro[:, 0], ro[:, 1],
+                                                 ro[:, 2], rd[:, 0],
+                                                 rd[:, 1], rd[:, 2]))
+        comps_s = tuple(jnp.asarray(x) for x in (ros[:, 0], ros[:, 1],
+                                                 ros[:, 2], rds[:, 0],
+                                                 rds[:, 1], rds[:, 2]))
+        hit_m, blocked_m = tp3.closest_and_occluded_pallas3(
+            bb3, comps_c, 0.0, 2.0e32, comps_s, 0.0, 8.0
+        )
+        hit_s = tp3.closest_hit_pallas3(bb3, jnp.asarray(ro), jnp.asarray(rd))
+        blocked_s = tp3.occluded_pallas3(
+            bb3, jnp.asarray(ros), jnp.asarray(rds), t_max=8.0
+        )
+        assert np.array_equal(np.asarray(hit_m.t), np.asarray(hit_s.t))
+        assert np.array_equal(np.asarray(hit_m.tri), np.asarray(hit_s.tri))
+        assert np.array_equal(np.asarray(blocked_m), np.asarray(blocked_s))
+
+        # compaction with dead lanes is bit-invisible
+        alive = rng.uniform(size=ro.shape[0]) < 0.4
+        tmax = jnp.asarray(np.where(alive, 2.0e32, 0.0).astype(np.float32))
+        hc = tp3.closest_hit_pallas3(
+            bb3, jnp.asarray(ro), jnp.asarray(rd), t_max=tmax, compact=True
+        )
+        hp = tp3.closest_hit_pallas3(
+            bb3, jnp.asarray(ro), jnp.asarray(rd), t_max=tmax
+        )
+        assert np.array_equal(np.asarray(hc.t), np.asarray(hp.t))
+        assert np.array_equal(np.asarray(hc.tri), np.asarray(hp.tri))
+    finally:
+        tp3.INTERPRET = False

@@ -130,9 +130,9 @@ def main():
     timeit("bounce v3 flat (sorted)",
            lambda: tp3.closest_hit_pallas3(
                bb3, bro_d, bd_d, t_max=btmax_d, compact=True))
-    timeit("bounce v3 flat (sorted, block 256)",
+    timeit("bounce v3 flat (sorted, block 1024)",
            lambda: tp3.closest_hit_pallas3(
-               bb3, bro_d, bd_d, t_max=btmax_d, compact=True, block=256))
+               bb3, bro_d, bd_d, t_max=btmax_d, compact=True, block=1024))
     timeit("shadow v2 walk (sorted)",
            lambda: tp2.occluded_pallas2(
                bb, bro_d, sd_d, t_max=btmax_d, compact=True))

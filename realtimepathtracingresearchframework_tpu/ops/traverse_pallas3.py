@@ -136,17 +136,20 @@ def _kernel3(bounds_ref, qb_ref, aabb_ref, tris_ref, rays_ref, out_ref,
     lpad = aabb_ref.shape[1]
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (leaf_size, 1), 0)
 
-    # quarter-major layout: each (1, B) lane row retiles to (4, B/4) so
-    # quarter qi is SUBLANE row qi (lane-offset slices of a (1, B) row
-    # cannot broadcast against tri columns on Mosaic — sublane slices can)
-    rox = jnp.reshape(rays_ref[0:1, :], (QUARTERS, q))
-    roy = jnp.reshape(rays_ref[1:2, :], (QUARTERS, q))
-    roz = jnp.reshape(rays_ref[2:3, :], (QUARTERS, q))
-    rdx = jnp.reshape(rays_ref[3:4, :], (QUARTERS, q))
-    rdy = jnp.reshape(rays_ref[4:5, :], (QUARTERS, q))
-    rdz = jnp.reshape(rays_ref[5:6, :], (QUARTERS, q))
-    tmin = jnp.reshape(rays_ref[6:7, :], (QUARTERS, q))
-    tmax = jnp.reshape(rays_ref[7:8, :], (QUARTERS, q))
+    # quarter-major layout: the HOST retiles each (1, B) lane row to
+    # (4, B/4) before the launch (see _traverse3) so quarter qi is
+    # SUBLANE row qi of the (32, q) operand. In-kernel lane->sublane
+    # reshapes are exactly the "unsupported shape cast" Mosaic rejects;
+    # sublane slices of a pre-tiled operand lower natively.
+    Q = QUARTERS
+    rox = rays_ref[0 * Q:1 * Q, :]
+    roy = rays_ref[1 * Q:2 * Q, :]
+    roz = rays_ref[2 * Q:3 * Q, :]
+    rdx = rays_ref[3 * Q:4 * Q, :]
+    rdy = rays_ref[4 * Q:5 * Q, :]
+    rdz = rays_ref[5 * Q:6 * Q, :]
+    tmin = rays_ref[6 * Q:7 * Q, :]
+    tmax = rays_ref[7 * Q:8 * Q, :]
 
     tb_ref[:, :] = tmax
     row_ref[:, :] = jnp.full((QUARTERS, q), -1, jnp.int32)
@@ -295,20 +298,15 @@ def _kernel3(bounds_ref, qb_ref, aabb_ref, tris_ref, rays_ref, out_ref,
         def _():
             jax.lax.cond(is_shadow, scan_shadow, scan_closest, 0)
 
+    # quarter-major output (16, q): rows [0:4) = t per quarter,
+    # [4:8) = winning-row bits, [8:12) = u, [12:16) = v; the host
+    # untiles back to (4, B) lane-major (see _traverse3)
     out_ref[:, :] = jnp.concatenate(
         [
-            jnp.reshape(
-                jnp.where(
-                    row_ref[:, :] < 0, jnp.float32(_INF), tb_ref[:, :]
-                ),
-                (1, b),
-            ),
-            jnp.reshape(
-                jax.lax.bitcast_convert_type(row_ref[:, :], jnp.float32),
-                (1, b),
-            ),
-            jnp.reshape(u_ref[:, :], (1, b)),
-            jnp.reshape(v_ref[:, :], (1, b)),
+            jnp.where(row_ref[:, :] < 0, jnp.float32(_INF), tb_ref[:, :]),
+            jax.lax.bitcast_convert_type(row_ref[:, :], jnp.float32),
+            u_ref[:, :],
+            v_ref[:, :],
         ],
         axis=0,
     )
@@ -323,6 +321,11 @@ def _kernel3(bounds_ref, qb_ref, aabb_ref, tris_ref, rays_ref, out_ref,
 def _traverse3(aabbs, tri_tiles, rays, num_leaves: int, block: int,
                shadow_from: int = -1, interpret: bool = False,
                leaf_size: int = LEAF):
+    if block % (QUARTERS * 128) != 0:
+        raise ValueError(
+            f"v3 flat-cull block must be a multiple of {QUARTERS * 128} "
+            f"(quarter rows ride 128-wide lanes), got {block}"
+        )
     n = rays.shape[1]
     nb = n // block
     if nb > MAX_BLOCKS:
@@ -346,12 +349,24 @@ def _traverse3(aabbs, tri_tiles, rays, num_leaves: int, block: int,
     bounds = block_bounds(rays, block)
     qb = _quarter_bounds(rays, block)
     lpad = aabbs.shape[1]
+    q = block // QUARTERS
+    # host-side quarter retile (see _kernel3): (8, n) lane-major ->
+    # (8*QUARTERS, n/QUARTERS) where row c*Q+qi, col i*q+j holds
+    # rays[c, i*block + qi*q + j]. A middle-axis transpose (minor dim q
+    # stays contiguous) XLA handles cheaply; in-kernel it is an
+    # unsupported lane->sublane shape cast on Mosaic.
+    rays_q = jnp.reshape(
+        jnp.transpose(
+            jnp.reshape(rays, (8, nb, QUARTERS, q)), (0, 2, 1, 3)
+        ),
+        (8 * QUARTERS, nb * q),
+    )
     grid = (nb,)
     kernel = functools.partial(
         _kernel3, num_leaves=num_leaves, block=block,
         shadow_from=shadow_from, leaf_size=leaf_size,
     )
-    return pl.pallas_call(
+    out_q = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -366,11 +381,11 @@ def _traverse3(aabbs, tri_tiles, rays, num_leaves: int, block: int,
             pl.BlockSpec(
                 tri_tiles.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((8, block), lambda i: (0, i),
+            pl.BlockSpec((8 * QUARTERS, q), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (4, block), lambda i: (0, i), memory_space=pltpu.VMEM
+            (4 * QUARTERS, q), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((1, lpad), jnp.int32),  # packed quarter-mask row
@@ -382,9 +397,16 @@ def _traverse3(aabbs, tri_tiles, rays, num_leaves: int, block: int,
             pltpu.VMEM((QUARTERS, block // QUARTERS), jnp.float32),
             pltpu.VMEM((QUARTERS, block // QUARTERS), jnp.float32),
         ],
-        out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4 * QUARTERS, nb * q), jnp.float32),
         interpret=interpret,
-    )(bounds, qb, aabbs, tri_tiles, rays)
+    )(bounds, qb, aabbs, tri_tiles, rays_q)
+    # untile the quarter-major output back to (4, n) lane-major
+    return jnp.reshape(
+        jnp.transpose(
+            jnp.reshape(out_q, (4, QUARTERS, nb, q)), (0, 2, 1, 3)
+        ),
+        (4, n),
+    )
 
 
 class PallasBVH3Buffers:

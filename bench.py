@@ -193,6 +193,11 @@ def main() -> int:
         "max_depth": max_depth,
         "device": str(jax.devices()[0]),
         "compile_s": round(compile_s, 1),
+        # per-row warmup wall (compile + first frame + upload) — the
+        # compile-wall diagnostic VERDICT r3 asked for: a warm run whose
+        # row time stays high despite unchanged cache entries is a cache
+        # MISS for that row's program cells
+        "warm_row_s": {k: round(v, 1) for k, v in sorted(warm_s.items())},
         "compile_cache_entries_before": cache_before,
         "compile_cache_entries_after": _cache_entries(),
         "compile_cold": cache_before == 0,

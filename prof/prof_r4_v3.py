@@ -133,12 +133,22 @@ def main():
     timeit("bounce v3 flat (sorted, block 1024)",
            lambda: tp3.closest_hit_pallas3(
                bb3, bro_d, bd_d, t_max=btmax_d, compact=True, block=1024))
+    timeit("bounce v3 flat (unsorted, block 1024)",
+           lambda: tp3.closest_hit_pallas3(
+               bb3, bro_d, bd_d, t_max=btmax_d, block=1024))
     timeit("shadow v2 walk (sorted)",
            lambda: tp2.occluded_pallas2(
                bb, bro_d, sd_d, t_max=btmax_d, compact=True))
+    timeit("shadow v2 walk (unsorted)",
+           lambda: tp2.occluded_pallas2(bb, bro_d, sd_d, t_max=btmax_d))
     timeit("shadow v3 flat (sorted)",
            lambda: tp3.occluded_pallas3(
                bb3, bro_d, sd_d, t_max=btmax_d, compact=True))
+    timeit("shadow v3 flat (unsorted)",
+           lambda: tp3.occluded_pallas3(bb3, bro_d, sd_d, t_max=btmax_d))
+    timeit("shadow v3 flat (unsorted, block 1024)",
+           lambda: tp3.occluded_pallas3(
+               bb3, bro_d, sd_d, t_max=btmax_d, block=1024))
 
     h2 = tp2.closest_hit_pallas2(bb, bro_d, bd_d, t_max=btmax_d,
                                  compact=True)

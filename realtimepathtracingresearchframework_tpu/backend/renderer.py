@@ -110,6 +110,15 @@ def _resolve_planar(acc, exposure, tonemap_mode: int):
     return resolve_mod.resolve_channels(acc, exposure, tonemap_mode)
 
 
+# resident-kernel policy thresholds (on-chip A/B, prof/prof_r4_v3.py +
+# BASELINE.md round-4 ledger): below these the v2 scalar walk + unsorted
+# dispatch win (cornell); above them the v3 flat cull and the coherence
+# sort win (village 80k). Both scale with how much BVH a block walks,
+# for which triangle count is the proxy the renderer has at build time.
+_V3_MIN_TRIS = 16_384
+_COMPACT_MIN_TRIS = 16_384
+
+
 @dataclass
 class RenderStats:
     """librender/render_backend.h:15-24."""
@@ -696,6 +705,8 @@ class Renderer:
         )
         self._use_pallas = mode == "pallas"
         self._use_streamed = mode == "streamed"
+        self._use_pallas3 = False
+        self._compact_default = False
         t0 = time.perf_counter()
         if self._use_streamed:
             from realtimepathtracingresearchframework_tpu.ops import (
@@ -730,6 +741,27 @@ class Renderer:
             self._bvh = bvh_mod.thread_bvh(self._topology, dz, dz, dz)
         else:
             self._streamed = None
+            # v3 flat-cull kernel for CLOSEST dispatches on big resident
+            # scenes (prof/prof_r4_v3.py: village primaries 4x over the
+            # v2 walk; below the threshold the scalar walk visits so few
+            # nodes that brute-forcing every leaf AABB only adds work).
+            # RPTR_TRAVERSAL_V3=1/0 forces it either way.
+            v3_env = os.environ.get("RPTR_TRAVERSAL_V3")
+            self._use_pallas3 = (
+                self._use_pallas
+                and not os.environ.get("RPTR_TRAVERSAL_V1")
+                and (
+                    flat.num_tris >= _V3_MIN_TRIS
+                    if v3_env is None else v3_env != "0"
+                )
+            )
+            # coherence-sorted dispatch (IntegratorConfig.compact) pays
+            # off on the same scenes: the ~10 ms sort round trip per
+            # 524K dispatch needs a traversal expensive enough to save
+            # more (village bounce 1053 -> 240 ms; cornell regresses)
+            self._compact_default = (
+                self._use_pallas and flat.num_tris >= _COMPACT_MIN_TRIS
+            )
             if self._use_pallas:
                 if os.environ.get("RPTR_TRAVERSAL_V1"):
                     leaf_size = traverse_pallas.PALLAS_LEAF_SIZE
@@ -891,6 +923,14 @@ class Renderer:
                 )
 
                 bvh_buffers = traverse_pallas2.pack_for_pallas2(self._bvh)
+                if getattr(self, "_use_pallas3", False):
+                    from realtimepathtracingresearchframework_tpu.ops import (
+                        traverse_pallas3,
+                    )
+
+                    bvh_buffers = traverse_pallas3.PallasBVH3Buffers(
+                        bvh_buffers
+                    )
         else:
             bvh_buffers = threaded_to_device(self._bvh)
         from realtimepathtracingresearchframework_tpu.ops.integrator import (
@@ -976,7 +1016,12 @@ class Renderer:
             thin_transmission=bool(getattr(self, "_has_thin", False)),
             aniso_taps=int(self.options.aniso_taps)
             if not getattr(self, "_use_two_level", False) else 0,
-            compact=os.environ.get("RPTR_COMPACT", "") not in ("", "0"),
+            compact=(
+                getattr(self, "_compact_default", False)
+                if os.environ.get("RPTR_COMPACT", "") == ""
+                else os.environ.get("RPTR_COMPACT") != "0"
+            ),
+            kernel_v3=bool(getattr(self, "_use_pallas3", False)),
             stream_closest=self._stream_closest_strategy(),
         )
 

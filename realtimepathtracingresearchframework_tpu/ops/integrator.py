@@ -339,14 +339,22 @@ class IntegratorConfig(NamedTuple):
     # all three (per-ray MT is independent of block composition); the
     # fastest depends on ray coherence vs subtree overlap — RPTR_STREAM_CLOSEST
     # selects it per run for on-chip A/B (prof_r3.py "binned" section).
-    compact: bool = False  # live-first lane partition before each
-    # traversal dispatch past bounce 0 (traverse_pallas2._compact):
-    # dead lanes cluster into all-dead blocks the packet walk skips in
-    # one scalar step. Bit-invisible; pallas paths only. OFF by default:
-    # the generic XLA partition (1-D cumsum 9 ms + lane-dim gather 41 ms
-    # per 524K dispatch, measured v5e) dwarfs the saving on shallow
-    # scenes — the cornell frame regressed 108 -> 568 ms. Revisit with
-    # an MXU prefix-sum + SoA gathers if deep-scene profiles justify it.
+    compact: bool = False  # coherence sort (dead-last + direction octant
+    # + origin morton) before each traversal dispatch past bounce 0
+    # (traverse_pallas2._compact, rebuilt round 4 as argsort + one packed
+    # gather, ~10 ms round trip per 524K dispatch). Bit-invisible; pallas
+    # paths only. The renderer turns it ON for scenes where traversal
+    # dominates (num_tris >= _COMPACT_MIN_TRIS): village bounce queues
+    # measured 1053 -> 240 ms sorted; on cornell the sort costs more
+    # than the whole walk saves, so small scenes keep it off.
+    kernel_v3: bool = False  # route CLOSEST-hit resident dispatches to
+    # the v3 flat-cull kernel (ops/traverse_pallas3.py) instead of the
+    # v2 scalar tree walk. Policy from on-chip A/B (prof/prof_r4_v3.py,
+    # village 80k tris, 524K rays): v3 primaries 50.4 ms vs v2 195.5,
+    # v3 sorted bounce 220.1 (block 1024) vs v2 239.8, v3 UNSORTED
+    # shadow 40.3 vs v2 77.9 (shadow queues inherit their parent's
+    # coherence — see occluded_alpha). The renderer enables this for
+    # resident scenes above _V3_MIN_TRIS.
 
 
 class FrameParams(NamedTuple):
@@ -468,6 +476,21 @@ def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
             sort=True, ordered=cfg.stream_closest == "ordered",
         )
     if cfg.use_pallas:
+        if cfg.kernel_v3:
+            from realtimepathtracingresearchframework_tpu.ops import (
+                traverse_pallas3,
+            )
+
+            # block per queue kind (on-chip sweep): unsorted queues
+            # (camera primaries — swizzle-coherent) run best at 512
+            # (tighter quarter masks); sorted bounce queues at 1024
+            # (220.1 vs 263.2 ms — the sort already tightened the
+            # quarters, the bigger block halves scan+launch overhead)
+            return traverse_pallas3.closest_hit_pallas3(
+                ds.bvh, None, None, t_min=t_min, t_max=t_max,
+                comps=(*ro, *rd), map_tri=not cfg.row_attrs,
+                compact=compact, block=1024 if compact else 512,
+            )
         return traverse_pallas.closest_hit_pallas(
             ds.bvh, None, None, t_min=t_min, t_max=t_max, comps=(*ro, *rd),
             map_tri=not cfg.row_attrs, compact=compact,
@@ -572,10 +595,27 @@ def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3, rd: Vec3,
                 comps=(*ro, *rd), rounds=1,
             )
         elif cfg.use_pallas:
-            blocked = traverse_pallas.occluded_pallas(
-                ds.bvh, None, None, t_min=t_min, t_max=t_max,
-                comps=(*ro, *rd), compact=compact,
-            )
+            if cfg.kernel_v3:
+                from realtimepathtracingresearchframework_tpu.ops import (
+                    traverse_pallas3,
+                )
+
+                # UNSORTED on purpose, even when cfg.compact is on: the
+                # shadow queue inherits its parent queue's lane order
+                # (origins = that queue's hit points), so it is already
+                # coherent — on-chip A/B measured v3 unsorted 40.3 ms vs
+                # v2 sorted 149.1 per 524K village sun rays
+                # (prof/prof_r4_v3.py); the ~10 ms sort only scrambles
+                # the swizzle.
+                blocked = traverse_pallas3.occluded_pallas3(
+                    ds.bvh, None, None, t_min=t_min, t_max=t_max,
+                    comps=(*ro, *rd),
+                )
+            else:
+                blocked = traverse_pallas.occluded_pallas(
+                    ds.bvh, None, None, t_min=t_min, t_max=t_max,
+                    comps=(*ro, *rd), compact=compact,
+                )
         else:
             blocked = occluded_threaded(
                 ds.bvh, v3.to_array(ro), v3.to_array(rd),

@@ -510,7 +510,10 @@ def closest_hit_pallas(
     the hot integrator path keeps everything in row space instead."""
     from realtimepathtracingresearchframework_tpu.ops.traverse import Hit
     from realtimepathtracingresearchframework_tpu.ops import traverse_pallas2
+    from realtimepathtracingresearchframework_tpu.ops import traverse_pallas3
 
+    if isinstance(bb, traverse_pallas3.PallasBVH3Buffers):
+        bb = bb.bb  # v2-compatible core; v3 routing is explicit (kernel_v3)
     if isinstance(bb, traverse_pallas2.PallasBVH2Buffers):
         return traverse_pallas2.closest_hit_pallas2(
             bb, ro, rd, t_min=t_min, t_max=t_max, block=block, comps=comps,
@@ -554,7 +557,10 @@ def closest_and_occluded_pallas(
     half)."""
     from realtimepathtracingresearchframework_tpu.ops.traverse import Hit
     from realtimepathtracingresearchframework_tpu.ops import traverse_pallas2
+    from realtimepathtracingresearchframework_tpu.ops import traverse_pallas3
 
+    if isinstance(bb, traverse_pallas3.PallasBVH3Buffers):
+        bb = bb.bb  # see closest_hit_pallas
     if isinstance(bb, traverse_pallas2.PallasBVH2Buffers):
         return traverse_pallas2.closest_and_occluded_pallas2(
             bb, comps_c, t_min_c, t_max_c, comps_s, t_min_s, t_max_s,
@@ -596,7 +602,12 @@ def occluded_pallas(
     block: int = DEFAULT_BLOCK, comps=None, compact: bool = False,
 ):
     from realtimepathtracingresearchframework_tpu.ops import traverse_pallas2
+    from realtimepathtracingresearchframework_tpu.ops import traverse_pallas3
 
+    if isinstance(bb, traverse_pallas3.PallasBVH3Buffers):
+        bb = bb.bb  # v2-compatible core; v3 routing is explicit
+        # (integrator occluded_alpha routes shadows to occluded_pallas3
+        # unsorted — 40.3 ms vs 77.9/149.1 v2 on village sun rays)
     if isinstance(bb, traverse_pallas2.PallasBVH2Buffers):
         return traverse_pallas2.occluded_pallas2(
             bb, ro, rd, t_min=t_min, t_max=t_max, block=block, comps=comps,

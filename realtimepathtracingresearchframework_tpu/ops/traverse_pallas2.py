@@ -286,19 +286,26 @@ def _mt_leaf(tile_f, rox, roy, roz, rdx, rdy, rdz, tmin, tmax, sub_iota,
     )
     tt = jnp.where(hit, tt, _INF)
     tmin_col = jnp.min(tt, axis=0, keepdims=True)  # (1, B)
-    improved = tmin_col < t_best
     is_best = (tt <= tmin_col) & hit
     sub_of_best = jnp.min(
         jnp.where(is_best, sub_iota, leaf_size), axis=0, keepdims=True
+    )
+    new_row = leaf_id * leaf_size + sub_of_best.astype(jnp.int32)
+    # ORDER-INDEPENDENT merge: on an exact cross-leaf t tie the lower
+    # row wins. With the ascending (preorder) flush order this is
+    # bit-identical to the historical first-flush-wins rule; it also
+    # licenses reordered flush schedules (the v3 banded front-to-back
+    # scan) without changing any result. The tmin_col < _INF guard
+    # keeps all-miss flushes (new_row = leaf_id*ls + ls) from touching
+    # lanes whose t_best is still tmax/_INF.
+    improved = (tmin_col < t_best) | (
+        (tmin_col == t_best) & (tmin_col < _INF) & (new_row < best_row)
     )
     pick = sub_iota == sub_of_best
     u_pick = jnp.sum(jnp.where(pick, uu, 0.0), axis=0, keepdims=True)
     v_pick = jnp.sum(jnp.where(pick, vv, 0.0), axis=0, keepdims=True)
     t_best = jnp.where(improved, tmin_col, t_best)
-    best_row = jnp.where(
-        improved, leaf_id * leaf_size + sub_of_best.astype(jnp.int32),
-        best_row,
-    )
+    best_row = jnp.where(improved, new_row, best_row)
     best_u = jnp.where(improved, u_pick, best_u)
     best_v = jnp.where(improved, v_pick, best_v)
     return t_best, best_row, best_u, best_v

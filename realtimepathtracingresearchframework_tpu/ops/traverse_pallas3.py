@@ -24,16 +24,21 @@ entirely; the only remaining scalar work is the ~L-iteration scan
 
 Exactness: the per-quarter interval test is the SAME conservative
 packet-vs-AABB predicate v2 evaluates per tree node (a leaf's mask
-covers every lane whose exact segment pierces the leaf box), and leaves
-flush in ascending leaf order = v2's preorder leaf order, with the same
-``_mt_leaf`` strict-improvement merge — per-ray results are
-bit-identical to v2/v1 (same closest t, same winning row on ties).
+covers every lane whose exact segment pierces the leaf box), and the
+``_mt_leaf`` merge is order-independent (lower row wins exact-t ties),
+so per-ray results are bit-identical to v2/v1 regardless of flush
+order.
 
 Trade-off: v3 has no shrinking-t cap during the scan (v2 refreshes a
-scalar cap every LIST_CAP leaves), so coherent all-hit queues (camera
-primaries into dense geometry) can flush more leaves than v2 culls.
-Host analysis (prof/prof_r4_flatcull.py) quantifies both effects; the
-dispatcher picks per queue.
+scalar cap every LIST_CAP leaves), so coherent all-hit queues can flush
+more leaves than v2 culls. Two attempts to restore a cap were measured
+and REJECTED on chip (BASELINE.md round-4 ledger): a 4-band scalar
+front-to-back scan (per-leaf SMEM entry-t reads quadrupled the scan,
+20-60% slower) and a two-phase near/far split with one vectorized cap
+prune (neutral on bounce/shadow, slightly negative on primaries — sky
+lanes keep the per-quarter cap at tmax, so the prune drops nothing and
+the extra mask pass + SMEM copy is pure overhead). The plain ascending
+scan stands.
 
 Reference semantics: inline ray-query traversal of
 ``pt_megakernel.glsl:440-478`` — expressed as a TPU-native broad phase
@@ -315,7 +320,7 @@ def _kernel3(bounds_ref, qb_ref, aabb_ref, tris_ref, rays_ref, out_ref,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_leaves", "block", "shadow_from", "interpret", "leaf_size"
+        "num_leaves", "block", "shadow_from", "interpret", "leaf_size",
     ),
 )
 def _traverse3(aabbs, tri_tiles, rays, num_leaves: int, block: int,
@@ -423,7 +428,31 @@ class PallasBVH3Buffers:
         self.scene_hi = bb.nodes[0, 3:6]
 
     def __getattr__(self, name):
+        if name == "bb":  # unflatten builds via object.__new__; don't
+            raise AttributeError(name)  # recurse before bb is assigned
         return getattr(self.bb, name)
+
+
+def _pb3_flatten(b):
+    return (
+        (b.bb, b.aabbs, b.scene_lo, b.scene_hi),
+        (b.num_leaves,),
+    )
+
+
+def _pb3_unflatten(aux, children):
+    obj = object.__new__(PallasBVH3Buffers)
+    obj.bb, obj.aabbs, obj.scene_lo, obj.scene_hi = children
+    (obj.num_leaves,) = aux
+    return obj
+
+
+# pytree registration so DeviceScene.bvh stays device_put-able /
+# tree_map-able when it carries the v3 wrapper (multi-device scene
+# replication replicates the whole pytree per chip)
+jax.tree_util.register_pytree_node(
+    PallasBVH3Buffers, _pb3_flatten, _pb3_unflatten
+)
 
 
 def pack_for_pallas3(tb) -> PallasBVH3Buffers:

@@ -905,7 +905,8 @@ def trace_paths(
                     ds.bvh, None, None, t_min=ntmin, t_max=ntmax_eff,
                     comps=(*ro, *nd), rounds=1,
                 )
-            elif cfg.use_pallas and not (cfg.alpha_test and cfg.has_textures):
+            elif (cfg.use_pallas and not cfg.kernel_v3
+                  and not (cfg.alpha_test and cfg.has_textures)):
                 hit, blocked = traverse_pallas.closest_and_occluded_pallas(
                     ds.bvh,
                     (*ro, *rd), t_min, tmax_eff,
@@ -913,8 +914,12 @@ def trace_paths(
                     map_tri=not cfg.row_attrs, compact=compact,
                 )
             else:
-                # XLA fallback / alpha-test / two-level paths: same
-                # deferred structure, separate traversals (bit-identical)
+                # XLA fallback / alpha-test / two-level / kernel_v3
+                # paths: same deferred structure, separate traversals
+                # (bit-identical). v3 dispatches the two queues
+                # separately on purpose — the closest queue wants the
+                # coherence sort + block 1024, the shadow queue wants
+                # neither (per-queue policy, BASELINE.md round-4 ledger)
                 hit = closest_hit_alpha(
                     ds, cfg, ro, rd, t_min, tmax_eff, compact=compact,
                     count_evals=dbg_anyhit,

@@ -81,3 +81,35 @@ def test_precompile_tool(tmp_path):
     summary = json.loads(out.stdout.strip().splitlines()[-1])
     assert summary["cells"] == 1 and summary["failed"] == 0
     assert summary["cache_entries_after"] > 0
+
+
+def test_prepare_sobol_roundtrip(tmp_path):
+    """Joe-Kuo generator: extract compact source from the shipped
+    matrices, regenerate, and rebuild the inversion tile — all three
+    must be bit-exact (prepare_sobol.cpp parity)."""
+    from realtimepathtracingresearchframework_tpu.ops.pointsets_tables import (
+        _tables_np,
+    )
+    from realtimepathtracingresearchframework_tpu.tools import prepare_sobol
+
+    t = _tables_np()
+    mats = np.asarray(t["sobol_matrix"], np.uint32)
+    # first dims cover degrees 1..8 — full-table extraction is exercised
+    # by the CLI; keep the CI slice fast
+    sub = mats[:40]
+    src = prepare_sobol.extract_source(sub)
+    assert src[0] == prepare_sobol.VDC  # van der Corput
+    regen = prepare_sobol.generate_matrices(src)
+    np.testing.assert_array_equal(regen, sub)
+
+    # source file round-trip (the Joe-Kuo text format)
+    p = tmp_path / "joe_kuo.txt"
+    prepare_sobol.write_joe_kuo_file(src, str(p))
+    back = prepare_sobol.read_joe_kuo_file(str(p))
+    assert back == src
+
+    # inversion tile vs the shipped SobolInversion_1_0 conversion
+    tile = prepare_sobol.inversion_tile(mats, 256, 0, 1)
+    np.testing.assert_array_equal(
+        tile, np.asarray(t["sobol_invert"], np.uint32)
+    )

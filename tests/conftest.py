@@ -66,6 +66,28 @@ def _ensure_native_built() -> None:
 _ensure_native_built()
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy end-to-end render (deselected by default on the "
+        "1-CPU CI box; run with RPTR_RUN_SLOW=1 for the full suite)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Keep the default run under ~5 min on the 1-CPU CI box: the
+    heaviest end-to-end renders (~25 tests, ~8 min of XLA CPU compiles)
+    only run with RPTR_RUN_SLOW=1. Every kernel/feature keeps a fast
+    guard in the default set; the slow set re-renders them at full
+    pipeline depth."""
+    if os.environ.get("RPTR_RUN_SLOW", "") not in ("", "0"):
+        return
+    deselected = [i for i in items if "slow" in i.keywords]
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = [i for i in items if "slow" not in i.keywords]
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0x5EED)

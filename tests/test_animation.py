@@ -207,6 +207,7 @@ def test_tlas_pallas_animation_repack(monkeypatch):
         traverse_tlas.INTERPRET = False
 
 
+@pytest.mark.slow
 def test_lod_with_animation_refit():
     """set_animation_frame on an LoD scene re-flattens with the SAME LoD
     selection the topology was built over and keeps the render loop's

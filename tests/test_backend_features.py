@@ -85,6 +85,7 @@ def test_deduplicate_noop_on_clean_scene():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_matches_uninterrupted(tmp_path):
     cfg = _config()
     r1 = _small_renderer()
@@ -123,6 +124,7 @@ def test_variant_registry_and_fallback():
     assert r.active_variant == VARIANT_MEGAKERNEL
 
 
+@pytest.mark.slow
 def test_megakernel_alias_variants_bit_identical():
     cfg = _config()
     r = _small_renderer()
@@ -135,6 +137,7 @@ def test_megakernel_alias_variants_bit_identical():
     np.testing.assert_array_equal(np.asarray(r2.framebuffer), ref)
 
 
+@pytest.mark.slow
 def test_rt_debug_and_gbuffer_variants():
     cfg = _config()
     r = _small_renderer()
@@ -175,6 +178,7 @@ def test_configure_for_auto_adjusts_invalid_options():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_ray_stats_image():
     r = _small_renderer()
     img = r.render_ray_stats(_config())
@@ -241,6 +245,7 @@ def test_hot_reload_reloads_stale_modules():
     assert getattr(sys.modules[f"{pkg}.ops.integrator"], "__hot_probe__", False)
 
 
+@pytest.mark.slow
 def test_debug_mode_heatmaps():
     """DEBUG_MODE_* heatmap images (render_params.glsl.h:63-70): bounce
     count on an opaque scene, any-hit evaluation counts on an
@@ -294,6 +299,7 @@ def test_debug_mode_heatmaps():
         r.render_debug_image(cfg)
 
 
+@pytest.mark.slow
 def test_thin_transmission_material_renders():
     """_SHADERMATERIAL_THIN_TRANSMISSION (THIN_TRANSMISSION_HIT,
     vulkan/CMakeLists.txt:38-39): the keyword sets the thin flag, the

@@ -2,6 +2,7 @@
 render_vulkan_extensions.cpp:16-84)."""
 
 import numpy as np
+import pytest
 
 from realtimepathtracingresearchframework_tpu.backend import extensions as ext_mod
 from realtimepathtracingresearchframework_tpu.backend.extensions import (
@@ -105,6 +106,7 @@ def test_processing_step_factory():
     assert a is b and a is not None
 
 
+@pytest.mark.slow
 def test_taa_via_extension_framework():
     r = _renderer(options=RenderBackendOptions(enable_taa=True))
     r.render(_config())

@@ -2,6 +2,7 @@
 data-capture POI/viewpoint generation (VERDICT round-1 item 8)."""
 
 import numpy as np
+import pytest
 
 from realtimepathtracingresearchframework_tpu.backend.params import (
     REPROJECTION_MODE_DISCARD_HISTORY,
@@ -80,6 +81,7 @@ def test_progressive_mode_still_averages():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_raytraced_dof_changes_image():
     """enable_raytraced_dof + aperture_radius > 0 must alter out-of-focus
     pixels (perspective.rgen:100-109); it was previously a no-op."""
@@ -213,6 +215,7 @@ def test_full_integrator_ray_queries():
     assert (np.asarray(tri)[:2] >= 0).all()
 
 
+@pytest.mark.slow
 def test_capture_poi_radiance():
     """Data capture uses the full-integrator query path for radiance
     targets (the denoiser-training capture)."""

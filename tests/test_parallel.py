@@ -129,6 +129,7 @@ def test_2d_mesh_matches_single_device():
     assert int(rays1) == int(rays2)
 
 
+@pytest.mark.slow
 def test_multi_device_renderer_bit_identical():
     """Renderer(devices=[...]) round-robins swizzle chunks over
     per-device pass programs with the scene replicated (SURVEY 5.8) and

@@ -74,6 +74,7 @@ def test_sobol_sequence_stratified_per_pixel():
     assert counts.max() <= 3
 
 
+@pytest.mark.slow
 def test_render_with_each_variant():
     """End-to-end: every variant renders a finite plausible image and lower-
     discrepancy variants do not increase error vs a high-spp reference."""

@@ -91,6 +91,7 @@ def test_unroll_variant_matches_dynamic(cornell_renderer):
     np.testing.assert_allclose(dynamic, unrolled, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_ris_binned_lights_consistent():
     """RIS binned sampling must agree with uniform light sampling in mean."""
     scene = Scene.from_vkr_scene(procedural.cornell_box())
@@ -183,6 +184,7 @@ def test_wavefront_matches_megakernel(cornell_renderer):
     np.testing.assert_array_equal(mega[..., 3], wave[..., 3])
 
 
+@pytest.mark.slow
 def test_wavefront_renders_textured_scene():
     """Regression: the wavefront carry holds BOTH the pending-NEE queue
     and the texture footprint; the post-loop flush must unpack by index

@@ -63,6 +63,7 @@ def test_reproject_accumulate_static(rng):
     np.testing.assert_allclose(out2, np.asarray(accum), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_render_with_taa_and_reprojection():
     scene = Scene.from_vkr_scene(procedural.cornell_box())
     r = Renderer()

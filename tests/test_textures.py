@@ -115,6 +115,7 @@ def test_aniso_sampler_matches_manual_taps():
     assert np.isfinite(got).all()
 
 
+@pytest.mark.slow
 def test_aniso_render_valid_and_close_to_iso(tmp_path):
     """Renderer-level anisotropic filtering (options.aniso_taps): the
     frame stays finite and close to the isotropic render in overall

@@ -1,6 +1,7 @@
 """Two-level BLAS/TLAS traversal vs the flattened world BVH."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from realtimepathtracingresearchframework_tpu.models import procedural
@@ -125,6 +126,7 @@ def test_two_level_matches_flat_instanced(rng):
     _check_matches_flat(scene, [0.0, 1.0, 4.0], rng)
 
 
+@pytest.mark.slow
 def test_renderer_two_level_matches_flattened():
     from realtimepathtracingresearchframework_tpu.backend.params import (
         RenderParams,
@@ -160,6 +162,7 @@ def test_renderer_two_level_matches_flattened():
     )
 
 
+@pytest.mark.slow
 def test_renderer_two_level_animation_tlas_only():
     """Animated transforms: the TLAS fast path re-poses instances without a
     host reflatten, matching the flattened renderer at each frame."""
@@ -270,6 +273,7 @@ def test_two_level_aovs_match_flattened():
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_renderer_tlas_pallas_matches_xla_walk(monkeypatch):
     """The Pallas two-level kernel on the RENDER path (the
     use_two_level -> xla cliff removed, VERDICT r2 weak #3): with the

@@ -57,6 +57,7 @@ def test_blender_export_core(tmp_path):
     np.testing.assert_allclose(back.materials[0].base_color, [0.5, 0.2, 0.1], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_precompile_tool(tmp_path):
     """AOT lattice precompiler (gpu_programs.cmake:228-374 analogue):
     one tiny cell compiles into a fresh persistent cache and the JSON

@@ -222,6 +222,7 @@ def test_streamed_matches_resident_v2(rng, sort, ordered):
     assert np.array_equal(blocked_s, blocked_r)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("rounds", [0, 1, 3])
 def test_binned_matches_resident_v2(rng, rounds):
     """Subtree-binned streamed traversal (ops/traverse_binned.py): same
@@ -310,6 +311,7 @@ def test_binned_multislot_matches_resident_v2(rng):
         )
 
 
+@pytest.mark.slow
 def test_binned_multislot_negative_t(rng):
     """The multislot merge's scatter-min runs in an order-preserving int
     domain: with t_min < 0 (legal through the public signature) the
@@ -497,6 +499,7 @@ def test_tlas_pallas_matches_xla_two_level(rng, ordered, aniso):
         tt.INTERPRET = False
 
 
+@pytest.mark.slow
 def test_streamed_quantized_matches_reconstructed_reference(rng):
     """Device-side quantized geometry (scene.cpp:622-644 upload +
     dequantize.glsl in-shader decode, expressed as per-subtree 16-bit
@@ -629,6 +632,7 @@ def test_binned_multislot_quantized(rng):
     assert np.array_equal(np.asarray(hm.tri), np.asarray(hr.tri))
 
 
+@pytest.mark.slow
 def test_integrator_stream_closest_strategies_agree(rng):
     """IntegratorConfig.stream_closest routes the streamed closest-hit
     dispatch to the sorted packet walk, the binned rounds, or the
@@ -708,6 +712,7 @@ def test_flat_cull_v3_matches_v2(rng, kind, leaf_size):
         tp3.INTERPRET = False
 
 
+@pytest.mark.slow
 def test_flat_cull_v3_merged_and_compacted(rng):
     """v3's fused closest+shadow launch and compacted dispatch match the
     plain separate dispatches bit-exactly (the same contracts the v2

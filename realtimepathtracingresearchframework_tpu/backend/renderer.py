@@ -990,6 +990,17 @@ class Renderer:
         return v
 
     def _integrator_config(self, params: RenderParams) -> IntegratorConfig:
+        # carry-level compaction: default ON for the same big resident
+        # scenes that route to the v3 kernel (where per-bounce shading
+        # at full width dominates the frame — prof/prof_r4_depth.py);
+        # RPTR_COMPACT_LANES=1/0 forces it either way. It subsumes the
+        # per-dispatch coherence sort (the carry itself is sorted) and
+        # requires the dynamic bounce loop (one trace per prefix size).
+        cl_env = os.environ.get("RPTR_COMPACT_LANES", "")
+        compact_lanes = (
+            bool(getattr(self, "_use_pallas3", False))
+            if cl_env == "" else cl_env != "0"
+        )
         return IntegratorConfig(
             max_path_depth=int(params.max_path_depth),
             light_bin_size=int(
@@ -1002,7 +1013,7 @@ class Renderer:
             num_lights=int(self._num_lights),
             stack_depth=0,  # unused: threaded traversal is stackless
             enable_sun_sky=True,
-            unroll=bool(self.options.unroll_bounces),
+            unroll=bool(self.options.unroll_bounces) and not compact_lanes,
             use_pallas=bool(self._use_pallas),
             has_textures=bool(self._has_textures),
             rng_variant=int(self.options.rng_variant),
@@ -1020,7 +1031,8 @@ class Renderer:
                 getattr(self, "_compact_default", False)
                 if os.environ.get("RPTR_COMPACT", "") == ""
                 else os.environ.get("RPTR_COMPACT") != "0"
-            ),
+            ) and not compact_lanes,
+            compact_lanes=compact_lanes,
             kernel_v3=bool(getattr(self, "_use_pallas3", False)),
             stream_closest=self._stream_closest_strategy(),
         )

@@ -355,6 +355,25 @@ class IntegratorConfig(NamedTuple):
     # shadow 40.3 vs v2 77.9 (shadow queues inherit their parent's
     # coherence — see occluded_alpha). The renderer enables this for
     # resident scenes above _V3_MIN_TRIS.
+    compact_lanes: bool = False  # TRUE stream compaction: per bounce,
+    # sort the WHOLE path-state carry live-first (+octant/morton
+    # coherence) with one packed 2-D gather, then run the entire bounce
+    # (traversal AND shading AND NEE) on the smallest power-of-two lane
+    # prefix covering the live count (lax.switch over static sizes).
+    # This is the fix for the round-3/4 finding that SHADING — not
+    # traversal — dominates real-scene frames at full width (village
+    # depth sweep, prof/prof_r4_depth.py: a full-width bounce costs
+    # ~5.7 s while its traversal sums to ~1 s): dead lanes stop paying
+    # for gathers, texture taps, NEE and BSDF math, not just traversal.
+    # Semantically exact: live lanes are in every prefix and all
+    # dead-lane state mutations are masked (see trace_paths); path
+    # structure (hits, NEE visibility, RR decisions, ray counts) is
+    # bitwise identical (tests/test_compact_lanes.py). Radiance agrees
+    # to XLA program-shape rounding (~6e-6 rel) — the SAME variance the
+    # unrolled-vs-dynamic loop choice already exhibits with compaction
+    # off. Implies the dynamic bounce loop (the body is traced once per
+    # prefix size, not per bounce); ignored when a bounded primary
+    # segment (t_max0) or debug counters are in play.
 
 
 class FrameParams(NamedTuple):
@@ -439,7 +458,11 @@ def _hit_alpha_cut(ds: DeviceScene, tri, u, v, inst=None):
 
 
 def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
-                          rd: Vec3, t_min, t_max, compact: bool = False):
+                          rd: Vec3, t_min, t_max, compact: bool = False,
+                          presorted: bool = False):
+    """``presorted``: the caller already coherence-sorted the lanes
+    (carry-level compaction, trace_paths) — skip the per-dispatch sort
+    but keep the sorted-queue block policy."""
     if cfg.two_level:
         if cfg.tlas_pallas:
             from realtimepathtracingresearchframework_tpu.ops import (
@@ -489,7 +512,8 @@ def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
             return traverse_pallas3.closest_hit_pallas3(
                 ds.bvh, None, None, t_min=t_min, t_max=t_max,
                 comps=(*ro, *rd), map_tri=not cfg.row_attrs,
-                compact=compact, block=1024 if compact else 512,
+                compact=compact,
+                block=1024 if (compact or presorted) else 512,
             )
         return traverse_pallas.closest_hit_pallas(
             ds.bvh, None, None, t_min=t_min, t_max=t_max, comps=(*ro, *rd),
@@ -502,13 +526,14 @@ def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
 
 def closest_hit_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
                       rd: Vec3, t_min, t_max, compact: bool = False,
-                      count_evals: bool = False):
+                      count_evals: bool = False, presorted: bool = False):
     """Closest hit honoring alpha-cutout textures: re-traces past cut
     texels up to MAX_ALPHA_HOPS (the reference's candidate-hit loop).
     Static no-op unless ``cfg.alpha_test``. With ``count_evals`` returns
     ``(hit, evals)`` where evals is the per-lane any-hit evaluation count
     (DEBUG_MODE_ANY_HIT_*, any_hit.glsl:43-59)."""
-    hit = _closest_hit_dispatch(ds, cfg, ro, rd, t_min, t_max, compact=compact)
+    hit = _closest_hit_dispatch(ds, cfg, ro, rd, t_min, t_max, compact=compact,
+                                presorted=presorted)
     if not (cfg.alpha_test and cfg.has_textures):
         if count_evals:
             return hit, jnp.zeros_like(hit.tri)
@@ -806,6 +831,91 @@ class NEECandidate(NamedTuple):
     uncond: jnp.ndarray  # bool: visible without tracing
 
 
+def _permute_lanes(tree, perm):
+    """Permute every (N,) leaf of a pytree along lanes with ONE packed
+    2-D gather: bitcast each leaf to f32, stack to (C, N), gather
+    [:, perm], unstack, bitcast back. Per the round-4 permutation
+    re-measurement (prof/prof_r4_sortcost.py) a packed 2-D lane gather
+    costs ~0.5 ms per row per 524K lanes while separate 1-D gathers cost
+    ~10 ms EACH — packing is what makes carry-level compaction pay."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    cols = []
+    for a in leaves:
+        if a.dtype == jnp.float32:
+            cols.append(a)
+        elif a.dtype == jnp.bool_:
+            cols.append(
+                jax.lax.bitcast_convert_type(
+                    a.astype(jnp.uint32), jnp.float32
+                )
+            )
+        else:
+            cols.append(jax.lax.bitcast_convert_type(a, jnp.float32))
+    packed = jnp.stack(cols)[:, perm]
+    outs = []
+    for i, a in enumerate(leaves):
+        row = packed[i]
+        if a.dtype == jnp.float32:
+            outs.append(row)
+        elif a.dtype == jnp.bool_:
+            outs.append(
+                jax.lax.bitcast_convert_type(row, jnp.uint32) != 0
+            )
+        else:
+            outs.append(jax.lax.bitcast_convert_type(row, a.dtype))
+    return jax.tree_util.tree_unflatten(treedef, outs)
+
+
+def _scene_bounds_of(ds: DeviceScene):
+    """(lo, hi) world box for the coherence morton grid, from whatever
+    BVH flavor the scene carries; (None, None) when unavailable (the
+    sort then degrades to dead-last only — still correct)."""
+    bvh = ds.bvh
+    lo = getattr(bvh, "scene_lo", None)
+    if lo is not None:
+        return lo, bvh.scene_hi
+    nodes = getattr(bvh, "nodes", None)
+    if nodes is not None and getattr(nodes, "ndim", 0) == 2:
+        return nodes[0, 0:3], nodes[0, 3:6]
+    return None, None
+
+
+def _carry_coherence_key(ro: Vec3, rd: Vec3, live, lo, hi):
+    """u32 lane sort key for carry-level compaction: bit 31 = dead
+    (sorts last), bits 21-23 = direction octant, bits 0-20 = origin
+    morton on a 128^3 grid — the same contract as
+    traverse_pallas2._coherence_key2, computed from SoA carry state."""
+    from realtimepathtracingresearchframework_tpu.ops.traverse_pallas2 import (
+        _part1by2_u32,
+    )
+
+    dead = (~live).astype(jnp.uint32) << 31
+    if lo is None:
+        return dead
+    inv = 127.0 / jnp.maximum(hi - lo, 1e-12)
+
+    def q(v, k):
+        return jnp.clip((v - lo[k]) * inv[k], 0.0, 127.0).astype(jnp.uint32)
+
+    morton = (
+        _part1by2_u32(q(ro.x, 0))
+        | (_part1by2_u32(q(ro.y, 1)) << 1)
+        | (_part1by2_u32(q(ro.z, 2)) << 2)
+    )
+    octant = (
+        (rd.x < 0.0).astype(jnp.uint32) << 2
+        | (rd.y < 0.0).astype(jnp.uint32) << 1
+        | (rd.z < 0.0).astype(jnp.uint32)
+    )
+    return dead | (octant << 21) | morton
+
+
+# carry-compaction prefix sizes: lane counts are quantized to the
+# traversal block so every prefix dispatches whole blocks
+_COMPACT_LANE_QUANTUM = 1024
+_COMPACT_MAX_HALVINGS = 5  # smallest prefix = n/32
+
+
 def trace_paths(
     ds: DeviceScene,
     cfg: IntegratorConfig,
@@ -854,7 +964,7 @@ def trace_paths(
         false_n,  # traced: pending visibility ray for this lane
     )
 
-    def visit_hit(carry, compact=False):
+    def visit_hit(carry, compact=False, presorted=False):
         """Traverse + hit attributes + emitter MIS; shared by body/epilogue.
         Returns (carry w/ miss handled, hit shading context).
 
@@ -922,7 +1032,7 @@ def trace_paths(
                 # neither (per-queue policy, BASELINE.md round-4 ledger)
                 hit = closest_hit_alpha(
                     ds, cfg, ro, rd, t_min, tmax_eff, compact=compact,
-                    count_evals=dbg_anyhit,
+                    count_evals=dbg_anyhit, presorted=presorted,
                 )
                 blocked = occluded_alpha(
                     ds, cfg, ro, nd, t_min=ntmin, t_max=ntmax_eff,
@@ -936,13 +1046,20 @@ def trace_paths(
                     else:  # primary-only: camera-visibility evals
                         dbg = dbg + jnp.where(bounce_count == 0, ev_c, 0)
             illum = v3.where(ntraced & ~blocked, illum + ncontrib, illum)
-            pend = empty_pend
+            # width-local empty pend (the carry may be a compacted lane
+            # PREFIX under cfg.compact_lanes — the trace-level empty_pend
+            # closure is full-width)
+            zw = jnp.zeros_like(t_min)
+            pend = (
+                Vec3(zw, zw + 1.0, zw), zw, zw, Vec3(zw, zw, zw),
+                jnp.zeros_like(active),
+            )
         else:
             # two-level dispatch (incl. alpha-tested candidate walks)
             # happens inside closest_hit_alpha
             hit = closest_hit_alpha(
                 ds, cfg, ro, rd, t_min, tmax_eff, compact=compact,
-                count_evals=dbg_anyhit,
+                count_evals=dbg_anyhit, presorted=presorted,
             )
             if dbg_anyhit:
                 hit, ev_c = hit
@@ -1363,7 +1480,84 @@ def trace_paths(
         carry = carry + (footprint0,)
     if cfg.debug_mode:
         carry = carry + (jnp.zeros((n,), jnp.int32),)  # debug counter
-    if cfg.unroll:
+    # carry-level compaction (cfg.compact_lanes): see the config-field
+    # comment. Gated off for bounded primary segments (t_max0 rides a
+    # full-width closure) and debug counters (dead-lane evals differ).
+    use_lane_compact = (
+        cfg.compact_lanes and t_max0 is None and not cfg.debug_mode
+        and cfg.max_path_depth > 1
+    )
+    sizes = []
+    if use_lane_compact:
+        sizes = [
+            n >> j
+            for j in range(_COMPACT_MAX_HALVINGS + 1)
+            if (n >> j) >= _COMPACT_LANE_QUANTUM
+            and (n >> j) % _COMPACT_LANE_QUANTUM == 0
+        ]
+        use_lane_compact = len(sizes) > 1
+    lane_id = None
+    if use_lane_compact:
+        blo, bhi = _scene_bounds_of(ds)
+
+        def live_run(b_i, carry):
+            carry, ctx = visit_hit(carry, compact=False, presorted=True)
+            return jax.lax.cond(
+                b_i < cfg.max_path_depth - 1,
+                partial(scatter_tail, compact=False),
+                lambda args: args[0],
+                (carry, ctx, jnp.asarray(b_i, jnp.int32)),
+            )
+
+        def body2(b_i, state):
+            carry_, lid = state
+            live = carry_[_ACTIVE]
+            if cfg.wavefront:
+                live = live | carry_[11][4]
+
+            def do(state):
+                carry_, lid = state
+                key = _carry_coherence_key(
+                    carry_[0], carry_[1], live, blo, bhi
+                )
+                perm = jnp.argsort(key, stable=True)
+                carry_ = _permute_lanes(carry_, perm)
+                lid = lid[perm]
+                live_cnt = jnp.sum(live.astype(jnp.int32))
+                kidx = jnp.zeros((), jnp.int32)
+                for j in range(1, len(sizes)):
+                    kidx = kidx + (live_cnt <= sizes[j]).astype(jnp.int32)
+
+                def make_branch(m):
+                    def br(carry_):
+                        head = jax.tree_util.tree_map(
+                            lambda a: a[:m], carry_
+                        )
+                        head = live_run(b_i, head)
+                        if m == n:
+                            return head
+                        return jax.tree_util.tree_map(
+                            lambda h, a: jnp.concatenate([h, a[m:]]),
+                            head, carry_,
+                        )
+                    return br
+
+                carry_ = jax.lax.switch(
+                    kidx, [make_branch(m) for m in sizes], carry_
+                )
+                return carry_, lid
+
+            return jax.lax.cond(jnp.any(live), do, lambda s: s, state)
+
+        # bounce 0 at full width (all-live, swizzle-coherent primaries —
+        # sorting would only scramble them); int index -> unrolled
+        # semantics in bounce_body
+        carry = bounce_body(0, carry)
+        lane_id = jnp.arange(n, dtype=jnp.int32)
+        carry, lane_id = jax.lax.fori_loop(
+            1, cfg.max_path_depth, body2, (carry, lane_id)
+        )
+    elif cfg.unroll:
         for i in range(cfg.max_path_depth):
             carry = bounce_body(i, carry)
     else:
@@ -1391,6 +1585,13 @@ def trace_paths(
             return v3.where(ntraced & ~blocked, illum + ncontrib, illum)
 
         illum = jax.lax.cond(jnp.any(ntraced), flush, lambda x: x, illum)
+    if use_lane_compact:
+        # the carry is in (cumulative) sorted order; lane_id maps sorted
+        # slot -> original lane, so its argsort is the inverse gather
+        inv = jnp.argsort(lane_id)
+        illum, bounce_count, rays_traced = _permute_lanes(
+            (illum, bounce_count, rays_traced), inv
+        )
     alpha = jnp.where(bounce_count == 0, 0.0, 1.0)
     if cfg.debug_mode:
         # DEBUG_MODE_* image value (hit.rchit:459-463): any-hit evaluation

@@ -163,55 +163,66 @@ def _kernel3(bounds_ref, qb_ref, aabb_ref, tris_ref, rays_ref, out_ref,
 
     is_shadow = pid >= shadow_from if shadow_from >= 0 else None
 
-    # ---- vectorized broad phase: ALL leaves per quarter, one (1, Lpad)
-    # vector pass per quarter with the quarter's SCALAR packet bounds
-    # (SMEM column 4*pid + qi of the block_bounds(block//4) operand)
-    bmn = [aabb_ref[k:k + 1, :] for k in range(3)]  # (1, Lpad) rows
-    bmx = [aabb_ref[3 + k:4 + k, :] for k in range(3)]
-    mrow = jnp.zeros((1, lpad), jnp.int32)
-    for qi in range(QUARTERS):
-        col = QUARTERS * pid + qi
-        tlo_q = qb_ref[12, col]
-        thi_q = qb_ref[13, col]
-        U = jnp.full((1, lpad), thi_q)
-        Lb = jnp.full((1, lpad), tlo_q)
-        expand_ok = jnp.full((1, lpad), True)
-        for k in range(3):
-            olo_k = qb_ref[k, col]
-            ohi_k = qb_ref[3 + k, col]
-            ilo_k = qb_ref[6 + k, col]
-            ihi_k = qb_ref[9 + k, col]
-            alo = bmn[k] - ohi_k  # (1, Lpad)
-            ahi = bmn[k] - olo_k
-            blo = bmx[k] - ohi_k
-            bhi = bmx[k] - olo_k
-            t0lo = jnp.minimum(
-                jnp.minimum(alo * ilo_k, alo * ihi_k),
-                jnp.minimum(ahi * ilo_k, ahi * ihi_k),
-            )
-            t0hi = jnp.maximum(
-                jnp.maximum(alo * ilo_k, alo * ihi_k),
-                jnp.maximum(ahi * ilo_k, ahi * ihi_k),
-            )
-            t1lo = jnp.minimum(
-                jnp.minimum(blo * ilo_k, blo * ihi_k),
-                jnp.minimum(bhi * ilo_k, bhi * ihi_k),
-            )
-            t1hi = jnp.maximum(
-                jnp.maximum(blo * ilo_k, blo * ihi_k),
-                jnp.maximum(bhi * ilo_k, bhi * ihi_k),
-            )
-            Lb = jnp.maximum(Lb, jnp.minimum(t0lo, t1lo))
-            U = jnp.minimum(U, jnp.maximum(t0hi, t1hi))
-            expand_ok = expand_ok & (jnp.maximum(alo, -bhi) <= thi_q)
-        live_q = (Lb <= U) & expand_ok & (thi_q > tlo_q)  # (1, Lpad)
-        mrow = mrow + live_q.astype(jnp.int32) * (1 << qi)
+    # dead-block fast path: the coherence sort (dead lanes LAST) packs
+    # trailing blocks all-dead at deep bounces; their block_bounds give
+    # thi <= tlo, and the whole broad phase (4 quarters x L leaves of
+    # vector work) is skipped — the block costs only the scratch init
+    # and the final out write
+    block_live = bounds_ref[13, pid] > bounds_ref[12, pid]
+    msum_ref[0, 0] = 0
 
-    mrow_ref[:, :] = mrow
-    msum_ref[0, 0] = jnp.sum(mrow)
-    cp = pltpu.make_async_copy(mrow_ref, mask_ref, sem_m)
-    cp.start()
-    cp.wait()
+    @pl.when(block_live)
+    def _broad_phase():
+        # ---- vectorized broad phase: ALL leaves per quarter, one
+        # (1, Lpad) vector pass per quarter with the quarter's SCALAR
+        # packet bounds (SMEM column 4*pid + qi of the
+        # block_bounds(block//4) operand)
+        bmn = [aabb_ref[k:k + 1, :] for k in range(3)]  # (1, Lpad) rows
+        bmx = [aabb_ref[3 + k:4 + k, :] for k in range(3)]
+        mrow = jnp.zeros((1, lpad), jnp.int32)
+        for qi in range(QUARTERS):
+            col = QUARTERS * pid + qi
+            tlo_q = qb_ref[12, col]
+            thi_q = qb_ref[13, col]
+            U = jnp.full((1, lpad), thi_q)
+            Lb = jnp.full((1, lpad), tlo_q)
+            expand_ok = jnp.full((1, lpad), True)
+            for k in range(3):
+                olo_k = qb_ref[k, col]
+                ohi_k = qb_ref[3 + k, col]
+                ilo_k = qb_ref[6 + k, col]
+                ihi_k = qb_ref[9 + k, col]
+                alo = bmn[k] - ohi_k  # (1, Lpad)
+                ahi = bmn[k] - olo_k
+                blo = bmx[k] - ohi_k
+                bhi = bmx[k] - olo_k
+                t0lo = jnp.minimum(
+                    jnp.minimum(alo * ilo_k, alo * ihi_k),
+                    jnp.minimum(ahi * ilo_k, ahi * ihi_k),
+                )
+                t0hi = jnp.maximum(
+                    jnp.maximum(alo * ilo_k, alo * ihi_k),
+                    jnp.maximum(ahi * ilo_k, ahi * ihi_k),
+                )
+                t1lo = jnp.minimum(
+                    jnp.minimum(blo * ilo_k, blo * ihi_k),
+                    jnp.minimum(bhi * ilo_k, bhi * ihi_k),
+                )
+                t1hi = jnp.maximum(
+                    jnp.maximum(blo * ilo_k, blo * ihi_k),
+                    jnp.maximum(bhi * ilo_k, bhi * ihi_k),
+                )
+                Lb = jnp.maximum(Lb, jnp.minimum(t0lo, t1lo))
+                U = jnp.minimum(U, jnp.maximum(t0hi, t1hi))
+                expand_ok = expand_ok & (jnp.maximum(alo, -bhi) <= thi_q)
+            live_q = (Lb <= U) & expand_ok & (thi_q > tlo_q)  # (1, Lpad)
+            mrow = mrow + live_q.astype(jnp.int32) * (1 << qi)
+
+        mrow_ref[:, :] = mrow
+        msum_ref[0, 0] = jnp.sum(mrow)
+        cp = pltpu.make_async_copy(mrow_ref, mask_ref, sem_m)
+        cp.start()
+        cp.wait()
 
     def mt_quarter(tile, gid, qi):
         sl = slice(qi, qi + 1)

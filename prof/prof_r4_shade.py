@@ -178,24 +178,38 @@ def main():
         ds.mat_packed, jnp.zeros((N,), jnp.int32),
         [(intg._M_BASE, intg._M_NMTEX + 1)])
     mat = intg._material_from_cols(mat_cols)
-    pos_s = jnp.asarray(rng.uniform(0, 1, (N, 2)).astype(np.float32))
-    sel_s = jnp.asarray(rng.uniform(0, 1, (N, 2)).astype(np.float32))
+    # samples are (u0, u1) tuples of (N,) arrays (SoA draw2t outputs)
+    pos_s = tuple(
+        jnp.asarray(rng.uniform(0, 1, N).astype(np.float32))
+        for _ in range(2)
+    )
+    sel_s = tuple(
+        jnp.asarray(rng.uniform(0, 1, N).astype(np.float32))
+        for _ in range(2)
+    )
     total_t = jnp.ones((N,), jnp.float32)
     timeit("8. _nee_candidate (no trace)",
-           lambda p, n_, w, ps, ss, tt: intg._nee_candidate(
-               ds, cfg, p, n_, n_, mat, w, ps, ss, tt).contrib.x,
-           ro, nrm, rd, pos_s, sel_s, total_t)
+           lambda p, n_, w, p0, p1, s0, s1, tt: intg._nee_candidate(
+               ds, cfg, p, n_, n_, mat, w, (p0, p1), (s0, s1), tt
+           ).contrib.x,
+           ro, nrm, rd, *pos_s, *sel_s, total_t)
 
     # 9: BSDF sample
-    dir_s = jnp.asarray(rng.uniform(0, 1, (N, 2)).astype(np.float32))
-    lobe_s = jnp.asarray(rng.uniform(0, 1, (N, 2)).astype(np.float32))
+    dir_s = tuple(
+        jnp.asarray(rng.uniform(0, 1, N).astype(np.float32))
+        for _ in range(2)
+    )
+    lobe_s = tuple(
+        jnp.asarray(rng.uniform(0, 1, N).astype(np.float32))
+        for _ in range(2)
+    )
 
-    def bsdf(n_, w, d1, d2):
+    def bsdf(n_, w, d0, d1, l0, l1):
         vx, vy = nee_mod.ortho_frame_v(n_)
         wgt, w_i, spdf, wpdf = sample_gltf_brdf_v(
-            mat, n_, w, vx, vy, d1, d2, True, False)
+            mat, n_, w, vx, vy, (d0, d1), (l0, l1), True, False)
         return wgt.x + w_i.x + spdf + wpdf
-    timeit("9. BSDF sample + frame", bsdf, nrm, rd, dir_s, lobe_s)
+    timeit("9. BSDF sample + frame", bsdf, nrm, rd, *dir_s, *lobe_s)
 
     # 10: sky eval
     timeit("10. sky eval (_sky_illum)",
@@ -213,7 +227,7 @@ def main():
         for dim in (2, 0, 6, 4):
             st, s = pointsets.draw2t(cfg.rng_variant, ds.rng, st,
                                      jnp.int32(10 + dim))
-            acc = acc + s[..., 0]
+            acc = acc + s[0]
         st, s1 = pointsets.draw1(cfg.rng_variant, ds.rng, st, jnp.int32(17))
         return acc + s1
     timeit("11. RNG draws (4x draw2t + draw1)", draws, st)

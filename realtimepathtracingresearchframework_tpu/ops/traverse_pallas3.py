@@ -131,9 +131,9 @@ def _quarter_bounds(rays: jnp.ndarray, block: int) -> jnp.ndarray:
 
 def _kernel3(bounds_ref, qb_ref, aabb_ref, tris_ref, rays_ref, out_ref,
              mrow_ref, msum_ref, mask_ref, sem_m,
-             tb_ref, row_ref, u_ref, v_ref,
+             tb_ref, row_ref, u_ref, v_ref, tile_ref=None, sem_t=None,
              *, num_leaves: int, block: int, shadow_from: int = -1,
-             leaf_size: int = LEAF):
+             leaf_size: int = LEAF, stream: bool = False):
     b = block
     q = b // QUARTERS
     pid = pl.program_id(0)
@@ -304,6 +304,110 @@ def _kernel3(bounds_ref, qb_ref, aabb_ref, tris_ref, rays_ref, out_ref,
             cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
         )
 
+    # ---- streamed scans: tri tiles live in HBM; each surviving leaf's
+    # 8 KB tile is DMA'd into a two-slot VMEM ring, double-buffered so
+    # the copy of survivor k+1 flies while survivor k's Moller-Trumbore
+    # flush runs. Requires leaf_size == 128 (one tile per leaf).
+    def _issue(leaf_id, slot):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(leaf_id * 16, 16), :],
+            tile_ref.at[pl.ds(slot * 16, 16), :],
+            sem_t.at[slot],
+        ).start()
+
+    def _wait_tile(leaf_id, slot):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(leaf_id * 16, 16), :],
+            tile_ref.at[pl.ds(slot * 16, 16), :],
+            sem_t.at[slot],
+        ).wait()
+        return tile_ref[pl.ds(slot * 16, 16), :]
+
+    def _flush_stream(pending, slot, mp, any_hit):
+        tile = _wait_tile(pending, slot)
+        for qi in range(QUARTERS):
+            @pl.when((mp >> qi) & 1 != 0)
+            def _(qi=qi):
+                if any_hit:
+                    mt_quarter_any(tile, pending, qi)
+                else:
+                    mt_quarter(tile, pending, qi)
+
+    def scan_closest_stream(_):
+        def body(leaf_id, carry):
+            pending, mp, k = carry
+            m = mask_ref[0, leaf_id]
+            take = m > 0
+
+            @pl.when(take)
+            def _():
+                _issue(leaf_id, jax.lax.rem(k, 2))
+
+            @pl.when(take & (pending >= 0))
+            def _():
+                _flush_stream(pending, jax.lax.rem(k + 1, 2), mp, False)
+
+            pending = jnp.where(take, leaf_id, pending)
+            mp = jnp.where(take, m, mp)
+            return (pending, mp, k + take.astype(jnp.int32))
+
+        pending, mp, k = jax.lax.fori_loop(
+            0, num_leaves, body,
+            (jnp.int32(-1), jnp.int32(0), jnp.int32(0)), unroll=False,
+        )
+
+        @pl.when(pending >= 0)
+        def _():
+            _flush_stream(pending, jax.lax.rem(k + 1, 2), mp, False)
+
+    def scan_shadow_stream(_):
+        # same pipeline + the every-16-flushes all-resolved early exit;
+        # the final pl.when drains the in-flight DMA even on early exit
+        def cond(c):
+            return (c[0] < num_leaves) & (c[5] < b)
+
+        def body(c):
+            leaf_id, pending, mp, k, since, nhit = c
+            m = mask_ref[0, leaf_id]
+            take = m > 0
+
+            @pl.when(take)
+            def _():
+                _issue(leaf_id, jax.lax.rem(k, 2))
+
+            @pl.when(take & (pending >= 0))
+            def _():
+                _flush_stream(pending, jax.lax.rem(k + 1, 2), mp, True)
+
+            pending = jnp.where(take, leaf_id, pending)
+            mp = jnp.where(take, m, mp)
+            k = k + take.astype(jnp.int32)
+            since = since + take.astype(jnp.int32)
+            refresh = since >= 16
+            nhit = jax.lax.cond(
+                refresh,
+                lambda: jnp.sum(
+                    ((row_ref[:, :] >= 0) | (tmax <= tmin)).astype(jnp.int32)
+                ),
+                lambda: nhit,
+            )
+            since = jnp.where(refresh, 0, since)
+            return (leaf_id + 1, pending, mp, k, since, nhit)
+
+        leaf_id, pending, mp, k, since, nhit = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.int32(-1), jnp.int32(0), jnp.int32(0),
+             jnp.int32(0), jnp.int32(0)),
+        )
+
+        @pl.when(pending >= 0)
+        def _():
+            _flush_stream(pending, jax.lax.rem(k + 1, 2), mp, True)
+
+    if stream:
+        scan_closest = scan_closest_stream  # noqa: F811
+        scan_shadow = scan_shadow_stream  # noqa: F811
+
     any_live = msum_ref[0, 0] > 0
     if shadow_from < 0:
         pl.when(any_live)(lambda: scan_closest(0))
@@ -332,15 +436,21 @@ def _kernel3(bounds_ref, qb_ref, aabb_ref, tris_ref, rays_ref, out_ref,
     jax.jit,
     static_argnames=(
         "num_leaves", "block", "shadow_from", "interpret", "leaf_size",
+        "stream",
     ),
 )
 def _traverse3(aabbs, tri_tiles, rays, num_leaves: int, block: int,
                shadow_from: int = -1, interpret: bool = False,
-               leaf_size: int = LEAF):
+               leaf_size: int = LEAF, stream: bool = False):
     if block % (QUARTERS * 128) != 0:
         raise ValueError(
             f"v3 flat-cull block must be a multiple of {QUARTERS * 128} "
             f"(quarter rows ride 128-wide lanes), got {block}"
+        )
+    if stream and leaf_size != LEAF:
+        raise ValueError(
+            f"streamed v3 needs leaf_size == {LEAF} (one 8 KB HBM tile "
+            f"per leaf), got {leaf_size}"
         )
     n = rays.shape[1]
     nb = n // block
@@ -356,7 +466,7 @@ def _traverse3(aabbs, tri_tiles, rays, num_leaves: int, block: int,
                 _traverse3(
                     aabbs, tri_tiles, rays[:, s * block:e * block],
                     num_leaves=num_leaves, block=block, shadow_from=sf,
-                    interpret=interpret, leaf_size=leaf_size,
+                    interpret=interpret, leaf_size=leaf_size, stream=stream,
                 )
             )
         return jnp.concatenate(outs, axis=1)
@@ -380,8 +490,29 @@ def _traverse3(aabbs, tri_tiles, rays, num_leaves: int, block: int,
     grid = (nb,)
     kernel = functools.partial(
         _kernel3, num_leaves=num_leaves, block=block,
-        shadow_from=shadow_from, leaf_size=leaf_size,
+        shadow_from=shadow_from, leaf_size=leaf_size, stream=stream,
     )
+    scratch = [
+        pltpu.VMEM((1, lpad), jnp.int32),  # packed quarter-mask row
+        pltpu.SMEM((1, 1), jnp.int32),  # total live (block skip)
+        pltpu.SMEM((1, lpad), jnp.int32),  # mask landed for the scan
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.VMEM((QUARTERS, block // QUARTERS), jnp.float32),
+        pltpu.VMEM((QUARTERS, block // QUARTERS), jnp.int32),
+        pltpu.VMEM((QUARTERS, block // QUARTERS), jnp.float32),
+        pltpu.VMEM((QUARTERS, block // QUARTERS), jnp.float32),
+    ]
+    if stream:
+        # two-slot tile ring + per-slot DMA semaphores (double buffer)
+        scratch += [
+            pltpu.VMEM((2 * 16, LEAF), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        tiles_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        tiles_spec = pl.BlockSpec(
+            tri_tiles.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
     out_q = pl.pallas_call(
         kernel,
         grid=grid,
@@ -394,25 +525,14 @@ def _traverse3(aabbs, tri_tiles, rays, num_leaves: int, block: int,
             ),
             pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                tri_tiles.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
+            tiles_spec,
             pl.BlockSpec((8 * QUARTERS, q), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (4 * QUARTERS, q), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((1, lpad), jnp.int32),  # packed quarter-mask row
-            pltpu.SMEM((1, 1), jnp.int32),  # total live (block skip)
-            pltpu.SMEM((1, lpad), jnp.int32),  # mask landed for the scan
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.VMEM((QUARTERS, block // QUARTERS), jnp.float32),
-            pltpu.VMEM((QUARTERS, block // QUARTERS), jnp.int32),
-            pltpu.VMEM((QUARTERS, block // QUARTERS), jnp.float32),
-            pltpu.VMEM((QUARTERS, block // QUARTERS), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         out_shape=jax.ShapeDtypeStruct((4 * QUARTERS, nb * q), jnp.float32),
         interpret=interpret,
     )(bounds, qb, aabbs, tri_tiles, rays_q)
@@ -430,13 +550,18 @@ class PallasBVH3Buffers:
     wrapper (not a NamedTuple clone) so existing v2 entry points accept
     the same object via duck typing."""
 
-    def __init__(self, bb: PallasBVH2Buffers):
+    def __init__(self, bb: PallasBVH2Buffers, stream: bool = False):
         self.bb = bb
         self.aabbs = leaf_aabbs_for(bb)
         self.num_leaves = bb.row_tri.shape[0] // bb.leaf_size
         # scene box for the coherence sort's morton grid = root AABB
         self.scene_lo = bb.nodes[0, 0:3]
         self.scene_hi = bb.nodes[0, 3:6]
+        # stream=True: tri tiles stay in HBM; the kernel DMAs each
+        # surviving leaf's tile on demand (double-buffered). Lifts the
+        # resident VMEM cap — the only remaining limits are the SMEM
+        # mask row (~num_leaves * 4 B) and the leaf-scan length.
+        self.stream = bool(stream)
 
     def __getattr__(self, name):
         if name == "bb":  # unflatten builds via object.__new__; don't
@@ -447,14 +572,14 @@ class PallasBVH3Buffers:
 def _pb3_flatten(b):
     return (
         (b.bb, b.aabbs, b.scene_lo, b.scene_hi),
-        (b.num_leaves,),
+        (b.num_leaves, b.stream),
     )
 
 
 def _pb3_unflatten(aux, children):
     obj = object.__new__(PallasBVH3Buffers)
     obj.bb, obj.aabbs, obj.scene_lo, obj.scene_hi = children
-    (obj.num_leaves,) = aux
+    obj.num_leaves, obj.stream = aux
     return obj
 
 
@@ -466,12 +591,12 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def pack_for_pallas3(tb) -> PallasBVH3Buffers:
+def pack_for_pallas3(tb, stream: bool = False) -> PallasBVH3Buffers:
     from realtimepathtracingresearchframework_tpu.ops.traverse_pallas2 import (
         pack_for_pallas2,
     )
 
-    return PallasBVH3Buffers(pack_for_pallas2(tb))
+    return PallasBVH3Buffers(pack_for_pallas2(tb), stream=stream)
 
 
 def closest_hit_pallas3(
@@ -493,6 +618,7 @@ def closest_hit_pallas3(
     out = _traverse3(
         bb.aabbs, bb.tri_tiles, rays, num_leaves=bb.num_leaves,
         block=block, interpret=INTERPRET, leaf_size=bb.leaf_size,
+        stream=bool(getattr(bb, "stream", False)),
     )
     if compact:
         out = _uncompact(out, inv)
@@ -518,6 +644,7 @@ def occluded_pallas3(
         bb.aabbs, bb.tri_tiles, rays, num_leaves=bb.num_leaves,
         block=block, shadow_from=0, interpret=INTERPRET,
         leaf_size=bb.leaf_size,
+        stream=bool(getattr(bb, "stream", False)),
     )
     if compact:
         rowbits = _uncompact(out[1:2], inv)[0, :n]
@@ -557,6 +684,7 @@ def closest_and_occluded_pallas3(
         bb.aabbs, bb.tri_tiles, rays, num_leaves=bb.num_leaves,
         block=block, shadow_from=shadow_from, interpret=INTERPRET,
         leaf_size=bb.leaf_size,
+        stream=bool(getattr(bb, "stream", False)),
     )
     np_c = rays_c.shape[1]
     out_c = out[:, :np_c]

@@ -587,10 +587,21 @@ def closest_hit_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
 
 def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3, rd: Vec3,
                    t_min, t_max, compact: bool = False,
-                   count_evals: bool = False):
+                   count_evals: bool = False, sort_shadow: bool = False):
     """Shadow-ray visibility honoring alpha cutouts (any_hit.rahit): walks
     candidate hits until a solid blocker or segment end. With
-    ``count_evals`` returns ``(blocked, evals)`` (see closest_hit_alpha)."""
+    ``count_evals`` returns ``(blocked, evals)`` (see closest_hit_alpha).
+
+    ``sort_shadow``: coherence-sort THIS queue by its own origins before
+    the v3 dispatch. The round-4 "shadow inherits the parent queue's
+    order" policy (unsorted dispatch) is only true at bounce 0, where
+    origins are swizzle-coherent primary hits; at bounce >= 1 the origins
+    are fresh hit points scattered over the scene and the unsorted v3
+    dispatch measured 2371 ms/524K vs 584 sorted (prof/prof_r4_shade.py
+    items 2-3, worst-case incoherent) — the dominant term of the round-4
+    village frame. Bounce-0 sorted shadow costs only ~4 ms extra on v3
+    (43.9 vs 40.3, round-4 ledger), so callers that cannot statically
+    tell the bounce apart sort unconditionally."""
     if not (cfg.alpha_test and cfg.has_textures):
         if cfg.two_level:
             if cfg.tlas_pallas:
@@ -625,16 +636,14 @@ def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3, rd: Vec3,
                     traverse_pallas3,
                 )
 
-                # UNSORTED on purpose, even when cfg.compact is on: the
-                # shadow queue inherits its parent queue's lane order
-                # (origins = that queue's hit points), so it is already
-                # coherent — on-chip A/B measured v3 unsorted 40.3 ms vs
-                # v2 sorted 149.1 per 524K village sun rays
-                # (prof/prof_r4_v3.py); the ~10 ms sort only scrambles
-                # the swizzle.
+                # bounce 0: UNSORTED (origins are swizzle-coherent
+                # primary hits; the sort only scrambles them — v3
+                # unsorted 40.3 ms vs v2 sorted 149.1, prof_r4_v3.py).
+                # bounce >= 1: sorted by OWN origins via sort_shadow
+                # (see the docstring; the round-5 frame fix).
                 blocked = traverse_pallas3.occluded_pallas3(
                     ds.bvh, None, None, t_min=t_min, t_max=t_max,
-                    comps=(*ro, *rd),
+                    comps=(*ro, *rd), compact=sort_shadow,
                 )
             else:
                 blocked = traverse_pallas.occluded_pallas(
@@ -705,6 +714,7 @@ def _sample_direct_light(
     total_t,
     compact: bool = False,
     count_evals: bool = False,
+    sort_shadow: bool = False,
 ) -> Vec3:
     """sample_direct_light (mc/nee.glsl:32-90) + immediate visibility ray
     (the megakernel resolution of the candidate)."""
@@ -714,7 +724,7 @@ def _sample_direct_light(
     )
     blocked = occluded_alpha(
         ds, cfg, hit_p, cand.dir, t_min=cand.eps, t_max=cand.shadow_tmax,
-        compact=compact, count_evals=count_evals,
+        compact=compact, count_evals=count_evals, sort_shadow=sort_shadow,
     )
     if count_evals:
         blocked, ev = blocked
@@ -1034,9 +1044,13 @@ def trace_paths(
                     ds, cfg, ro, rd, t_min, tmax_eff, compact=compact,
                     count_evals=dbg_anyhit, presorted=presorted,
                 )
+                # wavefront deferred queue: origins = carry ro, which is
+                # already sorted under carry compaction (presorted) —
+                # sort only when the per-dispatch compact policy is on
                 blocked = occluded_alpha(
                     ds, cfg, ro, nd, t_min=ntmin, t_max=ntmax_eff,
                     compact=compact, count_evals=dbg_anyhit,
+                    sort_shadow=compact,
                 )
                 if dbg_anyhit:
                     hit, ev_c = hit
@@ -1285,8 +1299,13 @@ def trace_paths(
         ctx = (p, n_sh, gn, mat, w_o)
         return carry, ctx
 
-    def scatter_tail(args, compact=False):
-        """NEE + BSDF sample + RR — skipped on the final bounce."""
+    def scatter_tail(args, compact=False, sort_shadow=False):
+        """NEE + BSDF sample + RR — skipped on the final bounce.
+
+        ``sort_shadow``: this bounce's NEE occlusion queue (origins =
+        fresh hit points) gets its own coherence sort before the v3
+        dispatch — see occluded_alpha. Static per call site: bounce 0's
+        primary-hit origins are already swizzle-coherent."""
         carry, ctx, bounce_i = args
         (ro, rd, t_min, illum, throughput, active, prev_pdf,
          bounce_count, total_t, rng_state, rays) = carry[:11]
@@ -1338,6 +1357,7 @@ def trace_paths(
             nee_contrib = _sample_direct_light(
                 ds, cfg, p, n_sh, gn, mat, w_o, pos_sample, sel_sample,
                 total_t, compact=compact, count_evals=dbg_full,
+                sort_shadow=sort_shadow,
             )
             if dbg_full:
                 nee_contrib, ev_s = nee_contrib
@@ -1428,13 +1448,18 @@ def trace_paths(
                 # (shade_base_material.glsl:56-57)
                 if i < cfg.max_path_depth - 1:
                     carry = scatter_tail(
-                        (carry, ctx, jnp.int32(i)), compact=compact
+                        (carry, ctx, jnp.int32(i)), compact=compact,
+                        sort_shadow=i > 0,
                     )
             else:
-                # dynamic loop: scalar predicate, real branch
+                # dynamic loop: scalar predicate, real branch.
+                # sort_shadow unconditionally — the bounce index is
+                # traced here, and bounce-0's extra sorted-dispatch cost
+                # on v3 is ~4 ms vs the >1 s unsorted bounce>=1 cliff
                 carry = jax.lax.cond(
                     i < cfg.max_path_depth - 1,
-                    partial(scatter_tail, compact=compact),
+                    partial(scatter_tail, compact=compact,
+                            sort_shadow=True),
                     lambda args: args[0],
                     (carry, ctx, jnp.asarray(i, jnp.int32)),
                 )
@@ -1501,10 +1526,13 @@ def trace_paths(
         blo, bhi = _scene_bounds_of(ds)
 
         def live_run(b_i, carry):
+            # live_run only serves bounces >= 1 (bounce 0 goes through
+            # bounce_body below): the NEE occlusion queue's origins are
+            # fresh hit points, so it always gets its own sort
             carry, ctx = visit_hit(carry, compact=False, presorted=True)
             return jax.lax.cond(
                 b_i < cfg.max_path_depth - 1,
-                partial(scatter_tail, compact=False),
+                partial(scatter_tail, compact=False, sort_shadow=True),
                 lambda args: args[0],
                 (carry, ctx, jnp.asarray(b_i, jnp.int32)),
             )

@@ -72,7 +72,11 @@ except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
 DEFAULT_BLOCK = 512
-QUARTERS = 4  # sub-packet flush granularity (block // 4 lanes)
+QUARTERS = 4  # default sub-packet flush granularity (block // 4 lanes);
+# kernels take a ``groups`` override — finer groups tighten the per-group
+# packet bounds (fewer leaves flushed per lane) at the cost of a
+# proportionally longer broad phase and more per-leaf scan branches. The
+# floor is block // groups >= 128 (the MT wants full 128-lane rows).
 _INF = 2.0e32
 
 # per-launch grid cap (see traverse_pallas2.MAX_BLOCKS)
@@ -121,32 +125,35 @@ def leaf_aabbs_for(bb: PallasBVH2Buffers, tb_nodes: np.ndarray = None,
     return jnp.asarray(out)
 
 
-def _quarter_bounds(rays: jnp.ndarray, block: int) -> jnp.ndarray:
-    """Per-quarter packet bounds, (16, nb*4) like block_bounds — rides
-    as a whole-array SMEM operand; the kernel reads quarter qi of block
-    pid at column 4*pid + qi and broadcasts the scalars against the
+def _quarter_bounds(rays: jnp.ndarray, block: int,
+                    groups: int = QUARTERS) -> jnp.ndarray:
+    """Per-group packet bounds, (16, nb*groups) like block_bounds — rides
+    as a whole-array SMEM operand; the kernel reads group qi of block
+    pid at column groups*pid + qi and broadcasts the scalars against the
     (1, Lpad) leaf rows."""
-    return block_bounds(rays, block // QUARTERS)
+    return block_bounds(rays, block // groups)
 
 
 def _kernel3(bounds_ref, qb_ref, aabb_ref, tris_ref, rays_ref, out_ref,
              mrow_ref, msum_ref, mask_ref, sem_m,
              tb_ref, row_ref, u_ref, v_ref, tile_ref=None, sem_t=None,
              *, num_leaves: int, block: int, shadow_from: int = -1,
-             leaf_size: int = LEAF, stream: bool = False):
+             leaf_size: int = LEAF, stream: bool = False,
+             groups: int = QUARTERS):
     b = block
-    q = b // QUARTERS
+    q = b // groups
     pid = pl.program_id(0)
     lpt = LEAF // leaf_size
     lpad = aabb_ref.shape[1]
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (leaf_size, 1), 0)
 
-    # quarter-major layout: the HOST retiles each (1, B) lane row to
-    # (4, B/4) before the launch (see _traverse3) so quarter qi is
-    # SUBLANE row qi of the (32, q) operand. In-kernel lane->sublane
-    # reshapes are exactly the "unsupported shape cast" Mosaic rejects;
-    # sublane slices of a pre-tiled operand lower natively.
-    Q = QUARTERS
+    # group-major layout: the HOST retiles each (1, B) lane row to
+    # (groups, B/groups) before the launch (see _traverse3) so group qi
+    # is SUBLANE row qi of the (8*groups, q) operand. In-kernel
+    # lane->sublane reshapes are exactly the "unsupported shape cast"
+    # Mosaic rejects; sublane slices of a pre-tiled operand lower
+    # natively.
+    Q = groups
     rox = rays_ref[0 * Q:1 * Q, :]
     roy = rays_ref[1 * Q:2 * Q, :]
     roz = rays_ref[2 * Q:3 * Q, :]
@@ -157,9 +164,9 @@ def _kernel3(bounds_ref, qb_ref, aabb_ref, tris_ref, rays_ref, out_ref,
     tmax = rays_ref[7 * Q:8 * Q, :]
 
     tb_ref[:, :] = tmax
-    row_ref[:, :] = jnp.full((QUARTERS, q), -1, jnp.int32)
-    u_ref[:, :] = jnp.zeros((QUARTERS, q), jnp.float32)
-    v_ref[:, :] = jnp.zeros((QUARTERS, q), jnp.float32)
+    row_ref[:, :] = jnp.full((groups, q), -1, jnp.int32)
+    u_ref[:, :] = jnp.zeros((groups, q), jnp.float32)
+    v_ref[:, :] = jnp.zeros((groups, q), jnp.float32)
 
     is_shadow = pid >= shadow_from if shadow_from >= 0 else None
 
@@ -180,8 +187,8 @@ def _kernel3(bounds_ref, qb_ref, aabb_ref, tris_ref, rays_ref, out_ref,
         bmn = [aabb_ref[k:k + 1, :] for k in range(3)]  # (1, Lpad) rows
         bmx = [aabb_ref[3 + k:4 + k, :] for k in range(3)]
         mrow = jnp.zeros((1, lpad), jnp.int32)
-        for qi in range(QUARTERS):
-            col = QUARTERS * pid + qi
+        for qi in range(groups):
+            col = groups * pid + qi
             tlo_q = qb_ref[12, col]
             thi_q = qb_ref[13, col]
             U = jnp.full((1, lpad), thi_q)
@@ -261,7 +268,7 @@ def _kernel3(bounds_ref, qb_ref, aabb_ref, tris_ref, rays_ref, out_ref,
             @pl.when(m > 0)
             def _():
                 tile = tris_ref[pl.ds((leaf_id // lpt) * 16, 16), :]
-                for qi in range(QUARTERS):
+                for qi in range(groups):
                     @pl.when((m >> qi) & 1 != 0)
                     def _(qi=qi):
                         mt_quarter(tile, leaf_id, qi)
@@ -283,7 +290,7 @@ def _kernel3(bounds_ref, qb_ref, aabb_ref, tris_ref, rays_ref, out_ref,
             @pl.when(m > 0)
             def _():
                 tile = tris_ref[pl.ds((leaf_id // lpt) * 16, 16), :]
-                for qi in range(QUARTERS):
+                for qi in range(groups):
                     @pl.when((m >> qi) & 1 != 0)
                     def _(qi=qi):
                         mt_quarter_any(tile, leaf_id, qi)
@@ -325,7 +332,7 @@ def _kernel3(bounds_ref, qb_ref, aabb_ref, tris_ref, rays_ref, out_ref,
 
     def _flush_stream(pending, slot, mp, any_hit):
         tile = _wait_tile(pending, slot)
-        for qi in range(QUARTERS):
+        for qi in range(groups):
             @pl.when((mp >> qi) & 1 != 0)
             def _(qi=qi):
                 if any_hit:
@@ -436,16 +443,17 @@ def _kernel3(bounds_ref, qb_ref, aabb_ref, tris_ref, rays_ref, out_ref,
     jax.jit,
     static_argnames=(
         "num_leaves", "block", "shadow_from", "interpret", "leaf_size",
-        "stream",
+        "stream", "groups",
     ),
 )
 def _traverse3(aabbs, tri_tiles, rays, num_leaves: int, block: int,
                shadow_from: int = -1, interpret: bool = False,
-               leaf_size: int = LEAF, stream: bool = False):
-    if block % (QUARTERS * 128) != 0:
+               leaf_size: int = LEAF, stream: bool = False,
+               groups: int = QUARTERS):
+    if block % (groups * 128) != 0:
         raise ValueError(
-            f"v3 flat-cull block must be a multiple of {QUARTERS * 128} "
-            f"(quarter rows ride 128-wide lanes), got {block}"
+            f"v3 flat-cull block must be a multiple of {groups * 128} "
+            f"(group rows ride 128-wide lanes), got {block}"
         )
     if stream and leaf_size != LEAF:
         raise ValueError(
@@ -467,40 +475,42 @@ def _traverse3(aabbs, tri_tiles, rays, num_leaves: int, block: int,
                     aabbs, tri_tiles, rays[:, s * block:e * block],
                     num_leaves=num_leaves, block=block, shadow_from=sf,
                     interpret=interpret, leaf_size=leaf_size, stream=stream,
+                    groups=groups,
                 )
             )
         return jnp.concatenate(outs, axis=1)
     # barrier: see traverse_pallas2._traverse2
     rays = jax.lax.optimization_barrier(rays)
     bounds = block_bounds(rays, block)
-    qb = _quarter_bounds(rays, block)
+    qb = _quarter_bounds(rays, block, groups)
     lpad = aabbs.shape[1]
-    q = block // QUARTERS
-    # host-side quarter retile (see _kernel3): (8, n) lane-major ->
-    # (8*QUARTERS, n/QUARTERS) where row c*Q+qi, col i*q+j holds
+    q = block // groups
+    # host-side group retile (see _kernel3): (8, n) lane-major ->
+    # (8*groups, n/groups) where row c*G+qi, col i*q+j holds
     # rays[c, i*block + qi*q + j]. A middle-axis transpose (minor dim q
     # stays contiguous) XLA handles cheaply; in-kernel it is an
     # unsupported lane->sublane shape cast on Mosaic.
     rays_q = jnp.reshape(
         jnp.transpose(
-            jnp.reshape(rays, (8, nb, QUARTERS, q)), (0, 2, 1, 3)
+            jnp.reshape(rays, (8, nb, groups, q)), (0, 2, 1, 3)
         ),
-        (8 * QUARTERS, nb * q),
+        (8 * groups, nb * q),
     )
     grid = (nb,)
     kernel = functools.partial(
         _kernel3, num_leaves=num_leaves, block=block,
         shadow_from=shadow_from, leaf_size=leaf_size, stream=stream,
+        groups=groups,
     )
     scratch = [
         pltpu.VMEM((1, lpad), jnp.int32),  # packed quarter-mask row
         pltpu.SMEM((1, 1), jnp.int32),  # total live (block skip)
         pltpu.SMEM((1, lpad), jnp.int32),  # mask landed for the scan
         pltpu.SemaphoreType.DMA(()),
-        pltpu.VMEM((QUARTERS, block // QUARTERS), jnp.float32),
-        pltpu.VMEM((QUARTERS, block // QUARTERS), jnp.int32),
-        pltpu.VMEM((QUARTERS, block // QUARTERS), jnp.float32),
-        pltpu.VMEM((QUARTERS, block // QUARTERS), jnp.float32),
+        pltpu.VMEM((groups, block // groups), jnp.float32),
+        pltpu.VMEM((groups, block // groups), jnp.int32),
+        pltpu.VMEM((groups, block // groups), jnp.float32),
+        pltpu.VMEM((groups, block // groups), jnp.float32),
     ]
     if stream:
         # two-slot tile ring + per-slot DMA semaphores (double buffer)
@@ -526,20 +536,20 @@ def _traverse3(aabbs, tri_tiles, rays, num_leaves: int, block: int,
             pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             tiles_spec,
-            pl.BlockSpec((8 * QUARTERS, q), lambda i: (0, i),
+            pl.BlockSpec((8 * groups, q), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (4 * QUARTERS, q), lambda i: (0, i), memory_space=pltpu.VMEM
+            (4 * groups, q), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=scratch,
-        out_shape=jax.ShapeDtypeStruct((4 * QUARTERS, nb * q), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4 * groups, nb * q), jnp.float32),
         interpret=interpret,
     )(bounds, qb, aabbs, tri_tiles, rays_q)
-    # untile the quarter-major output back to (4, n) lane-major
+    # untile the group-major output back to (4, n) lane-major
     return jnp.reshape(
         jnp.transpose(
-            jnp.reshape(out_q, (4, QUARTERS, nb, q)), (0, 2, 1, 3)
+            jnp.reshape(out_q, (4, groups, nb, q)), (0, 2, 1, 3)
         ),
         (4, n),
     )
@@ -602,7 +612,7 @@ def pack_for_pallas3(tb, stream: bool = False) -> PallasBVH3Buffers:
 def closest_hit_pallas3(
     bb: PallasBVH3Buffers, ro, rd, t_min=0.0, t_max=_INF,
     block: int = DEFAULT_BLOCK, comps=None, map_tri: bool = True,
-    compact: bool = False,
+    compact: bool = False, groups: int = QUARTERS,
 ):
     from realtimepathtracingresearchframework_tpu.ops.traverse_pallas import (
         _prep_rays,
@@ -618,7 +628,7 @@ def closest_hit_pallas3(
     out = _traverse3(
         bb.aabbs, bb.tri_tiles, rays, num_leaves=bb.num_leaves,
         block=block, interpret=INTERPRET, leaf_size=bb.leaf_size,
-        stream=bool(getattr(bb, "stream", False)),
+        stream=bool(getattr(bb, "stream", False)), groups=groups,
     )
     if compact:
         out = _uncompact(out, inv)
@@ -628,6 +638,7 @@ def closest_hit_pallas3(
 def occluded_pallas3(
     bb: PallasBVH3Buffers, ro, rd, t_min=0.0, t_max=_INF,
     block: int = DEFAULT_BLOCK, comps=None, compact: bool = False,
+    groups: int = QUARTERS,
 ):
     from realtimepathtracingresearchframework_tpu.ops.traverse_pallas import (
         _prep_rays,
@@ -644,7 +655,7 @@ def occluded_pallas3(
         bb.aabbs, bb.tri_tiles, rays, num_leaves=bb.num_leaves,
         block=block, shadow_from=0, interpret=INTERPRET,
         leaf_size=bb.leaf_size,
-        stream=bool(getattr(bb, "stream", False)),
+        stream=bool(getattr(bb, "stream", False)), groups=groups,
     )
     if compact:
         rowbits = _uncompact(out[1:2], inv)[0, :n]
@@ -658,7 +669,7 @@ def closest_and_occluded_pallas3(
     comps_c, t_min_c, t_max_c,
     comps_s, t_min_s, t_max_s,
     block: int = DEFAULT_BLOCK, map_tri: bool = True,
-    compact: bool = False,
+    compact: bool = False, groups: int = QUARTERS,
 ):
     """ONE launch for the wavefront's two per-bounce queues (see
     traverse_pallas2.closest_and_occluded_pallas2)."""
@@ -684,7 +695,7 @@ def closest_and_occluded_pallas3(
         bb.aabbs, bb.tri_tiles, rays, num_leaves=bb.num_leaves,
         block=block, shadow_from=shadow_from, interpret=INTERPRET,
         leaf_size=bb.leaf_size,
-        stream=bool(getattr(bb, "stream", False)),
+        stream=bool(getattr(bb, "stream", False)), groups=groups,
     )
     np_c = rays_c.shape[1]
     out_c = out[:, :np_c]

@@ -74,7 +74,6 @@ def main():
         shot_offset=jnp.uint32(0),
     )
     px_c, py_c, valid_c, _inv, nc, chunk = intg._swizzle_tables(1920, 1080)
-    px, py, valid = px_c[0], py_c[0], valid_c[0]
     dims = jnp.array([1920.0, 1080.0], jnp.float32)
 
     def run(cfg, depth):
@@ -97,17 +96,28 @@ def main():
 
         return f
 
+    # per-chunk cost: the swizzle is row-major 16x16 blocks, so chunk 0
+    # is the top (sky-heavy, cheap) band and chunks 2-3 the ground —
+    # measuring chunk 0 alone understates the frame ~16x (first run of
+    # this script did exactly that)
     variants = [
         ("default (lanes ON)", base_cfg),
-        ("lanes OFF, unrolled, compact", base_cfg._replace(
-            compact_lanes=False, unroll=True, compact=True)),
         ("lanes ON, NO textures", base_cfg._replace(has_textures=False)),
     ]
     for name, cfg in variants:
-        for depth in (1, 2, 3):
+        for depth in (1, 2, 3, 9):
             f = run(cfg, depth)
-            timeit(f"{name} depth {depth}",
-                   f, fp, view, px, py, valid)
+            tot = 0.0
+            per = []
+            for c in range(nc):
+                ms = timeit(
+                    f"{name} depth {depth} chunk {c}",
+                    f, fp, view, px_c[c], py_c[c], valid_c[c],
+                )
+                per.append(ms)
+                tot += ms
+            print(f"{name} depth {depth}: frame-equiv "
+                  f"{tot:9.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

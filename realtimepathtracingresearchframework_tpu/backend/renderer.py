@@ -193,6 +193,7 @@ class Renderer:
         self.timers = DeviceTimers()
         self._render_fns: Dict = {}  # jit cache (GpuProgramCache analogue)
         self._pass_fns: Dict = {}  # scene-capturing pass programs
+        self._wf_progs: Dict = {}  # bounce-major wavefront program sets
         self._pass_fn_lock = threading.Lock()  # warmup_async vs render()
         self._device_scene_revision = 0
         self._last_rays = 0
@@ -472,6 +473,27 @@ class Renderer:
             # shell.cpp:97-126: extensions observe the scene after upload
             for ext in self.extensions:
                 ext.update_scene_from_backend(scene)
+
+    def _use_wavefront_host(self, cfg) -> bool:
+        """Policy for the bounce-major host-wavefront executor
+        (ops/wavefront_host.py). Default: ON exactly where carry-level
+        compaction used to engage (big resident v3 scenes — the frame is
+        bounce-queue dominated there); RPTR_HOST_WAVEFRONT=1/0 forces.
+        Requires single device, no debug counters, no deferred-NEE carry
+        (the wavefront VARIANT keeps the monolith), depth > 1."""
+        env = os.environ.get("RPTR_HOST_WAVEFRONT", "")
+        want = (
+            bool(getattr(self, "_use_pallas3", False))
+            if env == "" else env != "0"
+        )
+        return (
+            want
+            and not self._multi
+            and not cfg.debug_mode
+            and not cfg.wavefront
+            and cfg.max_path_depth > 1
+            and self.device_scene is not None
+        )
 
     def _get_or_make_pass_fn(self, pkey, cfg):
         """The ONE pass-program creation point, shared by render() and
@@ -968,6 +990,7 @@ class Renderer:
         self._device_scene_revision += 1
         self._render_fns.clear()
         self._pass_fns.clear()
+        self._wf_progs.clear()
 
     # ------------------------------------------------------------------
     # Frame lifecycle
@@ -1064,6 +1087,7 @@ class Renderer:
                     camera_pos=np.asarray(config.camera.pos, np.float32),
                 )
                 self._pass_fns.clear()
+                self._wf_progs.clear()
                 self._render_fns.clear()
                 self.reset_accumulation()
 
@@ -1125,16 +1149,19 @@ class Renderer:
         # degrades when waves share a module or the scene arrives as a
         # parameter — see integrator.make_pass_fn)
         pkey = (cfg, self.fb_width, self.fb_height, self._device_scene_revision)
-        # shared get-or-create (multi-device: one pass program per chip,
-        # each capturing that device's scene replica — the host-dispatch
-        # fast path scaled across chips)
-        pass_fn = self._get_or_make_pass_fn(pkey, cfg)
 
         fast = (
             params.reprojection_mode != REPROJECTION_MODE_ACCUMULATE
             and not self.options.enable_taa
             and int(params.render_upscale_factor) == 1
         )
+        # shared get-or-create (multi-device: one pass program per chip,
+        # each capturing that device's scene replica — the host-dispatch
+        # fast path scaled across chips). Skipped when the bounce-major
+        # wavefront executor will render this frame — building the
+        # monolithic loop program too would double the compile cost.
+        if not (fast and self._use_wavefront_host(cfg)):
+            pass_fn = self._get_or_make_pass_fn(pkey, cfg)
         if fast:
             # chunk-resident fast path: the pass programs accumulate the
             # progressive average IN PLACE (donated buffers), so the whole
@@ -1212,7 +1239,35 @@ class Renderer:
             )
             base_k = 0 if discard else self.frame_id
             rays_l = []
-            if self._multi:
+            if self._use_wavefront_host(cfg):
+                # bounce-major host wavefront (ops/wavefront_host.py):
+                # the host manages ONE frame-global live-lane queue and
+                # dispatches exact-ladder-width bounce programs; work
+                # tracks the live population across the whole frame
+                # instead of per-chunk power-of-two prefixes, and the
+                # giant loop+switch monolith (20+ min remote compiles)
+                # is replaced by small per-bounce programs
+                from realtimepathtracingresearchframework_tpu.ops import (
+                    wavefront_host,
+                )
+
+                progs = self._wf_progs.get(pkey)
+                if progs is None:
+                    progs = wavefront_host.build_programs(
+                        self.device_scene, cfg, self.fb_width, self.fb_height
+                    )
+                    self._wf_progs.clear()
+                    self._wf_progs[pkey] = progs
+                blend_base = jnp.uint32(base_k)
+                for s in range(spp):
+                    accs, nr, prof = wavefront_host.render_sample(
+                        progs, fp, view, list(self._acc_chunks),
+                        self._u32_const(s), blend_base,
+                    )
+                    self._acc_chunks = accs
+                    rays_l.append(nr)
+                self._wf_live_profile = prof
+            elif self._multi:
                 blend_dev = [
                     jax.device_put(jnp.uint32(base_k), d)
                     for d in self.devices
@@ -1776,6 +1831,7 @@ class Renderer:
             self._device_scene_revision += 1
             self._scene_frame = frame
             self._pass_fns.clear()
+            self._wf_progs.clear()
             self._render_fns.clear()
             self.reset_accumulation()
             return
@@ -1794,6 +1850,7 @@ class Renderer:
                     scene_config, frame=frame, camera_pos=lod_cam
                 )
                 self._pass_fns.clear()
+                self._wf_progs.clear()
                 self._render_fns.clear()
                 self.reset_accumulation()
                 return
@@ -1997,3 +2054,4 @@ class Renderer:
                 g[sym] = getattr(integ, sym)
         self._render_fns.clear()
         self._pass_fns.clear()
+        self._wf_progs.clear()

@@ -926,53 +926,15 @@ _COMPACT_LANE_QUANTUM = 1024
 _COMPACT_MAX_HALVINGS = 5  # smallest prefix = n/32
 
 
-def trace_paths(
-    ds: DeviceScene,
-    cfg: IntegratorConfig,
-    fp: FrameParams,
-    ro,
-    rd,
-    rng_state,
-    lane_mask=None,
-    footprint0=None,
-    t_max0=None,
-):
-    """Trace a batch of paths; returns (rgb Vec3, alpha (N,), rays (N,)).
-
-    ``ro``/``rd`` are Vec3 SoA triples (ops/vec3.py): every per-ray vector
-    lives as three 1-D arrays, keeping the shading math on the full VPU
-    lane width and feeding the traversal kernel's packed operand without
-    relayout copies.
-
-    ``rays`` is the per-lane traced-ray count (closest + shadow) — the
-    REPORT_RAY_STATS per-pixel image (render_vulkan.h:87-91); sum it for
-    the aggregate counter.
-
-    The bounce loop runs as ``lax.fori_loop`` by default (the reference's
-    DYNAMIC_LOOP_BOUNCES mode) or statically unrolled when ``cfg.unroll``
-    (the self-#include unroll, pt_megakernel.glsl:390-415). The last bounce
-    is an epilogue doing only traverse + emitter/sky — NEE/BSDF work is cut
-    there (shade_base_material.glsl:56-57).
+def _make_bounce_fns(ds: DeviceScene, cfg: IntegratorConfig, fp,
+                     t_max0=None):
+    """Build the width-generic per-bounce closures (visit_hit +
+    scatter_tail) — shared by the monolithic trace_paths bounce loop
+    and the host-driven bounce-major wavefront executor
+    (ops/wavefront_host.py). The closures are elementwise over the
+    lane axis, so any caller may run them on any lane-prefix width.
     """
-    n = ro.x.shape[0]
     num_bins = max(cfg.num_lights // max(cfg.light_bin_size, 1), 1)
-    # carry layout: 0 ro, 1 rd, 2 t_min, 3 illum, 4 throughput, 5 active,
-    # 6 prev_pdf, 7 bounce_count, 8 total_t, 9 rng_state, 10 rays
-    # [+ 11 pending NEE queue in wavefront mode]
-    _ACTIVE = 5
-    zero_n = jnp.zeros((n,), jnp.float32)
-    false_n = jnp.zeros((n,), bool)
-    # pending NEE queue (wavefront): only candidates that NEED a
-    # visibility ray are deferred — degenerate-segment (uncond) ones are
-    # applied at scatter time, and the traced flag is folded into the
-    # tmax sign-free encoding (tmax <= tmin means dead). 8 carry arrays.
-    empty_pend = (
-        Vec3(zero_n, zero_n + 1.0, zero_n),  # shadow dir (unit dummy)
-        zero_n,  # shadow t_min (candidate eps)
-        zero_n,  # shadow tmax (0 = dead/no candidate)
-        Vec3(zero_n, zero_n, zero_n),  # throughput-scaled contribution
-        false_n,  # traced: pending visibility ray for this lane
-    )
 
     def visit_hit(carry, compact=False, presorted=False):
         """Traverse + hit attributes + emitter MIS; shared by body/epilogue.
@@ -1434,6 +1396,59 @@ def trace_paths(
         if cfg.debug_mode:
             out = out + (dbg,)
         return out
+
+    return visit_hit, scatter_tail
+
+
+def trace_paths(
+    ds: DeviceScene,
+    cfg: IntegratorConfig,
+    fp: FrameParams,
+    ro,
+    rd,
+    rng_state,
+    lane_mask=None,
+    footprint0=None,
+    t_max0=None,
+):
+    """Trace a batch of paths; returns (rgb Vec3, alpha (N,), rays (N,)).
+
+    ``ro``/``rd`` are Vec3 SoA triples (ops/vec3.py): every per-ray vector
+    lives as three 1-D arrays, keeping the shading math on the full VPU
+    lane width and feeding the traversal kernel's packed operand without
+    relayout copies.
+
+    ``rays`` is the per-lane traced-ray count (closest + shadow) — the
+    REPORT_RAY_STATS per-pixel image (render_vulkan.h:87-91); sum it for
+    the aggregate counter.
+
+    The bounce loop runs as ``lax.fori_loop`` by default (the reference's
+    DYNAMIC_LOOP_BOUNCES mode) or statically unrolled when ``cfg.unroll``
+    (the self-#include unroll, pt_megakernel.glsl:390-415). The last bounce
+    is an epilogue doing only traverse + emitter/sky — NEE/BSDF work is cut
+    there (shade_base_material.glsl:56-57).
+    """
+    n = ro.x.shape[0]
+    num_bins = max(cfg.num_lights // max(cfg.light_bin_size, 1), 1)
+    # carry layout: 0 ro, 1 rd, 2 t_min, 3 illum, 4 throughput, 5 active,
+    # 6 prev_pdf, 7 bounce_count, 8 total_t, 9 rng_state, 10 rays
+    # [+ 11 pending NEE queue in wavefront mode]
+    _ACTIVE = 5
+    zero_n = jnp.zeros((n,), jnp.float32)
+    false_n = jnp.zeros((n,), bool)
+    # pending NEE queue (wavefront): only candidates that NEED a
+    # visibility ray are deferred — degenerate-segment (uncond) ones are
+    # applied at scatter time, and the traced flag is folded into the
+    # tmax sign-free encoding (tmax <= tmin means dead). 8 carry arrays.
+    empty_pend = (
+        Vec3(zero_n, zero_n + 1.0, zero_n),  # shadow dir (unit dummy)
+        zero_n,  # shadow t_min (candidate eps)
+        zero_n,  # shadow tmax (0 = dead/no candidate)
+        Vec3(zero_n, zero_n, zero_n),  # throughput-scaled contribution
+        false_n,  # traced: pending visibility ray for this lane
+    )
+
+    visit_hit, scatter_tail = _make_bounce_fns(ds, cfg, fp, t_max0)
 
     def bounce_body(i, carry):
         # live-lane compaction engages once lanes can be dead: from

@@ -664,6 +664,458 @@ def occluded_pallas3(
     return jax.lax.bitcast_convert_type(rowbits, jnp.int32) >= 0
 
 
+def leaf_masks_xla(rays: jnp.ndarray, aabbs: jnp.ndarray, block: int,
+                   groups: int = QUARTERS):
+    """Per-ray broad phase, computed in XLA: EXACT slab test of every
+    ray's own segment against every leaf AABB, OR-reduced to the kernel's
+    flush granularity (block // groups lanes) and bit-packed to the v3
+    mask-row format (bit qi of column l = group qi of the block flushes
+    leaf l).
+
+    Rationale (prof/prof_r5_density.py): the in-kernel broad phase tests
+    the GROUP'S union box (origin box x inverse-direction interval)
+    against each leaf — conservative interval arithmetic that multiplies
+    origin spread by direction spread. On real bounce queues the union
+    mask flushes several times more (leaf x group) pairs than the OR of
+    the per-ray exact tests; each flushed pair costs a full
+    (leaf_size, q) Moller-Trumbore, so mask looseness is frame time.
+    The per-ray test is ~25 fused elementwise ops over (N, Lpad) — VPU
+    work that XLA fuses into one pass, paid once per dispatch.
+
+    Exactness: a lane's MT result depends only on leaves whose boxes its
+    segment pierces; the per-ray slab test (same rounding-monotone
+    interval arithmetic as the kernels, degenerate directions clamped to
+    |d| >= 1e-20 exactly like block_bounds) covers every such leaf, and
+    the OR over the group can only ADD leaves for other lanes. Removing
+    never-pierced leaves cannot change any lane's winner (the _mt_leaf
+    merge is order-independent), so v4 == v3 == v2 bit-exact.
+
+    Returns (mask (nb, Lpad) i32, any_flag (nb,) f32 1.0/0.0).
+    """
+    n = rays.shape[1]
+    q = block // groups
+    g = n // q
+    nb = n // block
+    lpad = aabbs.shape[1]
+    tmin, tmax = rays[6], rays[7]
+    live = tmax > tmin
+    valid = (aabbs[0] <= aabbs[3])[None, :]  # padding rows excluded
+    tn = jnp.broadcast_to(tmin[:, None], (n, lpad))
+    tf = jnp.broadcast_to(tmax[:, None], (n, lpad))
+    for k in range(3):
+        d = rays[3 + k]
+        inv = (jnp.where(d >= 0.0, 1.0, -1.0)
+               / jnp.maximum(jnp.abs(d), 1e-20))[:, None]
+        o = rays[k][:, None]
+        t0 = (aabbs[k][None, :] - o) * inv
+        t1 = (aabbs[3 + k][None, :] - o) * inv
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    hit = (tn <= tf) & live[:, None] & valid
+    hitg = jnp.any(hit.reshape(g, q, lpad), axis=1)  # (g, lpad)
+    bits = hitg.reshape(nb, groups, lpad).astype(jnp.int32)
+    w = (jnp.int32(1) << jnp.arange(groups, dtype=jnp.int32))[None, :, None]
+    mask = jnp.sum(bits * w, axis=1)  # (nb, lpad)
+    any_flag = jnp.max(mask, axis=1) > 0
+    return mask, any_flag.astype(jnp.float32)
+
+
+def _kernel4(bounds_ref, mask_ref, tris_ref, rays_ref, out_ref,
+             tb_ref, row_ref, u_ref, v_ref,
+             tile_ref=None, sem_t=None,
+             *, num_leaves: int, block: int, shadow_from: int = -1,
+             leaf_size: int = LEAF, stream: bool = False,
+             groups: int = QUARTERS):
+    """v4 = v3's flush scans fed by the PRECOMPUTED per-ray mask row
+    (leaf_masks_xla) instead of the in-kernel union-box broad phase.
+    The mask arrives as a per-block (8, Lpad) SMEM window (row 0 holds
+    the packed bits; rows 1-7 are pad — Mosaic block shapes need
+    sublane-8 alignment) and the scalar scan reads it in place: v4 has
+    NO in-kernel broad phase and NO mask DMA. Scan/flush bodies match
+    _kernel3 exactly (kept separate so v3 stays A/B-able unmodified)."""
+    b = block
+    q = b // groups
+    pid = pl.program_id(0)
+    lpt = LEAF // leaf_size
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (leaf_size, 1), 0)
+
+    Q = groups
+    rox = rays_ref[0 * Q:1 * Q, :]
+    roy = rays_ref[1 * Q:2 * Q, :]
+    roz = rays_ref[2 * Q:3 * Q, :]
+    rdx = rays_ref[3 * Q:4 * Q, :]
+    rdy = rays_ref[4 * Q:5 * Q, :]
+    rdz = rays_ref[5 * Q:6 * Q, :]
+    tmin = rays_ref[6 * Q:7 * Q, :]
+    tmax = rays_ref[7 * Q:8 * Q, :]
+
+    tb_ref[:, :] = tmax
+    row_ref[:, :] = jnp.full((groups, q), -1, jnp.int32)
+    u_ref[:, :] = jnp.zeros((groups, q), jnp.float32)
+    v_ref[:, :] = jnp.zeros((groups, q), jnp.float32)
+
+    is_shadow = pid >= shadow_from if shadow_from >= 0 else None
+    any_live = bounds_ref[14, pid] > 0.5
+
+    def mt_quarter(tile, gid, qi):
+        sl = slice(qi, qi + 1)
+        t_best, best_row, best_u, best_v = _mt_leaf(
+            tile,
+            rox[sl, :], roy[sl, :], roz[sl, :],
+            rdx[sl, :], rdy[sl, :], rdz[sl, :],
+            tmin[sl, :], tmax[sl, :], sub_iota,
+            gid, tb_ref[sl, :], row_ref[sl, :],
+            u_ref[sl, :], v_ref[sl, :],
+            leaf_size=leaf_size,
+        )
+        tb_ref[sl, :] = t_best
+        row_ref[sl, :] = best_row
+        u_ref[sl, :] = best_u
+        v_ref[sl, :] = best_v
+
+    def mt_quarter_any(tile, gid, qi):
+        sl = slice(qi, qi + 1)
+        hit_any = _mt_leaf_any(
+            tile,
+            rox[sl, :], roy[sl, :], roz[sl, :],
+            rdx[sl, :], rdy[sl, :], rdz[sl, :],
+            tmin[sl, :],
+            jnp.minimum(tb_ref[sl, :], tmax[sl, :]),
+            leaf_id=gid, leaf_size=leaf_size,
+        )
+        row_ref[sl, :] = jnp.where(
+            hit_any, gid * leaf_size, row_ref[sl, :]
+        )
+
+    def scan_closest(_):
+        def body(leaf_id, carry):
+            m = mask_ref[0, leaf_id]
+
+            @pl.when(m > 0)
+            def _():
+                tile = tris_ref[pl.ds((leaf_id // lpt) * 16, 16), :]
+                for qi in range(groups):
+                    @pl.when((m >> qi) & 1 != 0)
+                    def _(qi=qi):
+                        mt_quarter(tile, leaf_id, qi)
+
+            return carry
+
+        jax.lax.fori_loop(0, num_leaves, body, 0, unroll=False)
+
+    def scan_shadow(_):
+        def cond(c):
+            return (c[0] < num_leaves) & (c[2] < b)
+
+        def body(c):
+            leaf_id, since, nhit = c
+            m = mask_ref[0, leaf_id]
+
+            @pl.when(m > 0)
+            def _():
+                tile = tris_ref[pl.ds((leaf_id // lpt) * 16, 16), :]
+                for qi in range(groups):
+                    @pl.when((m >> qi) & 1 != 0)
+                    def _(qi=qi):
+                        mt_quarter_any(tile, leaf_id, qi)
+
+            since = since + (m > 0).astype(jnp.int32)
+            refresh = since >= 16
+            nhit = jax.lax.cond(
+                refresh,
+                lambda: jnp.sum(
+                    ((row_ref[:, :] >= 0) | (tmax <= tmin)).astype(jnp.int32)
+                ),
+                lambda: nhit,
+            )
+            since = jnp.where(refresh, 0, since)
+            return (leaf_id + 1, since, nhit)
+
+        jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        )
+
+    def _issue(leaf_id, slot):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(leaf_id * 16, 16), :],
+            tile_ref.at[pl.ds(slot * 16, 16), :],
+            sem_t.at[slot],
+        ).start()
+
+    def _wait_tile(leaf_id, slot):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(leaf_id * 16, 16), :],
+            tile_ref.at[pl.ds(slot * 16, 16), :],
+            sem_t.at[slot],
+        ).wait()
+        return tile_ref[pl.ds(slot * 16, 16), :]
+
+    def _flush_stream(pending, slot, mp, any_hit):
+        tile = _wait_tile(pending, slot)
+        for qi in range(groups):
+            @pl.when((mp >> qi) & 1 != 0)
+            def _(qi=qi):
+                if any_hit:
+                    mt_quarter_any(tile, pending, qi)
+                else:
+                    mt_quarter(tile, pending, qi)
+
+    def scan_closest_stream(_):
+        def body(leaf_id, carry):
+            pending, mp, k = carry
+            m = mask_ref[0, leaf_id]
+            take = m > 0
+
+            @pl.when(take)
+            def _():
+                _issue(leaf_id, jax.lax.rem(k, 2))
+
+            @pl.when(take & (pending >= 0))
+            def _():
+                _flush_stream(pending, jax.lax.rem(k + 1, 2), mp, False)
+
+            pending = jnp.where(take, leaf_id, pending)
+            mp = jnp.where(take, m, mp)
+            return (pending, mp, k + take.astype(jnp.int32))
+
+        pending, mp, k = jax.lax.fori_loop(
+            0, num_leaves, body,
+            (jnp.int32(-1), jnp.int32(0), jnp.int32(0)), unroll=False,
+        )
+
+        @pl.when(pending >= 0)
+        def _():
+            _flush_stream(pending, jax.lax.rem(k + 1, 2), mp, False)
+
+    def scan_shadow_stream(_):
+        def cond(c):
+            return (c[0] < num_leaves) & (c[5] < b)
+
+        def body(c):
+            leaf_id, pending, mp, k, since, nhit = c
+            m = mask_ref[0, leaf_id]
+            take = m > 0
+
+            @pl.when(take)
+            def _():
+                _issue(leaf_id, jax.lax.rem(k, 2))
+
+            @pl.when(take & (pending >= 0))
+            def _():
+                _flush_stream(pending, jax.lax.rem(k + 1, 2), mp, True)
+
+            pending = jnp.where(take, leaf_id, pending)
+            mp = jnp.where(take, m, mp)
+            k = k + take.astype(jnp.int32)
+            since = since + take.astype(jnp.int32)
+            refresh = since >= 16
+            nhit = jax.lax.cond(
+                refresh,
+                lambda: jnp.sum(
+                    ((row_ref[:, :] >= 0) | (tmax <= tmin)).astype(jnp.int32)
+                ),
+                lambda: nhit,
+            )
+            since = jnp.where(refresh, 0, since)
+            return (leaf_id + 1, pending, mp, k, since, nhit)
+
+        leaf_id, pending, mp, k, since, nhit = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.int32(-1), jnp.int32(0), jnp.int32(0),
+             jnp.int32(0), jnp.int32(0)),
+        )
+
+        @pl.when(pending >= 0)
+        def _():
+            _flush_stream(pending, jax.lax.rem(k + 1, 2), mp, True)
+
+    if stream:
+        scan_closest = scan_closest_stream  # noqa: F811
+        scan_shadow = scan_shadow_stream  # noqa: F811
+
+    if shadow_from < 0:
+        pl.when(any_live)(lambda: scan_closest(0))
+    elif shadow_from == 0:
+        pl.when(any_live)(lambda: scan_shadow(0))
+    else:
+        @pl.when(any_live)
+        def _():
+            jax.lax.cond(is_shadow, scan_shadow, scan_closest, 0)
+
+    out_ref[:, :] = jnp.concatenate(
+        [
+            jnp.where(row_ref[:, :] < 0, jnp.float32(_INF), tb_ref[:, :]),
+            jax.lax.bitcast_convert_type(row_ref[:, :], jnp.float32),
+            u_ref[:, :],
+            v_ref[:, :],
+        ],
+        axis=0,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_leaves", "block", "shadow_from", "interpret", "leaf_size",
+        "stream", "groups",
+    ),
+)
+def _traverse4(aabbs, tri_tiles, rays, num_leaves: int, block: int,
+               shadow_from: int = -1, interpret: bool = False,
+               leaf_size: int = LEAF, stream: bool = False,
+               groups: int = QUARTERS):
+    if block % (groups * 128) != 0:
+        raise ValueError(
+            f"v4 pre-cull block must be a multiple of {groups * 128} "
+            f"(group rows ride 128-wide lanes), got {block}"
+        )
+    if stream and leaf_size != LEAF:
+        raise ValueError(
+            f"streamed v4 needs leaf_size == {LEAF} (one 8 KB HBM tile "
+            f"per leaf), got {leaf_size}"
+        )
+    n = rays.shape[1]
+    nb = n // block
+    if nb > MAX_BLOCKS:
+        outs = []
+        for s in range(0, nb, MAX_BLOCKS):
+            e = min(s + MAX_BLOCKS, nb)
+            if shadow_from < 0 or shadow_from - s >= e - s:
+                sf = -1
+            else:
+                sf = max(0, shadow_from - s)
+            outs.append(
+                _traverse4(
+                    aabbs, tri_tiles, rays[:, s * block:e * block],
+                    num_leaves=num_leaves, block=block, shadow_from=sf,
+                    interpret=interpret, leaf_size=leaf_size, stream=stream,
+                    groups=groups,
+                )
+            )
+        return jnp.concatenate(outs, axis=1)
+    rays = jax.lax.optimization_barrier(rays)
+    bounds = block_bounds(rays, block)
+    mask, any_flag = leaf_masks_xla(rays, aabbs, block, groups)
+    bounds = bounds.at[14].set(any_flag)
+    lpad = aabbs.shape[1]
+    # Mosaic SMEM windows need sublane-8-aligned block shapes: land the
+    # (nb, Lpad) mask as (nb*8, Lpad) with the row in sublane 0 per block
+    mask8 = jnp.pad(mask[:, None, :], ((0, 0), (0, 7), (0, 0))).reshape(
+        nb * 8, lpad
+    )
+    q = block // groups
+    rays_q = jnp.reshape(
+        jnp.transpose(
+            jnp.reshape(rays, (8, nb, groups, q)), (0, 2, 1, 3)
+        ),
+        (8 * groups, nb * q),
+    )
+    grid = (nb,)
+    kernel = functools.partial(
+        _kernel4, num_leaves=num_leaves, block=block,
+        shadow_from=shadow_from, leaf_size=leaf_size, stream=stream,
+        groups=groups,
+    )
+    scratch = [
+        pltpu.VMEM((groups, block // groups), jnp.float32),
+        pltpu.VMEM((groups, block // groups), jnp.int32),
+        pltpu.VMEM((groups, block // groups), jnp.float32),
+        pltpu.VMEM((groups, block // groups), jnp.float32),
+    ]
+    if stream:
+        scratch += [
+            pltpu.VMEM((2 * 16, LEAF), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        tiles_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        tiles_spec = pl.BlockSpec(
+            tri_tiles.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+    out_q = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                bounds.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((8, lpad), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            tiles_spec,
+            pl.BlockSpec((8 * groups, q), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (4 * groups, q), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=scratch,
+        out_shape=jax.ShapeDtypeStruct((4 * groups, nb * q), jnp.float32),
+        interpret=interpret,
+    )(bounds, mask8, tri_tiles, rays_q)
+    return jnp.reshape(
+        jnp.transpose(
+            jnp.reshape(out_q, (4, groups, nb, q)), (0, 2, 1, 3)
+        ),
+        (4, n),
+    )
+
+
+def closest_hit_pallas4(
+    bb: PallasBVH3Buffers, ro, rd, t_min=0.0, t_max=_INF,
+    block: int = DEFAULT_BLOCK, comps=None, map_tri: bool = True,
+    compact: bool = False, groups: int = QUARTERS,
+):
+    """v3 entry point with the per-ray XLA pre-cull (leaf_masks_xla)."""
+    from realtimepathtracingresearchframework_tpu.ops.traverse_pallas import (
+        _prep_rays,
+    )
+    from realtimepathtracingresearchframework_tpu.ops.traverse_pallas2 import (
+        _compact,
+        _uncompact,
+    )
+
+    rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=True)
+    if compact:
+        rays, inv = _compact(rays, bb.scene_lo, bb.scene_hi)
+    out = _traverse4(
+        bb.aabbs, bb.tri_tiles, rays, num_leaves=bb.num_leaves,
+        block=block, interpret=INTERPRET, leaf_size=bb.leaf_size,
+        stream=bool(getattr(bb, "stream", False)), groups=groups,
+    )
+    if compact:
+        out = _uncompact(out, inv)
+    return _out_to_hit(bb.bb, out, n, map_tri)
+
+
+def occluded_pallas4(
+    bb: PallasBVH3Buffers, ro, rd, t_min=0.0, t_max=_INF,
+    block: int = DEFAULT_BLOCK, comps=None, compact: bool = False,
+    groups: int = QUARTERS,
+):
+    from realtimepathtracingresearchframework_tpu.ops.traverse_pallas import (
+        _prep_rays,
+    )
+    from realtimepathtracingresearchframework_tpu.ops.traverse_pallas2 import (
+        _compact,
+        _uncompact,
+    )
+
+    rays, n = _prep_rays(ro, rd, t_min, t_max, block, comps=comps, wide=True)
+    if compact:
+        rays, inv = _compact(rays, bb.scene_lo, bb.scene_hi)
+    out = _traverse4(
+        bb.aabbs, bb.tri_tiles, rays, num_leaves=bb.num_leaves,
+        block=block, shadow_from=0, interpret=INTERPRET,
+        leaf_size=bb.leaf_size,
+        stream=bool(getattr(bb, "stream", False)), groups=groups,
+    )
+    if compact:
+        rowbits = _uncompact(out[1:2], inv)[0, :n]
+    else:
+        rowbits = out[1, :n]
+    return jax.lax.bitcast_convert_type(rowbits, jnp.int32) >= 0
+
+
 def closest_and_occluded_pallas3(
     bb: PallasBVH3Buffers,
     comps_c, t_min_c, t_max_c,

@@ -1057,6 +1057,8 @@ class Renderer:
             ) and not compact_lanes,
             compact_lanes=compact_lanes,
             kernel_v3=bool(getattr(self, "_use_pallas3", False)),
+            kernel_v4=bool(getattr(self, "_use_pallas3", False))
+            and os.environ.get("RPTR_KERNEL_V4", "1") != "0",
             stream_closest=self._stream_closest_strategy(),
         )
 

@@ -374,6 +374,16 @@ class IntegratorConfig(NamedTuple):
     # off. Implies the dynamic bounce loop (the body is traced once per
     # prefix size, not per bounce); ignored when a bounded primary
     # segment (t_max0) or debug counters are in play.
+    kernel_v4: bool = False  # route SORTED resident dispatches (bounce
+    # closest + bounce>=1 shadow) to the v4 kernel: v3's flush scans fed
+    # by an exact per-ray XLA pre-cull instead of the in-kernel group
+    # union-box broad phase (traverse_pallas3.leaf_masks_xla). On-chip,
+    # real village queues (prof/prof_r5_v4.py, 524K lanes, leaf 128):
+    # bounce-1 closest 238.5 -> 131.7 ms (blk1024 g8), bounce-2 closest
+    # 174.2 -> 178.5, shadow-2 163.3 -> 138.5 — the win tracks how loose
+    # the union mask is, so UNSORTED swizzle-coherent queues (primaries,
+    # bounce-0 shadow) stay on v3 where the union is already tight.
+    # Bit-exact vs v2/v3 (asserted on chip + interpret-mode tests).
 
 
 class FrameParams(NamedTuple):
@@ -509,6 +519,16 @@ def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
             # (tighter quarter masks); sorted bounce queues at 1024
             # (220.1 vs 263.2 ms — the sort already tightened the
             # quarters, the bigger block halves scan+launch overhead)
+            if (compact or presorted) and cfg.kernel_v4:
+                # sorted bounce queue: exact per-ray pre-cull (see
+                # IntegratorConfig.kernel_v4; groups=8 from the on-chip
+                # matrix — finer flush granularity pays once the mask
+                # is per-ray-exact)
+                return traverse_pallas3.closest_hit_pallas4(
+                    ds.bvh, None, None, t_min=t_min, t_max=t_max,
+                    comps=(*ro, *rd), map_tri=not cfg.row_attrs,
+                    compact=compact, block=1024, groups=8,
+                )
             return traverse_pallas3.closest_hit_pallas3(
                 ds.bvh, None, None, t_min=t_min, t_max=t_max,
                 comps=(*ro, *rd), map_tri=not cfg.row_attrs,
@@ -641,10 +661,17 @@ def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3, rd: Vec3,
                 # unsorted 40.3 ms vs v2 sorted 149.1, prof_r4_v3.py).
                 # bounce >= 1: sorted by OWN origins via sort_shadow
                 # (see the docstring; the round-5 frame fix).
-                blocked = traverse_pallas3.occluded_pallas3(
-                    ds.bvh, None, None, t_min=t_min, t_max=t_max,
-                    comps=(*ro, *rd), compact=sort_shadow,
-                )
+                if sort_shadow and cfg.kernel_v4:
+                    blocked = traverse_pallas3.occluded_pallas4(
+                        ds.bvh, None, None, t_min=t_min, t_max=t_max,
+                        comps=(*ro, *rd), compact=True,
+                        block=1024, groups=8,
+                    )
+                else:
+                    blocked = traverse_pallas3.occluded_pallas3(
+                        ds.bvh, None, None, t_min=t_min, t_max=t_max,
+                        comps=(*ro, *rd), compact=sort_shadow,
+                    )
             else:
                 blocked = traverse_pallas.occluded_pallas(
                     ds.bvh, None, None, t_min=t_min, t_max=t_max,
@@ -843,34 +870,37 @@ class NEECandidate(NamedTuple):
 
 def _permute_lanes(tree, perm):
     """Permute every (N,) leaf of a pytree along lanes with ONE packed
-    2-D gather: bitcast each leaf to f32, stack to (C, N), gather
+    2-D gather: bitcast each leaf to i32, stack to (C, N), gather
     [:, perm], unstack, bitcast back. Per the round-4 permutation
     re-measurement (prof/prof_r4_sortcost.py) a packed 2-D lane gather
     costs ~0.5 ms per row per 524K lanes while separate 1-D gathers cost
-    ~10 ms EACH — packing is what makes carry-level compaction pay."""
+    ~10 ms EACH — packing is what makes carry-level compaction pay.
+
+    The carrier is INT32, NOT f32: small integer values (ray counters,
+    RNG states, bounce counts) bitcast to f32 are denormals, and when
+    XLA fuses a genuine f32 producer into the same stack+gather the
+    fused kernel canonicalizes ALL rows and flushes those denormals to
+    zero (verified on chip — the flush is fusion-dependent, so an f32
+    carrier works or silently corrupts depending on what the neighbors
+    compile to). Integer lanes never canonicalize, and f32 bit patterns
+    ride an i32 bitcast losslessly in both directions."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     cols = []
     for a in leaves:
-        if a.dtype == jnp.float32:
+        if a.dtype == jnp.int32:
             cols.append(a)
         elif a.dtype == jnp.bool_:
-            cols.append(
-                jax.lax.bitcast_convert_type(
-                    a.astype(jnp.uint32), jnp.float32
-                )
-            )
+            cols.append(a.astype(jnp.int32))
         else:
-            cols.append(jax.lax.bitcast_convert_type(a, jnp.float32))
+            cols.append(jax.lax.bitcast_convert_type(a, jnp.int32))
     packed = jnp.stack(cols)[:, perm]
     outs = []
     for i, a in enumerate(leaves):
         row = packed[i]
-        if a.dtype == jnp.float32:
+        if a.dtype == jnp.int32:
             outs.append(row)
         elif a.dtype == jnp.bool_:
-            outs.append(
-                jax.lax.bitcast_convert_type(row, jnp.uint32) != 0
-            )
+            outs.append(row != 0)
         else:
             outs.append(jax.lax.bitcast_convert_type(row, a.dtype))
     return jax.tree_util.tree_unflatten(treedef, outs)

@@ -662,8 +662,17 @@ def _compact(rays, scene_lo=None, scene_hi=None):
 
 def _uncompact(out, inv):
     """Gather a sorted-order result back to original lane order:
-    out_orig[:, i] = out[:, inv[i]] (see _compact)."""
-    return out[:, inv]
+    out_orig[:, i] = out[:, inv[i]] (see _compact).
+
+    The gather runs on an i32 bitcast view: row 1 of a kernel result
+    holds bitcast int32 row indices whose f32 bit patterns are
+    denormals, and a fused f32 gather canonicalizes (flushes) them to
+    zero when XLA fuses an f32-converting producer into the same kernel
+    (verified on chip; see integrator._permute_lanes). Integer gathers
+    never canonicalize; genuine f32 rows (t, u, v) ride the double
+    bitcast losslessly."""
+    bits = jax.lax.bitcast_convert_type(out, jnp.int32)[:, inv]
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
 def _out_to_hit(bb: PallasBVH2Buffers, out, n, map_tri: bool):

@@ -28,9 +28,10 @@ Between bounces the host reads back ONE scalar (the live count) and
 picks the next ladder width: the dispatch width tracks the EXACT live
 population (quantized to the ladder), not a power-of-two prefix of a
 chunk — at village bounce 1 that is 1.25M lanes instead of 4 x 524K.
-Queues stay packed in ONE (rows, N) f32 buffer across program
+Queues stay packed in ONE (rows, N) i32 buffer across program
 boundaries (every extra relay buffer costs ~1.3 ms per dispatch); rows
-are bitcast views of the trace_paths carry pytree.
+are bitcast views of the trace_paths carry pytree (i32, not f32 —
+see _pack: the TPU flushes f32 denormals in fused data movement).
 
 Exactness: every per-lane operation in visit/scatter is elementwise
 over lanes (RNG state, BSDF, NEE, RR all ride the carry), traversal is
@@ -67,18 +68,23 @@ LADDER_QUANTUM = 262144
 
 
 def _pack(tree):
-    """Pytree of (N,) arrays -> ONE (C, N) f32 buffer (bitcast rows)."""
+    """Pytree of (N,) arrays -> ONE (C, N) i32 buffer (bitcast rows).
+
+    The carrier is INT32, not f32: small int32/uint32/bool values bitcast
+    to f32 are denormals, and the TPU flushes f32 denormals to zero even
+    through pure data movement (stack + gather — verified on chip), which
+    silently destroys ray counters, RNG state, lane ids and live flags.
+    Integer lanes have no denormal semantics, and f32 bits ride an i32
+    bitcast losslessly in both directions."""
     leaves = jax.tree_util.tree_leaves(tree)
     rows = []
     for a in leaves:
-        if a.dtype == jnp.float32:
+        if a.dtype == jnp.int32:
             rows.append(a)
         elif a.dtype == jnp.bool_:
-            rows.append(
-                jax.lax.bitcast_convert_type(a.astype(jnp.uint32), jnp.float32)
-            )
+            rows.append(a.astype(jnp.int32))
         else:
-            rows.append(jax.lax.bitcast_convert_type(a, jnp.float32))
+            rows.append(jax.lax.bitcast_convert_type(a, jnp.int32))
     return jnp.stack(rows)
 
 
@@ -88,12 +94,10 @@ def _unpack(packed, template):
     outs = []
     for i, dt in enumerate(dtypes):
         row = packed[i]
-        if dt == jnp.float32:
+        if dt == jnp.int32:
             outs.append(row)
         elif dt == jnp.bool_:
-            outs.append(
-                jax.lax.bitcast_convert_type(row, jnp.uint32).astype(bool)
-            )
+            outs.append(row.astype(bool))
         else:
             outs.append(jax.lax.bitcast_convert_type(row, dt))
     return jax.tree_util.tree_unflatten(treedef, outs)

@@ -758,3 +758,60 @@ def test_flat_cull_v3_merged_and_compacted(rng):
         assert np.array_equal(np.asarray(hc.tri), np.asarray(hp.tri))
     finally:
         tp3.INTERPRET = False
+
+
+@pytest.mark.parametrize("kind", ["coherent", "incoherent"])
+@pytest.mark.parametrize("groups", [4, 8])
+def test_precull_v4_matches_v2(rng, kind, groups):
+    """The v4 kernel (exact per-ray XLA pre-cull feeding v3's flush
+    scans) must be BIT-identical to the v2 tree walk: the per-ray slab
+    test covers every leaf any lane's segment pierces, the group OR only
+    adds leaves, and the _mt_leaf merge is order-independent."""
+    from realtimepathtracingresearchframework_tpu.ops import (
+        traverse_pallas3 as tp3,
+    )
+
+    tp3.INTERPRET = True
+    try:
+        v0, e1, e2 = _terrain(24)
+        tb = bvh_mod.build_threaded_bvh(v0, e1, e2, leaf_size=128)
+        bb2 = tp2.pack_for_pallas2(tb)
+        bb3 = tp3.PallasBVH3Buffers(bb2)
+        ro, rd = _rays(2048, rng, kind)
+        ro_d, rd_d = jnp.asarray(ro), jnp.asarray(rd)
+
+        h4 = tp3.closest_hit_pallas4(
+            bb3, ro_d, rd_d, block=128 * groups, groups=groups
+        )
+        h2 = tp2.closest_hit_pallas2(bb2, ro_d, rd_d)
+        assert np.array_equal(np.asarray(h4.t), np.asarray(h2.t))
+        assert np.array_equal(np.asarray(h4.tri), np.asarray(h2.tri))
+        assert np.array_equal(np.asarray(h4.u), np.asarray(h2.u))
+
+        t_ref = np.asarray(h2.t)
+        tmax = np.where(
+            np.isfinite(t_ref) & (t_ref < 1e30), t_ref * 0.999, 8.0
+        )
+        o4 = np.asarray(
+            tp3.occluded_pallas4(
+                bb3, ro_d, rd_d, t_max=jnp.asarray(tmax),
+                block=128 * groups, groups=groups,
+            )
+        )
+        o2 = np.asarray(
+            tp2.occluded_pallas2(bb2, ro_d, rd_d, t_max=jnp.asarray(tmax))
+        )
+        assert np.array_equal(o4, o2)
+
+        # dead lanes + the coherence sort stay bit-invisible
+        alive = rng.uniform(size=ro.shape[0]) < 0.4
+        tmax_d = jnp.asarray(np.where(alive, 2.0e32, 0.0).astype(np.float32))
+        hc = tp3.closest_hit_pallas4(
+            bb3, ro_d, rd_d, t_max=tmax_d, compact=True,
+            block=128 * groups, groups=groups,
+        )
+        hp = tp2.closest_hit_pallas2(bb2, ro_d, rd_d, t_max=tmax_d)
+        assert np.array_equal(np.asarray(hc.t), np.asarray(hp.t))
+        assert np.array_equal(np.asarray(hc.tri), np.asarray(hp.tri))
+    finally:
+        tp3.INTERPRET = False

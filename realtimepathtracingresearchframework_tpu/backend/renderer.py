@@ -622,6 +622,17 @@ class Renderer:
                 self._blas_pallas_static, mesh_ids, self._blas.tri_base,
                 nodes, row_inst, tables,
             )
+        if getattr(self, "_use_tlas_stream", False):
+            from realtimepathtracingresearchframework_tpu.ops import (
+                traverse_tlas_stream,
+            )
+
+            self._tlas_stream_frame = (
+                traverse_tlas_stream.pack_tlas_stream_frame(
+                    self._tlas_stream_static, mesh_ids,
+                    transforms, self._blas.tri_base,
+                )
+            )
         return tlas_mod.TwoLevelBuffers(
             tlas_nodes=jnp.asarray(nodes),
             tlas_row_inst=jnp.asarray(row_inst),
@@ -645,6 +656,9 @@ class Renderer:
             self._use_tlas_pallas = False
             self._blas_pallas_static = None
             self._tlas_pallas = None
+            self._use_tlas_stream = False
+            self._tlas_stream_static = None
+            self._tlas_stream_frame = None
         with ProfilingScope("flatten scene"):
             flat = scene.flatten_world(
                 frame=frame, camera_pos=camera_pos,
@@ -685,18 +699,24 @@ class Renderer:
                     traverse_tlas,
                 )
 
-                kernel_ok = (
+                pallas_ok = (
                     traverse_tlas.HAVE_PALLAS
                     and (
                         self.device.platform != "cpu"
                         or os.environ.get("RPTR_FORCE_TLAS_PALLAS")
                     )
                     and not os.environ.get("RPTR_FORCE_XLA_TRAVERSAL")
+                )
+                kernel_ok = (
+                    pallas_ok
                     and len(mesh_ids) <= traverse_tlas.MAX_INSTANCES
                 )
                 self._use_tlas_pallas = False
                 self._blas_pallas_static = None
                 self._tlas_pallas = None
+                self._use_tlas_stream = False
+                self._tlas_stream_static = None
+                self._tlas_stream_frame = None
                 if kernel_ok:
                     # gate on the ACTUAL packed node count (BLAS nodes +
                     # ~2 TLAS nodes per instance), not a builder formula
@@ -707,6 +727,27 @@ class Renderer:
                     if n_nodes <= traverse_tlas.MAX_TOTAL_NODES:
                         self._use_tlas_pallas = True
                         self._blas_pallas_static = static
+                if pallas_ok and not self._use_tlas_pallas:
+                    # past the resident kernel's SMEM caps: the streamed
+                    # two-level kernel (BLAS chunks DMA'd from HBM) — the
+                    # XLA walk is only reachable when even the entry
+                    # table outgrows SMEM (ops/traverse_tlas_stream.py)
+                    from realtimepathtracingresearchframework_tpu.ops import (
+                        traverse_tlas_stream,
+                    )
+
+                    st = traverse_tlas_stream.pack_tlas_stream_static(
+                        mesh_tris
+                    )
+                    chunks_per_mesh = (
+                        st.mesh_chunk_start[1:] - st.mesh_chunk_start[:-1]
+                    )
+                    n_entries = int(
+                        chunks_per_mesh[np.asarray(mesh_ids)].sum()
+                    )
+                    if n_entries <= traverse_tlas_stream.MAX_ENTRIES:
+                        self._use_tlas_stream = True
+                        self._tlas_stream_static = st
             self.timers.add(
                 ProfilingMarker.BUILD_BLAS, (time.perf_counter() - t0) * 1e3
             )
@@ -980,6 +1021,10 @@ class Renderer:
                 self._tlas_pallas
                 if getattr(self, "_use_tlas_pallas", False) else None
             ),
+            tlas_stream=(
+                (self._tlas_stream_static, self._tlas_stream_frame)
+                if getattr(self, "_use_tlas_stream", False) else None
+            ),
         )
         if self._multi:
             # replicate the scene into every device's HBM (SURVEY §5.8:
@@ -1043,6 +1088,7 @@ class Renderer:
             alpha_test=bool(getattr(self, "_has_alpha", False)),
             two_level=bool(getattr(self, "_use_two_level", False)),
             tlas_pallas=bool(getattr(self, "_use_tlas_pallas", False)),
+            tlas_stream=bool(getattr(self, "_use_tlas_stream", False)),
             row_attrs=bool(self._use_pallas),
             streamed=bool(getattr(self, "_use_streamed", False)),
             enable_dof=bool(self.options.enable_raytraced_dof)
@@ -1808,12 +1854,17 @@ class Renderer:
             self.timers.add(
                 ProfilingMarker.UPDATE_TLAS, (time.perf_counter() - t0) * 1e3
             )
+            ts_pair = (
+                (self._tlas_stream_static, self._tlas_stream_frame)
+                if getattr(self, "_use_tlas_stream", False) else None
+            )
             self.device_scene = self.device_scene._replace(
                 tlas=self._tlas_buffers,
                 tlas_pallas=(
                     self._tlas_pallas
                     if getattr(self, "_use_tlas_pallas", False) else None
                 ),
+                tlas_stream=ts_pair,
             )
             if self._multi:
                 # refresh ONLY the TLAS side of each chip's replica —
@@ -1826,6 +1877,10 @@ class Renderer:
                             jax.device_put(self._tlas_pallas, d)
                             if getattr(self, "_use_tlas_pallas", False)
                             else None
+                        ),
+                        tlas_stream=(
+                            jax.device_put(ts_pair, d)
+                            if ts_pair is not None else None
                         ),
                     )
                     for ds, d in zip(self._device_scenes, self.devices)

@@ -135,6 +135,9 @@ class DeviceScene(NamedTuple):
     attr_packed: object = None  # (T, ATTR_W) f32 fused per-tri attribute rows
     mat_packed: object = None  # (M, MAT_W) f32 fused material rows
     tlas_pallas: object = None  # TlasPallasBuffers when cfg.tlas_pallas
+    tlas_stream: object = None  # (TlasStreamStatic, TlasStreamFrame) when
+    # cfg.tlas_stream (ops/traverse_tlas_stream.py): instanced scenes past
+    # the resident kernel's SMEM caps
 
 
 # ---------------------------------------------------------------------------
@@ -313,6 +316,9 @@ class IntegratorConfig(NamedTuple):
     two_level: bool = False  # BLAS/TLAS instanced traversal (ops/tlas.py)
     tlas_pallas: bool = False  # Pallas two-level kernel
     # (ops/traverse_tlas.py) instead of the XLA nested walk
+    tlas_stream: bool = False  # streamed two-level kernel
+    # (ops/traverse_tlas_stream.py): BLAS chunks DMA'd from HBM — no
+    # instance/node caps, engages when the resident kernel doesn't fit
     row_attrs: bool = False  # attribute tables are BVH-row-ordered (pallas)
     streamed: bool = False  # HBM-streamed Pallas traversal (big scenes,
     # ops/traverse_stream.py); mutually exclusive with use_pallas
@@ -484,6 +490,16 @@ def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
                 comps=(*ro, *rd),
                 ordered=cfg.stream_closest == "ordered",
             )
+        if cfg.tlas_stream:
+            from realtimepathtracingresearchframework_tpu.ops import (
+                traverse_tlas_stream,
+            )
+
+            static, frame = ds.tlas_stream
+            return traverse_tlas_stream.closest_hit_tlas_stream(
+                static, frame, None, None, t_min=t_min, t_max=t_max,
+                comps=(*ro, *rd), sort=compact and not presorted,
+            )
         return tlas_mod.closest_hit_two_level(
             ds.tlas, v3.to_array(ro), v3.to_array(rd),
             t_min=t_min, t_max=t_max,
@@ -632,6 +648,16 @@ def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3, rd: Vec3,
                 blocked = traverse_tlas.occluded_tlas_pallas(
                     ds.tlas_pallas, None, None, t_min=t_min, t_max=t_max,
                     comps=(*ro, *rd),
+                )
+            elif cfg.tlas_stream:
+                from realtimepathtracingresearchframework_tpu.ops import (
+                    traverse_tlas_stream,
+                )
+
+                ts_static, ts_frame = ds.tlas_stream
+                blocked = traverse_tlas_stream.occluded_tlas_stream(
+                    ts_static, ts_frame, None, None, t_min=t_min,
+                    t_max=t_max, comps=(*ro, *rd), sort=sort_shadow,
                 )
             else:
                 blocked = tlas_mod.occluded_two_level(

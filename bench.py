@@ -112,6 +112,29 @@ def main() -> int:
             ),
         )
 
+    do_instanced = os.environ.get("BENCH_INSTANCED", "1") != "0"
+    if do_instanced:
+        # instanced ANIMATED row (VERDICT r4 #4): 600 spinning instances
+        # (> the resident TLAS kernel's 512-instance cap, so this runs
+        # the streamed two-level kernel) with a per-frame TLAS refit
+        isc = SceneConfig(sun_dir=(0.4, 0.8, 0.25), turbidity=3.0)
+        ri = Renderer()
+        ri.options = ri.options.replace(use_tlas=True)
+        ri.initialize(512, 384)
+        ri.set_scene(
+            Scene.from_vkr_scene(procedural.instanced_field(num_inst=600)),
+            scene_config=isc,
+        )
+        rows["instanced"] = (
+            ri,
+            FrameConfig(
+                camera=OrientedCamera.look_at([0, 14.0, 30.0], [0, 0, 0],
+                                              fovy=55),
+                params=RenderParams(batch_spp=1, max_path_depth=3),
+                scene_config=isc,
+            ),
+        )
+
     if do_terrain:
         tsc = SceneConfig(sun_dir=(0.4, 0.7, 0.2), turbidity=3.0)
         rt = Renderer()
@@ -217,6 +240,39 @@ def main() -> int:
             result["village_error"] = str(e)[:200]
     elif "village" in errors:
         result["village_error"] = errors["village"]
+
+    if "instanced" in rows and "instanced" not in errors:
+        try:
+            ir, icc = rows["instanced"]
+            # per-frame TLAS refit (animated transforms): the streamed
+            # two-level path updates the top tree + entry table as call
+            # operands, zero retrace (render_vulkan.cpp:1219-1366)
+            nfr = 8
+            rays = []
+            t0 = time.perf_counter()
+            for f in range(nfr):
+                ir.set_animation_frame((f + 1) % 16, icc.scene_config)
+                ir.render(icc)
+                rays.append(ir._last_rays)
+            hard_sync(ir)
+            total_s = time.perf_counter() - t0
+            total_rays = 0
+            for fr in rays:
+                fr = fr if isinstance(fr, list) else [fr]
+                total_rays += sum(int(x) for x in fr)
+            result["instanced_insts"] = len(ir.scene.instances)
+            result["instanced_tris"] = int(ir.scene.total_tris)
+            result["instanced_ms"] = round(total_s / nfr * 1000.0, 1)
+            result["instanced_mrays"] = round(total_rays / total_s / 1e6, 3)
+            result["instanced_traversal"] = (
+                "tlas_stream" if getattr(ir, "_use_tlas_stream", False)
+                else ("tlas_pallas" if getattr(ir, "_use_tlas_pallas", False)
+                      else "xla")
+            )
+        except Exception as e:
+            result["instanced_error"] = str(e)[:200]
+    elif "instanced" in errors:
+        result["instanced_error"] = errors["instanced"]
 
     if "terrain" in rows and "terrain" not in errors:
         try:

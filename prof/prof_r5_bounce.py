@@ -100,12 +100,19 @@ def main():
     # is the top (sky-heavy, cheap) band and chunks 2-3 the ground —
     # measuring chunk 0 alone understates the frame ~16x (first run of
     # this script did exactly that)
+    import os
+
     variants = [
         ("default (lanes ON)", base_cfg),
         ("lanes ON, NO textures", base_cfg._replace(has_textures=False)),
+        ("lanes OFF (static loop)",
+         base_cfg._replace(compact_lanes=False, compact=True)),
     ]
+    depths = tuple(
+        int(d) for d in os.environ.get("RPTR_PROF_DEPTHS", "1,2").split(",")
+    )
     for name, cfg in variants:
-        for depth in (1, 2, 3, 9):
+        for depth in depths:
             f = run(cfg, depth)
             tot = 0.0
             per = []

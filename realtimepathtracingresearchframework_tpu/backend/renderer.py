@@ -564,11 +564,15 @@ class Renderer:
                     put = (lambda x: jax.device_put(x, dev)) if self._multi \
                         else (lambda x: x)
                     zero = put(jnp.zeros((chunk,), jnp.float32))
+                    extra = self._tlas_dyn_kwargs(
+                        cfg,
+                        self._device_scenes[di] if self._multi else None,
+                    )
                     out = fn(
                         put(fp), put(view),
                         (zero, zero + 0, zero + 0, zero + 0),
                         put(px_c[0]), put(py_c[0]), put(valid_c[0]),
-                        put(jnp.uint32(0)), put(jnp.uint32(0)),
+                        put(jnp.uint32(0)), put(jnp.uint32(0)), **extra,
                     )
                     jax.block_until_ready(out)
             except Exception as e:  # warmup is best-effort
@@ -1057,6 +1061,20 @@ class Renderer:
             )
         return v
 
+    def _tlas_dyn_kwargs(self, cfg, ds=None):
+        """Per-call dynamic operands for streamed-TLAS pass programs
+        (make_pass_fn's ``dyn``): the frame's top tree/entry table and
+        the per-instance shading transforms — everything a TLAS refit
+        changes. Empty for every other configuration."""
+        if not getattr(cfg, "tlas_stream", False):
+            return {}
+        ds = ds or self.device_scene
+        tl = ds.tlas
+        return dict(
+            dyn=(ds.tlas_stream[1], tl.inst_linear, tl.inst_inv_t,
+                 tl.inst_scale, tl.inst_sign)
+        )
+
     def _integrator_config(self, params: RenderParams) -> IntegratorConfig:
         # carry-level compaction: default ON for the same big resident
         # scenes that route to the v3 kernel (where per-bounce shading
@@ -1320,6 +1338,10 @@ class Renderer:
                     jax.device_put(jnp.uint32(base_k), d)
                     for d in self.devices
                 ]
+                extra_dev = [
+                    self._tlas_dyn_kwargs(cfg, self._device_scenes[di])
+                    for di in range(ndev)
+                ]
                 for s in range(spp):
                     for c in range(nc):
                         di = c % ndev
@@ -1327,17 +1349,19 @@ class Renderer:
                             fp_dev[di], view_dev[di], self._acc_chunks[c],
                             px_c[c], py_c[c], valid_c[c],
                             self._u32_const(s, di), blend_dev[di],
+                            **extra_dev[di],
                         )
                         rays_l.append(nr)
             else:
                 blend_base = jnp.uint32(base_k)
+                extra = self._tlas_dyn_kwargs(cfg)
                 for s in range(spp):
                     s_dev = self._u32_const(s)
                     for c in range(nc):
                         self._acc_chunks[c], nr = pass_fn(
                             fp, view, self._acc_chunks[c],
                             px_c[c], py_c[c], valid_c[c],
-                            s_dev, blend_base,
+                            s_dev, blend_base, **extra,
                         )
                         rays_l.append(nr)
             self._fb_planes = None  # display resolve deferred to readback
@@ -1885,6 +1909,18 @@ class Renderer:
                     )
                     for ds, d in zip(self._device_scenes, self.devices)
                 ]
+            if getattr(self, "_use_tlas_stream", False):
+                # streamed-TLAS scenes pass every refit-dependent array
+                # as a call operand (make_pass_fn's ``dyn``), so the
+                # compiled pass programs stay valid — per-frame TLAS
+                # updates at zero retrace cost, like the reference's
+                # TLAS update queue (render_vulkan.cpp:1219-1366).
+                # Entry/top-tree shapes are frame-invariant (same
+                # instances x chunks), so the jit signature holds.
+                self._scene_frame = frame
+                self._render_fns.clear()  # slow path still captures
+                self.reset_accumulation()
+                return
             self._device_scene_revision += 1
             self._scene_frame = frame
             self._pass_fns.clear()

@@ -378,3 +378,144 @@ def village(grid: int = 200, extent: float = 24.0, seed: int = 13) -> vkr.VkrSce
     ]
     vs = identity_scene([ground, buildings, light_mesh], materials)
     return vs
+
+
+def instanced_field(num_inst: int = 600, frames: int = 16,
+                    extent: float = 30.0, seed: int = 5) -> vkr.VkrScene:
+    """Instanced ANIMATED benchmark scene: ``num_inst`` transformed
+    copies of three unique meshes (rock / tree / tower) spinning over a
+    ground plane, with per-frame animated transforms driving the TLAS
+    refit path (default_update_tlas, render_vulkan.cpp:1219-1366).
+    Sized past the resident two-level kernel's caps (instances > 512)
+    so it exercises the streamed TLAS kernel
+    (ops/traverse_tlas_stream.py) end-to-end."""
+    rng = np.random.default_rng(seed)
+
+    # rock: displaced lat-long sphere (~2k tris)
+    def sphere_tris(nu, nv, bump):
+        u = np.linspace(0, 2 * np.pi, nu + 1)
+        v = np.linspace(1e-3, np.pi - 1e-3, nv + 1)
+        uu, vv = np.meshgrid(u, v, indexing="ij")
+        r = 1.0 + bump * _value_noise_heights(max(nu, nv) + 1, 1.0, seed)[
+            : nu + 1, : nv + 1
+        ]
+        p = np.stack(
+            [
+                r * np.sin(vv) * np.cos(uu),
+                r * np.cos(vv),
+                r * np.sin(vv) * np.sin(uu),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        p00, p10 = p[:-1, :-1], p[1:, :-1]
+        p01, p11 = p[:-1, 1:], p[1:, 1:]
+        ta = np.stack([p00, p10, p11], axis=2)
+        tb = np.stack([p00, p11, p01], axis=2)
+        return np.concatenate([ta, tb], axis=2).reshape(-1, 3, 3)
+
+    rock = make_mesh("rock", sphere_tris(32, 32, 0.35))
+
+    # tree: cone canopy + trunk quads (~1k tris)
+    def cone_tris(nu, rings, r0, y0, y1):
+        u = np.linspace(0, 2 * np.pi, nu + 1)
+        y = np.linspace(y0, y1, rings + 1)
+        uu, yy = np.meshgrid(u, y, indexing="ij")
+        rr = r0 * (y1 - yy) / (y1 - y0)
+        p = np.stack(
+            [rr * np.cos(uu), yy, rr * np.sin(uu)], axis=-1
+        ).astype(np.float32)
+        p00, p10 = p[:-1, :-1], p[1:, :-1]
+        p01, p11 = p[:-1, 1:], p[1:, 1:]
+        ta = np.stack([p00, p10, p11], axis=2)
+        tb = np.stack([p00, p11, p01], axis=2)
+        return np.concatenate([ta, tb], axis=2).reshape(-1, 3, 3)
+
+    tree_tris = np.concatenate(
+        [
+            cone_tris(24, 10, 0.8, 0.6, 2.6),
+            cone_tris(8, 4, 0.15, 0.0, 0.7),
+        ]
+    )
+    tree = make_mesh("tree", tree_tris, material_base=1)
+
+    # tower: stacked shrinking boxes (~120 tris)
+    def box_quads(x0, y0, z0, x1, y1, z1):
+        return np.concatenate(
+            [
+                _quad([x0, y0, z0], [x1, y0, z0], [x1, y1, z0], [x0, y1, z0]),
+                _quad([x1, y0, z1], [x0, y0, z1], [x0, y1, z1], [x1, y1, z1]),
+                _quad([x0, y0, z1], [x0, y0, z0], [x0, y1, z0], [x0, y1, z1]),
+                _quad([x1, y0, z0], [x1, y0, z1], [x1, y1, z1], [x1, y1, z0]),
+                _quad([x0, y1, z0], [x1, y1, z0], [x1, y1, z1], [x0, y1, z1]),
+            ]
+        )
+
+    tower_tris = np.concatenate(
+        [
+            box_quads(-s, 1.6 * i, -s, s, 1.6 * (i + 1), s)
+            for i, s in enumerate((0.8, 0.6, 0.4))
+        ]
+    )
+    tower = make_mesh("tower", tower_tris, material_base=2)
+
+    ground = make_mesh(
+        "ground",
+        _quad(
+            [-extent, 0, -extent], [extent, 0, -extent],
+            [extent, 0, extent], [-extent, 0, extent],
+        ),
+        material_base=3,
+    )
+
+    meshes = [rock, tree, tower, ground]
+    base = cornell_box().materials
+    materials = [base[0], base[1], base[2], base[0]]
+
+    # static transform 0: ground identity. Animated 1..num_inst: spin +
+    # bob per frame (quantized transform table layout: statics first,
+    # then frames x animated blocks — vkr.c:199-209)
+    instances = [
+        vkr.VkrInstance(name="ground", mesh_id=3, transform_index=0)
+    ]
+    centers = rng.uniform(-extent * 0.8, extent * 0.8, (num_inst, 2))
+    scales = rng.uniform(0.5, 1.4, num_inst)
+    phases = rng.uniform(0, 2 * np.pi, num_inst)
+    rates = rng.uniform(0.5, 2.0, num_inst) * (2 * np.pi / frames)
+    mesh_pick = rng.integers(0, 3, num_inst)
+    for i in range(num_inst):
+        instances.append(
+            vkr.VkrInstance(
+                name=f"inst{i}", mesh_id=int(mesh_pick[i]),
+                transform_index=1 + i,
+            )
+        )
+
+    xf_static = np.zeros((1, 3, 4), np.float32)
+    xf_static[0, :, :3] = np.eye(3)
+    frames_xf = []
+    for f in range(frames):
+        a = phases + rates * f
+        ca, sa = np.cos(a), np.sin(a)
+        xf = np.zeros((num_inst, 3, 4), np.float32)
+        xf[:, 0, 0] = ca * scales
+        xf[:, 0, 2] = sa * scales
+        xf[:, 1, 1] = scales
+        xf[:, 2, 0] = -sa * scales
+        xf[:, 2, 2] = ca * scales
+        xf[:, 0, 3] = centers[:, 0]
+        xf[:, 1, 3] = 0.15 + 0.1 * (1 + np.sin(a))
+        xf[:, 2, 3] = centers[:, 1]
+        frames_xf.append(xf)
+    all_xf = np.concatenate([xf_static] + frames_xf, axis=0)
+
+    return vkr.VkrScene(
+        materials=materials,
+        meshes=meshes,
+        instances=instances,
+        lod_groups=[vkr.VkrLodGroup()],
+        num_frames=frames,
+        num_static_transforms=1,
+        num_animated_transforms=num_inst,
+        animation_step=1.0 / 24.0,
+        transforms_q=quantize_transforms(all_xf),
+    )

@@ -2053,8 +2053,34 @@ def make_pass_fn(ds: DeviceScene, cfg: IntegratorConfig, width: int, height: int
       renderer keys its cache on the scene revision)."""
     dims = jnp.array([width, height], jnp.float32)
 
+    # streamed-TLAS scenes: the animation-dependent arrays (top tree +
+    # entry table + per-instance shading transforms) ride as CALL
+    # ARGUMENTS so per-frame TLAS refits never retrace the program —
+    # the reference's zero-rebuild TLAS update (render_vulkan.cpp:
+    # 1219-1366). Only the big layout-sensitive gather tables (tiles,
+    # nodes, attr/mat tables) stay baked constants (the measured 3.2x
+    # layout win that motivated scene capture applies to those).
+    dyn_tlas = bool(cfg.tlas_stream)
+    if dyn_tlas:
+        ts_static = ds.tlas_stream[0]
+        ds = ds._replace(tlas_stream=None)
+
     @partial(jax.jit, donate_argnames=("acc",))
-    def pass_fn(fp, view, acc, px, py, valid, s, blend_base):
+    def pass_fn(fp, view, acc, px, py, valid, s, blend_base, dyn=None):
+        if dyn_tlas:
+            ts_frame, lin, invt, scl, sgn = dyn
+            dsl = ds._replace(
+                tlas_stream=(ts_static, ts_frame),
+                tlas=ds.tlas._replace(
+                    inst_linear=lin, inst_inv_t=invt, inst_scale=scl,
+                    inst_sign=sgn,
+                ),
+            )
+        else:
+            dsl = ds
+        return _pass_body(dsl, fp, view, acc, px, py, valid, s, blend_base)
+
+    def _pass_body(ds, fp, view, acc, px, py, valid, s, blend_base):
         """One sample batch over one chunk, accumulated IN PLACE.
 
         ``acc`` is a 4-tuple of (chunk,) channel buffers (SoA — a packed

@@ -140,9 +140,16 @@ def build_programs(ds, cfg, width: int, height: int) -> WavefrontPrograms:
     depth = int(cfg.max_path_depth)
     blo, bhi = intg._scene_bounds_of(ds)
 
+    # sub-quantum rungs carry the RR tail: by bounce 2 the village frame
+    # is under 40K live lanes, and a 262144-wide program costs ~60 ms of
+    # full-width shading regardless (prof/prof_r5_wfdecomp.py) — the
+    # pow-2 rungs below the quantum cut the tail bounces ~4-8x
     ladder = tuple(
-        w for w in range(LADDER_QUANTUM, n_total + 1, LADDER_QUANTUM)
-    ) or (n_total,)
+        w for w in (32768, 65536, 131072) if w < min(LADDER_QUANTUM, n_total)
+    ) + (
+        tuple(w for w in range(LADDER_QUANTUM, n_total + 1, LADDER_QUANTUM))
+        or (n_total,)
+    )
 
     cfgb = cfg._replace(compact=False, compact_lanes=False, unroll=False)
 
@@ -201,10 +208,17 @@ def build_programs(ds, cfg, width: int, height: int) -> WavefrontPrograms:
         carry, lane_id = init_carry(fp, view, s)
         carry, ctx = visit_hit(carry, compact=False)
         if depth > 1:
-            # bounce-0 scatter: primary-hit origins are swizzle-coherent,
-            # the NEE shadow queue dispatches UNSORTED (round-4 policy)
+            # bounce-0 scatter: sort the NEE shadow queue like every
+            # later bounce. The round-4 "unsorted at bounce 0" receipt
+            # was a SUN-only queue (one shared direction — octant
+            # coherence for free); real NEE mixes area-light samples
+            # whose directions scramble the octant-major key, and the
+            # monolith's dynamic loop already sorts unconditionally
+            # (trace_paths bounce_body). The wavefront decomposition
+            # measured bounce0 at 4.8 s with this queue unsorted —
+            # ~3.9 s of it in the scatter (prof/prof_r5_wfdecomp.py).
             carry = scatter_tail(
-                (carry, ctx, jnp.int32(0)), compact=False, sort_shadow=False
+                (carry, ctx, jnp.int32(0)), compact=False, sort_shadow=True
             )
         return sort_live_first(carry, lane_id)
 

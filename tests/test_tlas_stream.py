@@ -223,3 +223,53 @@ def test_renderer_tlas_stream_matches_xla_walk(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(r_s.accum), np.asarray(r_x.accum), atol=2e-3, rtol=1e-3
     )
+
+
+def test_tlas_stream_animation_zero_retrace(monkeypatch):
+    """Per-frame TLAS refit on the streamed path must reuse the compiled
+    pass programs (the refit-dependent arrays ride as call operands) and
+    must actually move the instances."""
+    from realtimepathtracingresearchframework_tpu.backend.params import (
+        RenderParams,
+    )
+    from realtimepathtracingresearchframework_tpu.backend.renderer import (
+        FrameConfig,
+        Renderer,
+    )
+    from realtimepathtracingresearchframework_tpu.models import procedural
+    from realtimepathtracingresearchframework_tpu.models.camera import (
+        OrientedCamera,
+    )
+    from realtimepathtracingresearchframework_tpu.models.scene import Scene
+    from realtimepathtracingresearchframework_tpu.ops import traverse_tlas
+
+    monkeypatch.setenv("RPTR_FORCE_TLAS_PALLAS", "1")
+    monkeypatch.setattr(traverse_tlas, "MAX_INSTANCES", 0)
+    tts.INTERPRET = True
+    try:
+        r = Renderer()
+        r.options = r.options.replace(use_tlas=True)
+        r.initialize(24, 24)
+        r.set_scene(
+            Scene.from_vkr_scene(
+                procedural.instanced_field(num_inst=6, frames=4)
+            )
+        )
+        assert r._use_tlas_stream
+        cfg = FrameConfig(
+            camera=OrientedCamera.look_at([0, 10, 26], [0, 0, 0], fovy=55),
+            params=RenderParams(max_path_depth=2),
+        )
+        r.render(cfg)
+        fns0 = dict(r._pass_fns)
+        rev0 = r._device_scene_revision
+        img0 = np.asarray(r.accum).copy()
+        r.set_animation_frame(2)
+        r.render(cfg)
+        assert r._device_scene_revision == rev0
+        for k, v in fns0.items():
+            assert r._pass_fns.get(k) is v  # compiled programs reused
+        img1 = np.asarray(r.accum)
+        assert np.abs(img1 - img0).max() > 1e-4  # instances moved
+    finally:
+        tts.INTERPRET = False

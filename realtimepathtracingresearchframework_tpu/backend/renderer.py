@@ -117,6 +117,9 @@ def _resolve_planar(acc, exposure, tonemap_mode: int):
 # for which triangle count is the proxy the renderer has at build time.
 _V3_MIN_TRIS = 16_384
 _COMPACT_MIN_TRIS = 16_384
+_BRUTE_MAX_ROWS = 64  # fully-inlined XLA traversal below this row count
+# (the unrolled chain is ~35 HLO ops/row/dispatch; past this the trace
+# grows without bound while the v2 kernel's tree walk starts to win)
 
 
 @dataclass
@@ -774,6 +777,7 @@ class Renderer:
         self._use_streamed = mode == "streamed"
         self._use_pallas3 = False
         self._compact_default = False
+        self._brute_rows = None
         t0 = time.perf_counter()
         if self._use_streamed:
             from realtimepathtracingresearchframework_tpu.ops import (
@@ -858,6 +862,28 @@ class Renderer:
                 )
                 self._bvh = bvh_mod.thread_bvh(
                     self._topology, flat.v0, flat.e1, flat.e2
+                )
+            # tiny scenes: fully-inlined XLA Moller-Trumbore chain over
+            # every BVH row instead of a Pallas dispatch — no custom-call
+            # boundary, so traversal fuses into the bounce shading
+            # (ops/traverse_brute.py). MEASURED NEGATIVE at frame level
+            # and gated OFF by default (RPTR_BRUTE=1 opts in): standalone
+            # the chain beats the v2 kernel (closest 2.10 vs 2.94 ms per
+            # 524K, prof/prof_r5_c2.py) but the cornell 1080p frame is
+            # identical (p50 75.1 vs 75.5 ms on chip) — the wave is
+            # shading/NEE/sky-bound at 32 tris, not traversal-bound, and
+            # the new program costs ~330 s of fresh compile per cell.
+            br_env = os.environ.get("RPTR_BRUTE")
+            tri_rows = getattr(self._bvh, "tri_rows", None)
+            if (
+                self._use_pallas
+                and tri_rows is not None
+                and br_env == "1"
+                and tri_rows.shape[0] <= _BRUTE_MAX_ROWS
+            ):
+                self._brute_rows = tuple(
+                    tuple(float(x) for x in tri_rows[k, 0:9])
+                    for k in range(tri_rows.shape[0])
                 )
         self.timers.add(ProfilingMarker.BUILD_BLAS, (time.perf_counter() - t0) * 1e3)
 
@@ -1099,7 +1125,12 @@ class Renderer:
             num_lights=int(self._num_lights),
             stack_depth=0,  # unused: threaded traversal is stackless
             enable_sun_sky=True,
-            unroll=bool(self.options.unroll_bounces) and not compact_lanes,
+            unroll=bool(self.options.unroll_bounces) and not compact_lanes
+            # brute-rows scenes keep the dynamic bounce loop: the inlined
+            # MT chain is ~35 ops/row per dispatch and XLA's fusion pass
+            # goes superlinear on the 9x-unrolled elementwise graph
+            # (>570 s compile observed on chip vs seconds dynamic)
+            and not getattr(self, "_brute_rows", None),
             use_pallas=bool(self._use_pallas),
             has_textures=bool(self._has_textures),
             rng_variant=int(self.options.rng_variant),
@@ -1120,6 +1151,7 @@ class Renderer:
                 else os.environ.get("RPTR_COMPACT") != "0"
             ) and not compact_lanes,
             compact_lanes=compact_lanes,
+            brute_rows=tuple(getattr(self, "_brute_rows", None) or ()),
             kernel_v3=bool(getattr(self, "_use_pallas3", False)),
             kernel_v4=bool(getattr(self, "_use_pallas3", False))
             and os.environ.get("RPTR_KERNEL_V4", "1") != "0",

@@ -380,6 +380,15 @@ class IntegratorConfig(NamedTuple):
     # off. Implies the dynamic bounce loop (the body is traced once per
     # prefix size, not per bounce); ignored when a bounded primary
     # segment (t_max0) or debug counters are in play.
+    brute_rows: tuple = ()  # tiny-scene traversal: static (v0,e1,e2)
+    # 9-float tuples in BVH-row order. When non-empty, every resident
+    # dispatch becomes a fully-unrolled XLA Moller-Trumbore chain over
+    # ALL rows (ops/traverse_brute.py) instead of a Pallas launch —
+    # no custom-call boundary, so the walk fuses into the bounce's
+    # shading/NEE/RNG math. Bit-exact vs the v2 kernel (lower row wins
+    # exact-t ties; prof/prof_r5_c2.py matched 1.0 on chip). The
+    # renderer sets this for scenes <= _BRUTE_MAX_ROWS rows; the rows
+    # ride the config (hashable tuple) so the pass-fn cache keys them.
     kernel_v4: bool = False  # route SORTED resident dispatches (bounce
     # closest + bounce>=1 shadow) to the v4 kernel: v3's flush scans fed
     # by an exact per-ray XLA pre-cull instead of the in-kernel group
@@ -525,6 +534,15 @@ def _closest_hit_dispatch(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3,
             sort=True, ordered=cfg.stream_closest == "ordered",
         )
     if cfg.use_pallas:
+        if cfg.brute_rows:
+            from realtimepathtracingresearchframework_tpu.ops import (
+                traverse_brute,
+            )
+
+            return traverse_brute.closest_hit_brute(
+                cfg.brute_rows, ds.bvh.row_tri, ro, rd, t_min, t_max,
+                map_tri=not cfg.row_attrs,
+            )
         if cfg.kernel_v3:
             from realtimepathtracingresearchframework_tpu.ops import (
                 traverse_pallas3,
@@ -677,7 +695,15 @@ def occluded_alpha(ds: DeviceScene, cfg: IntegratorConfig, ro: Vec3, rd: Vec3,
                 comps=(*ro, *rd), rounds=1,
             )
         elif cfg.use_pallas:
-            if cfg.kernel_v3:
+            if cfg.brute_rows:
+                from realtimepathtracingresearchframework_tpu.ops import (
+                    traverse_brute,
+                )
+
+                blocked = traverse_brute.occluded_brute(
+                    cfg.brute_rows, ro, rd, t_min, t_max
+                )
+            elif cfg.kernel_v3:
                 from realtimepathtracingresearchframework_tpu.ops import (
                     traverse_pallas3,
                 )
@@ -1044,6 +1070,7 @@ def _make_bounce_fns(ds: DeviceScene, cfg: IntegratorConfig, fp,
                     comps=(*ro, *nd), rounds=1,
                 )
             elif (cfg.use_pallas and not cfg.kernel_v3
+                  and not cfg.brute_rows
                   and not (cfg.alpha_test and cfg.has_textures)):
                 hit, blocked = traverse_pallas.closest_and_occluded_pallas(
                     ds.bvh,
